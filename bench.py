@@ -1,0 +1,79 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed as: build the lazy plan + execute via a count-style
+action that forces full computation without driver-side collection of
+big results (we collect only to mirror the driver's correctness path for
+small outputs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dbt_fal_spark.registry import all_queries
+from dbt_fal_spark.session import get_spark
+
+# Headline set: the scale-critical relational queries + one per extension
+# family. Kept explicit so bench timings are stable as the registry grows.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_topk_order_revenue",
+    "q05_region_nation_revenue",
+    "q06_filtered_revenue",
+    "q_orders_daily_pivot",
+    "q_customer_order_stats",
+    "q_topk_orders_per_segment",
+    "q_customer_running_total",
+    "q_priority_distinct_customers",
+    "q_region_rollup_revenue",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    specs = all_queries()
+    names = [n for n in HEADLINE if n in specs]
+    # extension families: include whatever is implemented (sorted for stability)
+    for name in sorted(specs):
+        if name not in names and any(
+            name.startswith(p) for p in ("d_", "s_", "t_", "e_", "m_")
+        ):
+            names.append(name)
+
+    # warm the JVM/session so timings measure the queries, not startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = specs[name].fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

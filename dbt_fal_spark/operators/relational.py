@@ -1,0 +1,576 @@
+"""Relational operator surface (SURVEY.md §2.G).
+
+The reference delegates every join/aggregate/window/set-op to the target
+warehouse (it implements zero relational operators itself — SURVEY §2.G);
+its test projects define the required query shapes:
+- CTE + multi-join + min/max/count/sum aggregation
+  (reference: projects/adapter/cli_tests/projects/002_jaffle_shop/models/customers.sql)
+- left join + conditional case-when pivot
+  (reference: .../models/orders_daily.sql)
+- date cast + filter projection (reference: .../models/forecast_filter.sql)
+- generic not_null/unique tests
+  (reference: projects/adapter/cli_tests/projects/000_fal_run/models/schema.yml:26-40)
+
+Here they run on Catalyst. Every query is expressed declaratively
+(DataFrame API / Spark SQL) so predicate pushdown, column pruning, and
+broadcast-join selection come from the optimizer, not hand-scheduling.
+
+Scale notes (100 TB design):
+- Money aggregates go through DECIMAL(18,4) per-row casts → exact,
+  order-independent partial aggregation (see functions/numeric.py).
+- Dimension tables (region, nation, supplier, part, customer at small SF)
+  are broadcast; fact-fact joins (orders⋈lineitem) shuffle on the join key
+  and AQE handles skew.
+- Window functions partition by high-cardinality keys (custkey, user_id),
+  so state per partition stays bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dbt_fal_spark.functions.numeric import (
+    O_CHARGE,
+    O_DISC_PRICE,
+    charge,
+    davg,
+    dec,
+    disc_price,
+    dsum,
+    money,
+    o_davg,
+    o_dsum,
+    rate,
+)
+from dbt_fal_spark.registry import query
+from dbt_fal_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytics
+# ---------------------------------------------------------------------------
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum('l_quantity')} AS sum_qty,
+           {o_dsum('l_extendedprice')} AS sum_base_price,
+           CAST(sum({O_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(sum({O_CHARGE}) AS DOUBLE) AS sum_charge,
+           {o_davg('l_quantity')} AS avg_qty,
+           {o_davg('l_extendedprice')} AS avg_price,
+           {o_davg('l_discount')} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregate", "tpch"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: wide hash aggregation with 8 aggregates over 2 group keys.
+
+    Plan: parquet scan with shipdate pushdown → partial HashAggregate
+    (map-side, decimal-exact) → shuffle on 6 distinct groups → final agg.
+    At 100 TB the partial agg reduces ~all rows before the shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(charge()).cast("double").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q03_topk_order_revenue",
+    oracle=f"""
+    SELECT l_orderkey, o_orderdate,
+           CAST(sum({O_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "topk", "tpch"),
+)
+def q03_topk_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective dim filter → fact join → agg → global top-k.
+
+    customer(filtered) is broadcast to the orders scan; orders⋈lineitem
+    shuffles on orderkey. The LIMIT is a TakeOrderedAndProject — each
+    partition keeps only its local top-10, so no global sort materializes.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q05_region_nation_revenue",
+    oracle=f"""
+    SELECT n_name, CAST(sum({O_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("join", "tpch"),
+)
+def q05_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way join, local-supplier revenue by nation.
+
+    region→nation→supplier are tiny → broadcast all three; the only
+    shuffles are the two fact joins. Catalyst reorders the join tree so
+    the region filter prunes nations before any fact is touched.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q06_filtered_revenue",
+    oracle=f"""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("filter", "tpch"),
+)
+def q06_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan+filter+agg — the pushdown benchmark.
+
+    All four predicates reach the parquet reader (min/max row-group skip);
+    only 4 columns are read. Verify with .explain(): PushedFilters list.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(money("l_extendedprice") * rate("l_discount")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaffle-shop-style surface (the reference's own test queries)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_orders_daily_pivot",
+    oracle=f"""
+    SELECT CAST(o_orderdate AS DATE) AS order_date,
+           count(*) AS n_orders,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending,
+           {o_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END")} AS open_amount,
+           {o_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END")} AS finished_amount,
+           {o_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END")} AS pending_amount,
+           {o_dsum('o_totalprice')} AS total_amount
+    FROM orders
+    GROUP BY CAST(o_orderdate AS DATE)
+    """,
+    tags=("pivot", "jaffle"),
+)
+def q_orders_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders_daily.sql analog: conditional case-when pivot over status
+    (reference: 002_jaffle_shop/models/orders_daily.sql:17-32 does the same
+    with a Jinja loop over payment methods)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def n_status(s: str, alias: str):
+        return F.count(F.when(F.col("o_orderstatus") == s, 1)).alias(alias)
+
+    def amt_status(s: str, alias: str):
+        return (
+            F.sum(dec(F.when(F.col("o_orderstatus") == s, F.col("o_totalprice")).otherwise(0.0)))
+            .cast("double")
+            .alias(alias)
+        )
+
+    return (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            n_status("O", "n_open"),
+            n_status("F", "n_finished"),
+            n_status("P", "n_pending"),
+            amt_status("O", "open_amount"),
+            amt_status("F", "finished_amount"),
+            amt_status("P", "pending_amount"),
+            dsum("o_totalprice", "total_amount"),
+        )
+    )
+
+
+@query(
+    "q_customer_order_stats",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_mktsegment,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS most_recent_order,
+           count(o_orderkey) AS number_of_orders,
+           {o_dsum('o_totalprice')} AS customer_lifetime_value
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name, c_mktsegment
+    """,
+    tags=("join", "aggregate", "jaffle"),
+)
+def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customers.sql analog: left join + min/max/count/sum per customer
+    (reference: 002_jaffle_shop/models/customers.sql:19-41). Customers with
+    no orders keep NULL aggregates — left-join semantics preserved."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("most_recent_order"),
+            F.count("o_orderkey").alias("number_of_orders"),
+            dsum("o_totalprice", "customer_lifetime_value"),
+        )
+    )
+
+
+@query(
+    "q_date_filter_projection",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS ds,
+           o_orderkey,
+           o_totalprice AS amount
+    FROM orders
+    WHERE o_totalprice > 1000 AND o_orderstatus = 'O'
+    """,
+    tags=("filter", "jaffle"),
+)
+def q_date_filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """forecast_filter.sql analog: date cast + predicate + projection
+    (reference: 002_jaffle_shop/models/forecast_filter.sql:9-16)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter((F.col("o_totalprice") > 1000) & (F.col("o_orderstatus") == "O"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("ds"),
+            "o_orderkey",
+            F.col("o_totalprice").alias("amount"),
+        )
+    )
+
+
+@query(
+    "q_generic_tests",
+    oracle="""
+    SELECT 'orders_o_orderkey_unique' AS test_name,
+           count(*) - count(DISTINCT o_orderkey) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_o_custkey_not_null' AS test_name,
+           count(CASE WHEN o_custkey IS NULL THEN 1 END) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_l_quantity_not_null' AS test_name,
+           count(CASE WHEN l_quantity IS NULL THEN 1 END) AS violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer_c_custkey_unique' AS test_name,
+           count(*) - count(DISTINCT c_custkey) AS violations
+    FROM customer
+    """,
+    tags=("tests",),
+)
+def q_generic_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt generic tests (not_null / unique) as assertion queries
+    (reference: 000_fal_run/models/schema.yml:26-40 declares them; dbt
+    compiles them to violation-count SQL). A model passes when violations=0."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def unique_test(df: DataFrame, col: str, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("test_name"),
+            (F.count(F.lit(1)) - F.countDistinct(F.col(col))).alias("violations"),
+        )
+
+    def not_null_test(df: DataFrame, col: str, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("test_name"),
+            F.count(F.when(F.col(col).isNull(), 1)).alias("violations"),
+        )
+
+    return (
+        unique_test(orders, "o_orderkey", "orders_o_orderkey_unique")
+        .unionAll(not_null_test(orders, "o_custkey", "orders_o_custkey_not_null"))
+        .unionAll(not_null_test(li, "l_quantity", "lineitem_l_quantity_not_null"))
+        .unionAll(unique_test(cust, "c_custkey", "customer_c_custkey_unique"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_topk_orders_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) t
+    WHERE rn <= 5
+    """,
+    tags=("window", "topk"),
+)
+def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via row_number window — the canonical pattern.
+    Tie-break on o_orderkey keeps the result deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "q_customer_running_total",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total,
+           row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS order_seq
+    FROM orders
+    """,
+    tags=("window",),
+)
+def q_customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative sum per customer — per-key window state stays
+    bounded, so this scales by partitioning on o_custkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice")).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("double").alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / distinct
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_repeat_customers_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    """,
+    tags=("setop",),
+)
+def q_repeat_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both 1996 and 1997."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def active(y0: str, y1: str) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y0}-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y1}-01-01 00:00:00").cast("timestamp"))
+        ).select("o_custkey")
+
+    return active("1996", "1997").intersect(active("1997", "1998"))
+
+
+@query(
+    "q_lapsed_customers_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    """,
+    tags=("setop", "anti-join"),
+)
+def q_lapsed_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers with no orders since 2000 (≡ anti-join)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.subtract(recent)
+
+
+@query(
+    "q_priority_distinct_customers",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("distinct",),
+)
+def q_priority_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT DISTINCT per group (expand+two-phase agg in Spark).
+    At 100 TB prefer approx_count_distinct unless exactness is required."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "q_region_rollup_revenue",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {o_dsum('o_totalprice')} AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("rollup",),
+)
+def q_region_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        dsum("o_totalprice", "revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_part_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           lower(p_type) AS type_lower,
+           substring(p_name, 1, 10) AS name_prefix,
+           concat(p_brand, ':', p_type) AS brand_type,
+           length(p_name) AS name_len
+    FROM part
+    WHERE p_type LIKE '%ECONOMY%' OR p_name LIKE 'red%'
+    """,
+    tags=("string",),
+)
+def q_part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String projection surface: upper/lower/substring/concat/length/LIKE —
+    all JVM-side codegen'd expressions, no UDFs."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_type").like("%ECONOMY%") | F.col("p_name").like("red%"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.lower("p_type").alias("type_lower"),
+            F.substring("p_name", 1, 10).alias("name_prefix"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+            F.length("p_name").alias("name_len"),
+        )
+    )

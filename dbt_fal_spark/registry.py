@@ -1,0 +1,59 @@
+"""Central query registry — the contract surface the driver checks.
+
+Every implemented operator from SURVEY.md §2 registers here with:
+- a Spark callable ``(spark, sf_dir) -> DataFrame``
+- an equivalent ANSI-SQL oracle string for DuckDB (or None for
+  non-SQL-expressible ops, which get a weaker rows-only check).
+
+``__spark_entry__.py`` re-exports this registry to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator registering a query implementation plus its DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", tags=tags)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    """Import every operator module (side effect: registration) and return
+    the full registry."""
+    # Imports are inside the function so a syntax error in one module can't
+    # break `import dbt_fal_spark` for unrelated users.
+    from dbt_fal_spark.operators import (  # noqa: F401
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text,
+        timeseries,
+    )
+
+    return dict(_REGISTRY)
