@@ -1,1 +1,381 @@
+"""Deduplication operators over the ``documents`` table.
 
+Training-data pipeline surface (build brief): exact dedup, n-gram
+Jaccard, MinHash+LSH, SimHash. The reference has no dedup at all; the
+closest prior art is dbt's ``dropDuplicates``-style distinct, which is
+nondeterministic about which copy survives — every operator here keeps
+``min(doc_id)`` so reruns are stable.
+
+Determinism across engines (the oracle gate): all hashing is md5-based
+(identical hex in Spark and DuckDB); the first 8 hex chars become a
+32-bit integer (Spark ``conv(hex,16,10)``, DuckDB ``('0x'||hex)::BIGINT``),
+and all arithmetic stays in BIGINT modular math — no floats anywhere in
+a hash path.
+
+Scale notes (100 TB design):
+- Exact dedup = hash groupBy on content digest → one shuffle of digests,
+  not documents.
+- Jaccard pair generation joins on shared shingles. At scale, cap
+  frequent shingles first (drop shingles appearing in > K docs — they
+  generate K² candidate pairs and carry no signal); the LSH variant
+  replaces the shingle join entirely with a 4-row band-signature join,
+  which is the only approach whose candidate count stays ~linear.
+- SimHash reduces each doc to one int64; near-dup detection becomes a
+  band-equality self-join on 4 byte-slices — no pair explosion.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_fal_spark.registry import query
+from dbt_fal_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# Shared deterministic constants
+# ---------------------------------------------------------------------------
+
+MERSENNE_P = 2147483647  # 2^31 - 1
+
+def _perm_params(n: int) -> list[tuple[int, int]]:
+    """n fixed (a, b) pairs for universal hashing, derived from md5 so the
+    list is reproducible from the source alone (no RNG state)."""
+    out = []
+    for i in range(n):
+        a = int(hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()[:8], 16) % (MERSENNE_P - 1) + 1
+        b = int(hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()[:8], 16) % MERSENNE_P
+        out.append((a, b))
+    return out
+
+
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+PERMS = _perm_params(N_PERM)
+
+# 3-gram shingle extraction, kept textually parallel in both engines.
+_SPARK_TOKS = "split(text, ' ')"
+_ORACLE_SHINGLES = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    idx AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(l[i:i+2], ' ') AS sh FROM idx)
+"""
+
+
+def _spark_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id × distinct word n-gram shingles (docs shorter than n tokens
+    produce none, matching generate_series emptiness in the oracle)."""
+    shingle_expr = (
+        f"transform(sequence(0, size({_SPARK_TOKS}) - {n}),"
+        f" i -> concat_ws(' ', slice({_SPARK_TOKS}, i + 1, {n})))"
+    )
+    return (
+        docs.filter(F.size(F.split("text", " ")) >= n)
+        .select("doc_id", F.explode(F.array_distinct(F.expr(shingle_expr))).alias("sh"))
+    )
+
+
+# Spark / DuckDB expressions for "md5-based 32-bit hash of column sh".
+_SPARK_H32 = "cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint)"
+_ORACLE_H32 = "('0x' || substr(md5(sh), 1, 8))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "d_exact_dedup",
+    oracle="""
+    SELECT md5(lower(replace(text, ' ', ''))) AS content_key,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies,
+           min(n_chars) AS n_chars
+    FROM documents
+    GROUP BY md5(lower(replace(text, ' ', '')))
+    """,
+    tags=("dedup",),
+)
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a normalized content digest. Deterministic keeper
+    (min doc_id) — unlike dropDuplicates, reruns always pick the same
+    survivor. Only digests shuffle, never document bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.lower(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+    return docs.groupBy(key.alias("content_key")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+@query(
+    "d_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared,
+           sa.n AS size_a, sb.n AS size_b,
+           CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
+    """,
+    tags=("dedup", "jaccard"),
+)
+def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.5.
+
+    shingle → self-join on shared shingle → count → Jaccard from set
+    sizes. Integer counts divide once at the end, so the score is
+    engine-exact. At 100 TB, cap shingles appearing in >K docs before the
+    join (they contribute K² pairs of pure noise); d_minhash_lsh_pairs is
+    the subquadratic path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _spark_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jaccard = F.col("n_shared").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.col("sa.n").alias("size_a"),
+            F.col("sb.n").alias("size_b"),
+            jaccard.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_exprs_spark() -> list:
+    h = _SPARK_H32
+    return [
+        F.expr(f"min((({a} * ({h} % {MERSENNE_P})) + {b}) % {MERSENNE_P})").alias(f"m{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]
+
+
+def _minhash_exprs_oracle() -> str:
+    h = _ORACLE_H32
+    return ",\n           ".join(
+        f"min((({a} * ({h} % {MERSENNE_P})) + {b}) % {MERSENNE_P}) AS m{i}"
+        for i, (a, b) in enumerate(PERMS)
+    )
+
+
+def _band_sig_spark(band: int) -> F.Column:
+    cols = [f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+    return F.md5(F.concat_ws(",", *cols))
+
+
+def _band_sig_oracle(band: int) -> str:
+    cols = [f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+    joined = " || ',' || ".join(f"{c}::VARCHAR" for c in cols)
+    return f"md5({joined})"
+
+
+@query(
+    "d_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLES},
+    sig AS (
+      SELECT doc_id,
+           {_minhash_exprs_oracle()}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {band} AS band_id, {_band_sig_oracle(band)} AS bsig FROM sig" for band in range(N_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST({" + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(N_PERM))} AS DOUBLE) / {N_PERM} AS est_jaccard
+    FROM cand
+    JOIN sig sa ON doc_a = sa.doc_id
+    JOIN sig sb ON doc_b = sb.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 perms) + LSH(4 bands × 4 rows) candidate pairs with
+    estimated Jaccard — the subquadratic near-dup path.
+
+    shingle → 16 min-hash aggregates (one groupBy, no per-perm explosion)
+    → 4 band signatures → self-join on (band, signature) → estimate from
+    signature agreement. Candidate count stays ~linear in corpus size for
+    any fixed dup rate: only docs agreeing on an entire band ever meet.
+    Probability a pair at true Jaccard j becomes a candidate:
+    1-(1-j^4)^4 (≈1 for j≥0.9, ≈0.04 for j=0.3).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _spark_shingles(docs)
+    sig = sh.groupBy("doc_id").agg(*_minhash_exprs_spark())
+    bands = None
+    for band in range(N_BANDS):
+        part = sig.select("doc_id", F.lit(band).alias("band_id"), _band_sig_spark(band).alias("bsig"))
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    agree = None
+    for i in range(N_PERM):
+        term = F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", (agree.cast("double") / N_PERM).alias("est_jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+@query(
+    "d_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS sh FROM documents
+    ), hashed AS (
+      SELECT doc_id, {_ORACLE_H32} AS h FROM toks
+    ), bits AS (
+      SELECT doc_id,
+             {", ".join(f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}" for j in range(32))}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {" + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))} AS simhash,
+           {", ".join(f"(({' + '.join(f'CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END' for j in range(32))}) >> {8 * k}) & 255 AS band{k}" for k in range(4))}
+    FROM bits
+    """,
+    tags=("dedup", "simhash"),
+)
+def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document + 4 byte-slice bands.
+
+    Each distinct token votes ±1 on every bit of its md5-derived hash;
+    the sign vector becomes the fingerprint. Near-dup docs (small token
+    edits) land within small Hamming distance, and by pigeonhole any pair
+    within distance 4 shares at least one of the 4 byte bands — so
+    band-equality joins find candidates with no pair explosion.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("sh"))
+    hashed = toks.select("doc_id", F.expr(_SPARK_H32).alias("h"))
+    bit_aggs = [
+        F.sum(F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"s{j}")
+        for j in range(32)
+    ]
+    bits = hashed.groupBy("doc_id").agg(*bit_aggs)
+    simhash = None
+    for j in range(32):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
+        simhash = term if simhash is None else simhash + term
+    out = bits.select("doc_id", simhash.alias("simhash"))
+    return out.select(
+        "doc_id",
+        "simhash",
+        *[F.expr(f"(simhash >> {8 * k}) & 255").alias(f"band{k}") for k in range(4)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+# Quantize float32 embeddings to round(x*1024) BIGINTs: dot products and
+# norms become exact integer math, so cosine (one final double division)
+# is bit-identical across engines and partition orders.
+_SPARK_QVEC = "transform(embedding, x -> cast(round(x * 1024) as bigint))"
+_ORACLE_QVEC = "list_transform(embedding, x -> CAST(round(x * 1024) AS BIGINT))"
+
+
+@query(
+    "d_embedding_neardup_pairs",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nrm FROM q
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.label AS label_a, b.label AS label_b,
+           CAST(list_dot_product(a.qv, b.qv) AS DOUBLE) / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE CAST(list_dot_product(a.qv, b.qv) AS DOUBLE) / (sqrt(a.nrm) * sqrt(b.nrm)) >= 0.4
+    """,
+    tags=("dedup", "embedding"),
+)
+def d_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4), brute-force
+    self-join baseline. The quantized integer dot product keeps the score
+    engine-exact. At 100 TB, replace the O(n²) join with the LSH bucket
+    prefilter (s_knn_lsh_bucketed) or an IVF coarse quantizer — this
+    operator is the correctness oracle for those.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.expr(_SPARK_QVEC).alias("qv"),
+    ).withColumn("nrm", F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+    a = q.alias("a")
+    b = q.alias("b")
+    dot = F.expr("aggregate(zip_with(a.qv, b.qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    cosine = dot.cast("double") / (F.sqrt(F.col("a.nrm")) * F.sqrt(F.col("b.nrm")))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )

@@ -1,1 +1,124 @@
+"""Multimodal column operators: opaque binary payloads + typed metadata.
 
+Build-brief surface: treat image/audio/video as ``binary`` columns with
+typed metadata; decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas functions over ``mapInPandas``. The container has
+no image/audio libraries, so the decode step is STUBBED (see
+``decode_image``) — the Spark-side plumbing (schema, partitioning, UDF
+signature, batch shape) is real and tested.
+
+The testdata has no binary table, so payloads are derived
+deterministically from ``documents.text`` (utf-8 encode) — this keeps
+the whole pipeline oracle-checkable where no real decoding is involved.
+
+Scale notes (100 TB design):
+- Binary payloads never shuffle in these plans: metadata extraction is a
+  map-only projection; downstream joins move digests, not bytes.
+- ``mapInPandas`` streams Arrow batches — peak executor memory is one
+  batch of payloads, not one partition; cap
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` for jumbo blobs.
+- For real corpora use ``spark.read.format("binaryFile")`` and keep
+  payloads in their own column family / file set, joined by content key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_fal_spark.registry import query
+from dbt_fal_spark.sources.readers import load_table
+
+
+def decode_image(payload: bytes) -> dict:
+    """STUB: real implementation would decode via PIL/libvips (not in
+    this container). Raises so nothing silently pretends to decode."""
+    raise NotImplementedError("image decoding requires PIL/libvips (not installed)")
+
+
+def fake_decode_meta(payload: bytes) -> dict:
+    """Deterministic fake 'decode' used to exercise the pipeline: derives
+    pseudo width/height/format from payload bytes."""
+    n = len(payload)
+    return {
+        "width": (n % 640) + 1,
+        "height": ((n * 7) % 480) + 1,
+        "format": "png" if n % 2 == 0 else "jpeg",
+    }
+
+
+@query(
+    "m_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5,
+           md5(substring(text, 1, 16)) AS head_md5,
+           (octet_length(encode(text)) % 640) + 1 AS width,
+           ((octet_length(encode(text)) * 7) % 480) + 1 AS height,
+           CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+    FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+def m_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary column plumbing: payload digest, head-sample digest, and
+    deterministic fake decode metadata — all JVM-side expressions. The
+    md5-of-head mirrors frame-sampling (process a prefix, not the blob)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    n = F.length(payload)
+    return docs.select(
+        "doc_id",
+        n.alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+        F.md5(F.substring(payload, 1, 16)).alias("head_md5"),
+        ((n % 640) + 1).alias("width"),
+        (((n * 7) % 480) + 1).alias("height"),
+        F.when(n % 2 == 0, "png").otherwise("jpeg").alias("format"),
+    )
+
+
+@query("m_decode_pipeline", oracle=None, tags=("multimodal", "pandas-udf"))
+def m_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real mapInPandas decode pipeline (rows-only check: the decode
+    itself is a deterministic fake; the Arrow batch plumbing is real).
+
+    Batches arrive as pandas DataFrames with a ``payload`` bytes column;
+    each yields a metadata frame. Swap ``fake_decode_meta`` for
+    ``decode_image`` when the codec libraries exist.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+
+    # Self-contained closure: executor Python workers may not have this
+    # package importable (the driver hands us an arbitrary SparkSession),
+    # so the UDF must not reference module-level symbols — cloudpickle
+    # serializes nested functions by value.
+    def _fake_meta(payload: bytes) -> dict:
+        n = len(payload)
+        return {
+            "width": (n % 640) + 1,
+            "height": ((n * 7) % 480) + 1,
+            "format": "png" if n % 2 == 0 else "jpeg",
+        }
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_fake_meta(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "format": [m["format"] for m in metas],
+                }
+            )
+
+    return with_payload.mapInPandas(
+        decode_batch, schema="doc_id long, n_bytes int, width int, height int, format string"
+    )

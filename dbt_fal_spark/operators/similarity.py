@@ -1,1 +1,214 @@
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
 
+Training-data pipeline surface (build brief): brute-force cosine top-k
+as the exact baseline, and a random-hyperplane LSH bucketed variant as
+the scale path.
+
+Determinism: embeddings are quantized to round(x*1024) BIGINTs so dot
+products / norms are exact integer math in both engines (see dedup.py);
+LSH hyperplane weights are md5-derived integer literals computed at
+import time in Python and embedded identically into the Spark
+expressions and the DuckDB oracle SQL — one source of truth.
+
+Scale notes (100 TB design):
+- Brute force is O(nq·n) but shuffle-free: the query set is broadcast,
+  each partition scores its own vectors and keeps a local top-k
+  (window over query_id partitions = TakeOrdered per query).
+- The LSH variant buckets both sides on 8 sign bits; the join is an
+  equi-join on bucket id, so candidates per query drop ~256× while
+  recall follows the standard SRP-LSH curve. More planes/tables =
+  recall knob, all still equi-joins.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dbt_fal_spark.registry import query
+from dbt_fal_spark.sources.readers import load_table
+
+DIM = 64
+N_PLANES = 8
+N_QUERIES = 10  # vectors with vec_id < 10 act as the query set
+TOP_K = 10
+
+_SPARK_QVEC = "transform(embedding, x -> cast(round(x * 1024) as bigint))"
+_ORACLE_QVEC = "list_transform(embedding, x -> CAST(round(x * 1024) AS BIGINT))"
+
+
+def _plane_weight(p: int, d: int) -> int:
+    """Deterministic integer weight in [-1000, 1000] for plane p, dim d."""
+    h = int(hashlib.md5(f"plane-{p}-dim-{d}".encode()).hexdigest()[:8], 16)
+    return h % 2001 - 1000
+
+
+PLANES = [[_plane_weight(p, d) for d in range(DIM)] for p in range(N_PLANES)]
+
+
+def _spark_bucket_expr() -> str:
+    """bucket id = Σ_p (dot(plane_p, qv) > 0) << p, as one SQL expression."""
+    terms = []
+    for p, w in enumerate(PLANES):
+        arr = ", ".join(str(x) for x in w)
+        dot = f"aggregate(zip_with(qv, array({arr}), (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _oracle_bucket_expr() -> str:
+    terms = []
+    for p, w in enumerate(PLANES):
+        arr = ", ".join(str(x) for x in w)
+        dot = f"list_dot_product(qv, [{arr}]::BIGINT[])"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@query(
+    "s_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nrm FROM q
+    ), scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS neighbor_label,
+             CAST(list_dot_product(a.qv, b.qv) AS DOUBLE) / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine, rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    ) t
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "knn"),
+)
+def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, score every vector,
+    keep k per query via row_number. The exact baseline every ANN variant
+    is measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", "label", F.expr(_SPARK_QVEC).alias("qv")).withColumn(
+        "nrm", F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    )
+    queries = q.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dot = F.expr("aggregate(zip_with(q_qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    cosine = dot.cast("double") / (F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("nrm")))
+    scored = (
+        F.broadcast(queries)
+        .join(q, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            cosine.alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+@query(
+    "s_knn_lsh_bucketed",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nrm,
+             {_oracle_bucket_expr()} AS bucket
+      FROM q
+    ), scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS neighbor_label,
+             a.bucket AS bucket,
+             CAST(list_dot_product(a.qv, b.qv) AS DOUBLE) / (sqrt(a.nrm) * sqrt(b.nrm)) AS cosine
+      FROM n a JOIN n b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, neighbor_label, bucket, cosine, rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    ) t
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "knn", "lsh"),
+)
+def s_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH (8 sign bits) buckets
+    both sides; candidates only meet inside their bucket (equi-join, no
+    cross product). Recall < 1 by design — s_knn_bruteforce is the
+    oracle to measure it against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = (
+        emb.select("vec_id", "label", F.expr(_SPARK_QVEC).alias("qv"))
+        .withColumn("nrm", F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .withColumn("bucket", F.expr(_spark_bucket_expr()))
+    )
+    queries = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    dot = F.expr("aggregate(zip_with(q_qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    cosine = dot.cast("double") / (F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("nrm")))
+    scored = (
+        F.broadcast(queries)
+        .join(n, (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.col("q_bucket").alias("bucket"),
+            cosine.alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+@query(
+    "s_label_centroid_distance",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings
+    ), expl AS (
+      SELECT label, unnest(generate_series(1, {DIM})) AS d, qv FROM q
+    ), comp AS (
+      SELECT label, d, qv[d] AS v FROM expl
+    ), cent AS (
+      SELECT label, d, sum(v) AS s, count(*) AS n FROM comp GROUP BY label, d
+    )
+    SELECT label,
+           n AS n_vectors,
+           CAST(sum(s * s) AS DOUBLE) / (n * n) AS centroid_sq_norm
+    FROM cent
+    GROUP BY label, n
+    """,
+    tags=("similarity", "centroid"),
+)
+def s_label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid squared norm — the IVF coarse-quantizer build
+    step (centroid = mean of member vectors; exact integer sums, one
+    final double division)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", "label", F.expr(_SPARK_QVEC).alias("qv"))
+    comp = q.select("label", F.posexplode("qv").alias("d", "v"))
+    cent = comp.groupBy("label", "d").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    return cent.groupBy("label", "n").agg(
+        (F.sum(F.col("s") * F.col("s")).cast("double") / (F.col("n") * F.col("n"))).alias("centroid_sq_norm")
+    ).select("label", F.col("n").alias("n_vectors"), "centroid_sq_norm")

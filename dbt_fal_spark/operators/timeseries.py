@@ -1,1 +1,294 @@
+"""Event / time-series operators over the ``events`` table.
 
+The reference has no streaming or time-series operators (SURVEY §1.1 —
+time series are plain (ds, y) tables fed batchwise to Prophet), so this
+module is the batch-first extension surface the testdata's ``events``
+table exists for: sessionization, tumbling windows, as-of joins, JSON
+props extraction. The streaming variants live in
+``dbt_fal_spark/streaming/``.
+
+Scale notes (100 TB design):
+- Every operator partitions by ``user_id`` (high cardinality) — window
+  state per key is bounded by that user's events, never global.
+- The as-of join is the union+last_value trick: one shuffle on user_id,
+  one ordered window pass — no per-key loop, no range-explosion. This is
+  the scalable alternative to ``pd.merge_asof`` per group.
+- Timestamp arithmetic uses epoch doubles (``ts.cast("double")``), exact
+  for microsecond timestamps until year ~2255 (2^53 µs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from dbt_fal_spark.functions.numeric import dsum, o_dsum
+from dbt_fal_spark.registry import query
+from dbt_fal_spark.sources.readers import load_table
+
+SESSION_GAP_SEC = 1800  # 30 min
+
+
+@query(
+    "e_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > {SESSION_GAP_SEC}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), sess AS (
+      SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           {o_dsum('value')} AS session_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    tags=("window", "sessionize", "events"),
+)
+def e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag → new-session flag → running count.
+
+    Two window passes over the same (user_id, ts) ordering — Catalyst
+    executes both in a single sort within one shuffle of user_id
+    partitions. The streaming twin is ``session_window`` (streaming/).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(F.lag("ts").over(w).isNull() | (gap > SESSION_GAP_SEC), 1).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("is_new").over(wf))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dsum("value", "session_value"),
+    )
+
+
+@query(
+    "e_hourly_rollup",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           {o_dsum('value')} AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    tags=("aggregate", "events"),
+)
+def e_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup per event type (batch twin of the
+    Structured Streaming windowed agg in streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum("value", "total_value"),
+    )
+
+
+@query(
+    "e_asof_purchase_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, c.ts AS click_ts,
+           p.ts AS last_purchase_ts, p.value AS last_purchase_value
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=("asof", "events"),
+)
+def e_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one): for each click, the most
+    recent prior-or-equal purchase by the same user.
+
+    Implementation: tag both streams, union, then last_value(ignoreNulls)
+    over (user_id ordered by ts) — the purchase columns "carry forward"
+    to later clicks. One shuffle + one sort; at 100 TB this beats a
+    range join (no pair explosion) and pd.merge_asof (no Python).
+    Purchases sort before clicks at equal ts (is_click tiebreak) to match
+    ASOF's >= semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(None).cast("double").alias("p_value"),
+        F.lit(1).alias("is_click"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+        F.lit(0).alias("is_click"),
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_click", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = purch.unionByName(clicks).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_click",
+        F.last("p_ts", ignorenulls=True).over(wf).alias("last_purchase_ts"),
+        F.last("p_value", ignorenulls=True).over(wf).alias("last_purchase_value"),
+    )
+    return filled.filter(F.col("is_click") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "last_purchase_ts",
+        "last_purchase_value",
+    )
+
+
+@query(
+    "e_json_props_stats",
+    oracle=f"""
+    SELECT event_type,
+           count(json_extract_string(props, '$.k')) AS n_with_k,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "events"),
+)
+def e_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON props → typed column → aggregate.
+
+    Replaces the reference's VARIANT-as-string + manual json.loads hack
+    (reference: projects/adapter/src/fal/dbt/integration/lib.py:725-732)
+    with engine-native JSON path extraction.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "e_user_activity_pivot",
+    oracle=f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+           {o_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0 END")} AS purchase_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("pivot", "events"),
+)
+def e_user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user conditional pivot over event types — single hash agg."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def n_type(t: str):
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+
+    from dbt_fal_spark.functions.numeric import dec
+
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        n_type("click"),
+        n_type("view"),
+        n_type("purchase"),
+        n_type("signup"),
+        n_type("error"),
+        F.sum(dec(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)))
+        .cast("double")
+        .alias("purchase_value"),
+    )
+
+
+@query(
+    "e_purchase_gap_stats",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id, ts,
+           epoch(ts) - epoch(prev_ts) AS gap_sec
+    FROM p
+    WHERE prev_ts IS NOT NULL
+    """,
+    tags=("window", "events"),
+)
+def e_purchase_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase gap per user via lag — gaps-and-islands primitive."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            (F.col("ts").cast("double") - prev.cast("double")).alias("gap_sec"),
+        )
+        .filter(F.col("gap_sec").isNotNull())
+    )
+
+
+@query(
+    "e_daily_active_users",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           count(DISTINCT user_id) AS dau,
+           count(*) AS n_events,
+           count(*) / count(DISTINCT user_id) AS events_per_user
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+    tags=("distinct", "events"),
+)
+def e_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU: exact distinct per day. At 100 TB switch to
+    approx_count_distinct (HLL) — noted here as the scale path."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.count(F.lit(1)) / F.countDistinct("user_id")).alias("events_per_user"),
+    )

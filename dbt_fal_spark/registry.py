@@ -55,5 +55,6 @@ def all_queries() -> dict[str, QuerySpec]:
         text,
         timeseries,
     )
+    from dbt_fal_spark.streaming import windows  # noqa: F401
 
     return dict(_REGISTRY)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TESTDATA_TABLES = (
     "region",
@@ -28,10 +29,23 @@ TESTDATA_TABLES = (
 )
 
 
+# Columns written as parquet TIMESTAMP(NANOS) — Spark has no nanos timestamp
+# type, so they are read as raw int64 (legacy conf) and truncated to micros,
+# matching DuckDB's own nanos→micros truncation.
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one testdata table (predicate/column pushdown
     stays available because nothing is materialized here)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name in _NANOS_TS_COLS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            # integer division: ns values (~1.7e18) exceed double precision
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
 
 
 def register_testdata(spark: SparkSession, sf_dir: str) -> None:
