@@ -1,0 +1,111 @@
+"""Materialization strategies: how a model's DataFrame becomes a relation.
+
+The reference delegates materialization to dbt macros + warehouse DDL
+(reference: projects/adapter/src/dbt/include/fal/macros/materializations/
+table.sql, atomic swap at src/fal/dbt/integration/lib.py:286-329,424-472);
+here the engine owns them:
+
+- seed        CSV → saveAsTable
+- table       CREATE OR REPLACE via saveAsTable(overwrite)
+- view        lazy temp view over the rendered SQL
+- ephemeral   same as view (Catalyst inlines it; no storage)
+- incremental first run full table; then append, or merge-by-key via
+              anti-join + union with the reference's temp-swap protocol
+
+Scale notes: tables are parquet in the session warehouse; the temp-swap
+(write ``<name>__f__<uuid8>``, drop, rename) is exactly the reference's
+atomic-overwrite dance — on Delta this would be a transactional REPLACE.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _q(ident: str) -> str:
+    return ".".join(f"`{p}`" for p in ident.split("."))
+
+
+def _clean_orphan_location(spark: SparkSession, identifier: str) -> None:
+    """A table directory left by a previous session (the in-memory catalog
+    forgets tables across sessions; their warehouse dirs persist) blocks
+    saveAsTable with LOCATION_ALREADY_EXISTS — remove it when the catalog
+    has no such table."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    if spark.catalog.tableExists(identifier):
+        return
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme not in ("", "file"):
+        return
+    parts = identifier.split(".")
+    table = parts[-1].lower()
+    db = parts[-2].lower() if len(parts) > 1 else "default"
+    loc = os.path.join(wh.path, f"{db}.db" if db != "default" else "", table)
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def write_table(df: DataFrame, identifier: str, mode: str = "overwrite") -> None:
+    """Eager write — the write boundary forces materialization, matching
+    the reference's eager write_to_* semantics (SURVEY §7 risk note)."""
+    _clean_orphan_location(df.sparkSession, identifier)
+    df.write.mode(mode).format("parquet").saveAsTable(identifier)
+
+
+def replace_relation_atomic(spark: SparkSession, df: DataFrame, identifier: str) -> None:
+    """Temp-table + swap: write to ``<name>__f__<uuid8>``, drop the
+    original, rename — safe when ``df`` reads from ``identifier`` itself
+    (reference: lib.py:286-329 overwrite_target / _replace_relation)."""
+    tmp = f"{identifier}__f__{uuid.uuid4().hex[:8]}"
+    try:
+        df.write.mode("overwrite").format("parquet").saveAsTable(tmp)
+        spark.sql(f"DROP TABLE IF EXISTS {_q(identifier)}")
+        spark.sql(f"ALTER TABLE {_q(tmp)} RENAME TO {_q(identifier)}")
+    except Exception:
+        spark.sql(f"DROP TABLE IF EXISTS {_q(tmp)}")
+        raise
+
+
+def incremental_merge(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    identifier: str,
+    unique_key: str | None,
+) -> None:
+    """Incremental strategies (reference: C5 — append / merge):
+
+    - no unique_key → plain INSERT INTO (append)
+    - unique_key    → upsert: keep old rows whose key is absent from the
+      new batch, union the new batch, swap atomically (the no-Delta MERGE).
+    """
+    if not spark.catalog.tableExists(identifier):
+        write_table(new_rows, identifier, mode="overwrite")
+        return
+    if unique_key is None:
+        new_rows.write.mode("append").format("parquet").insertInto(identifier)
+        return
+    old = spark.table(identifier)
+    keys = [k.strip() for k in unique_key.split(",")]
+    merged = old.join(new_rows.select(*keys).distinct(), on=keys, how="left_anti").unionByName(
+        new_rows.select(*old.columns)
+    )
+    replace_relation_atomic(spark, merged, identifier)
+
+
+def apply_dtype_casts(df: DataFrame, dtype: dict[str, str] | None) -> DataFrame:
+    """User column-type overrides, mirroring the reference's ``dtype=``
+    write option (reference: project.py:757-801) with Spark SQL type
+    strings instead of SQLAlchemy types."""
+    if not dtype:
+        return df
+    cols = [
+        F.col(c).cast(dtype[c]).alias(c) if c in dtype else F.col(c)
+        for c in df.columns
+    ]
+    return df.select(*cols)

@@ -1,0 +1,206 @@
+"""Project loader: dbt-style directory → Manifest.
+
+Layout (a dbt-project-lite, same contract the reference's test projects
+use — reference: projects/adapter/cli_tests/projects/002_jaffle_shop/):
+
+    project_dir/
+      dbt_project.yml        name, model-paths, vars
+      models/**/*.sql        Jinja-SQL models
+      models/**/*.py         Python models (def model(dbt, session))
+      models/**/schema.yml   sources, model configs, columns, tests
+      seeds/*.csv            seed tables
+
+Python-model dependencies are extracted from the AST (literal
+``dbt.ref("x")`` / ``dbt.source("s","t")`` / bare ``ref``/``source``
+calls), mirroring the reference's module_check
+(reference: projects/adapter/src/fal/dbt/cli/model_generator/
+module_check.py:258-320) — but feeding our own DAG directly, with no
+generated SQL stub files.
+"""
+
+from __future__ import annotations
+
+import ast
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+from dbt_fal_spark.project.jinja import extract_dependencies
+from dbt_fal_spark.project.manifest import DbtModel, DbtSource, DbtTest, Manifest
+
+
+def _load_yaml(path: Path) -> dict:
+    with open(path) as f:
+        return yaml.safe_load(f) or {}
+
+
+def extract_python_deps(code: str) -> tuple[list[str], list[tuple[str, str]]]:
+    """Literal ref()/source() calls anywhere in a Python model's AST."""
+    refs: list[str] = []
+    sources: list[tuple[str, str]] = []
+    for node in ast.walk(ast.parse(code)):
+        if not isinstance(node, ast.Call):
+            continue
+        fn = node.func
+        name = None
+        if isinstance(fn, ast.Name):
+            name = fn.id
+        elif isinstance(fn, ast.Attribute):
+            name = fn.attr
+        args = [a.value for a in node.args if isinstance(a, ast.Constant)]
+        if name == "ref" and len(args) >= 1:
+            if args[-1] not in refs:
+                refs.append(args[-1])
+        elif name == "source" and len(args) == 2:
+            if (args[0], args[1]) not in sources:
+                sources.append((args[0], args[1]))
+    return refs, sources
+
+
+def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) -> Manifest:
+    project_dir = Path(project_dir)
+    cfg = _load_yaml(project_dir / "dbt_project.yml") if (project_dir / "dbt_project.yml").exists() else {}
+    name = cfg.get("name", project_dir.name)
+    merged_vars = dict(cfg.get("vars", {}))
+    merged_vars.update(vars or {})
+    manifest = Manifest(project_name=name, project_dir=project_dir, vars=merged_vars)
+
+    model_dirs = [project_dir / p for p in cfg.get("model-paths", ["models"])]
+    seed_dirs = [project_dir / p for p in cfg.get("seed-paths", ["seeds"])]
+
+    # --- schema.yml files: sources + model configs/columns/tests ---
+    model_props: dict[str, dict] = {}
+    for mdir in model_dirs:
+        if not mdir.exists():
+            continue
+        for ypath in sorted(mdir.rglob("*.yml")):
+            doc = _load_yaml(ypath)
+            for src in doc.get("sources", []):
+                for tbl in src.get("tables", []):
+                    uid = f"source.{name}.{src['name']}.{tbl['name']}"
+                    source = DbtSource(
+                        source_name=src["name"],
+                        table_name=tbl["name"],
+                        unique_id=uid,
+                        path=(tbl.get("meta", {}) or {}).get("path") or (src.get("meta", {}) or {}).get("path"),
+                        format=(tbl.get("meta", {}) or {}).get("format", "parquet"),
+                        loaded_at_field=tbl.get("loaded_at_field") or src.get("loaded_at_field"),
+                        freshness=tbl.get("freshness") or src.get("freshness") or {},
+                        meta=tbl.get("meta", {}) or {},
+                    )
+                    manifest.sources[uid] = source
+                    _collect_tests(manifest, name, tbl, model_id=None, source_id=uid)
+            for mod in doc.get("models", []):
+                model_props[mod["name"]] = mod
+
+    # --- seeds: CSV files become table-materialized models with no deps ---
+    for sdir in seed_dirs:
+        if not sdir.exists():
+            continue
+        for csv in sorted(sdir.glob("*.csv")):
+            uid = f"seed.{name}.{csv.stem}"
+            manifest.models[uid] = DbtModel(
+                name=csv.stem,
+                unique_id=uid,
+                path=csv,
+                materialization="seed",
+            )
+
+    # --- SQL + Python models ---
+    for mdir in model_dirs:
+        if not mdir.exists():
+            continue
+        for spath in sorted(mdir.rglob("*.sql")):
+            raw = spath.read_text()
+            refs, sources, config = extract_dependencies(raw)
+            mname = spath.stem
+            props = model_props.get(mname, {})
+            meta = {**(props.get("meta", {}) or {}), **(config.get("meta", {}) or {})}
+            uid = f"model.{name}.{mname}"
+            model = DbtModel(
+                name=mname,
+                unique_id=uid,
+                path=spath,
+                raw_sql=raw,
+                materialization=config.get("materialized", props.get("config", {}).get("materialized", "table")),
+                unique_key=config.get("unique_key"),
+                tags=list(config.get("tags", [])) + list(props.get("tags", [])),
+                meta=meta,
+                columns={c["name"]: c for c in props.get("columns", [])},
+            )
+            model.depends_on = [f"model.{name}.{r}" for r in refs] + [
+                f"source.{name}.{s}.{t}" for (s, t) in sources
+            ]
+            manifest.models[uid] = model
+            _collect_tests(manifest, name, props, model_id=uid, source_id=None)
+        for ppath in sorted(mdir.rglob("*.py")):
+            code = ppath.read_text()
+            refs, sources = extract_python_deps(code)
+            mname = ppath.stem
+            props = model_props.get(mname, {})
+            uid = f"model.{name}.{mname}"
+            model = DbtModel(
+                name=mname,
+                unique_id=uid,
+                path=ppath,
+                python_model=ppath,
+                materialization=props.get("config", {}).get("materialized", "table"),
+                tags=list(props.get("tags", [])),
+                meta=props.get("meta", {}) or {},
+                columns={c["name"]: c for c in props.get("columns", [])},
+            )
+            model.depends_on = [f"model.{name}.{r}" for r in refs] + [
+                f"source.{name}.{s}.{t}" for (s, t) in sources
+            ]
+            manifest.models[uid] = model
+            _collect_tests(manifest, name, props, model_id=uid, source_id=None)
+
+    # seeds referenced by name: fix dangling model.X deps that are seeds
+    seed_names = {m.name: uid for uid, m in manifest.models.items() if m.materialization == "seed"}
+    for model in manifest.models.values():
+        model.depends_on = [
+            f"seed.{name}.{dep.split('.', 2)[2]}"
+            if dep.startswith("model.") and dep.split(".", 2)[2] in seed_names
+            else dep
+            for dep in model.depends_on
+        ]
+
+    # singular tests: tests/*.sql returning violation rows
+    tdir = project_dir / "tests"
+    if tdir.exists():
+        for spath in sorted(tdir.glob("*.sql")):
+            raw = spath.read_text()
+            refs, srcs, _ = extract_dependencies(raw)
+            uid = f"test.{name}.{spath.stem}"
+            t = DbtTest(
+                name=spath.stem,
+                unique_id=uid,
+                test_type="singular",
+                raw_sql=raw,
+            )
+            manifest.tests[uid] = t
+    return manifest
+
+
+def _collect_tests(manifest: Manifest, project: str, props: dict, model_id: str | None, source_id: str | None) -> None:
+    """Generic column tests from a schema.yml node entry
+    (reference contract: 000_fal_run/models/schema.yml:26-40)."""
+    for col in props.get("columns", []):
+        for t in col.get("tests", []):
+            if isinstance(t, str):
+                ttype, params = t, {}
+            else:
+                ttype, params = next(iter(t.items()))
+                if not isinstance(params, dict):
+                    params = {"values": params}
+            owner = model_id or source_id
+            uid = f"test.{project}.{ttype}_{props['name']}_{col['name']}"
+            manifest.tests[uid] = DbtTest(
+                name=f"{ttype}_{props['name']}_{col['name']}",
+                unique_id=uid,
+                test_type=ttype,
+                model_id=owner,
+                column=col["name"],
+                params=params or {},
+            )

@@ -1,0 +1,146 @@
+"""Manifest dataclasses — the project's parsed object model.
+
+Mirrors the reference's node mapping (reference: projects/adapter/src/
+fal/dbt/integration/project.py:93-343 — DbtModel/DbtSource/DbtTest/
+Feature wrap dbt manifest nodes) without dbt: our loader parses the
+project directly and builds these.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+NodeStatus = str  # "pending" | "success" | "error" | "skipped" | "tested"
+
+
+@dataclass
+class Hook:
+    """A pre/post hook or before/after script attached to a model
+    (reference: fal_script.py:43-83 — LocalHook/IsolatedHook)."""
+
+    path: str
+    arguments: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class DbtModel:
+    name: str
+    unique_id: str  # "model.<project>.<name>"
+    path: Path | None = None
+    raw_sql: str | None = None
+    python_model: Path | None = None  # .py model (exclusive with raw_sql)
+    materialization: str = "table"  # table | view | ephemeral | incremental
+    unique_key: str | None = None  # for incremental merge
+    depends_on: list[str] = field(default_factory=list)  # unique_ids
+    tags: list[str] = field(default_factory=list)
+    meta: dict[str, Any] = field(default_factory=dict)
+    columns: dict[str, dict] = field(default_factory=dict)
+    status: NodeStatus = "pending"
+
+    @property
+    def is_incremental(self) -> bool:
+        return self.materialization == "incremental"
+
+    def get_scripts(self, *, before: bool) -> list[str]:
+        """meta.fal.scripts — plain list means after-scripts
+        (reference: project.py:256-308)."""
+        scripts = (self.meta or {}).get("fal", {}).get("scripts", [])
+        if isinstance(scripts, list):
+            return [] if before else list(scripts)
+        key = "before" if before else "after"
+        return list(scripts.get(key, []))
+
+    def get_hooks(self, *, pre: bool) -> list[Hook]:
+        raw = (self.meta or {}).get("fal", {}).get("pre-hook" if pre else "post-hook", [])
+        out = []
+        for h in raw:
+            if isinstance(h, str):
+                out.append(Hook(path=h))
+            else:
+                out.append(Hook(path=h["path"], arguments=h.get("with", {})))
+        return out
+
+
+@dataclass
+class DbtSource:
+    source_name: str
+    table_name: str
+    unique_id: str  # "source.<project>.<source_name>.<table_name>"
+    path: str | None = None  # file path or table identifier
+    format: str = "parquet"
+    loaded_at_field: str | None = None
+    freshness: dict[str, Any] = field(default_factory=dict)
+    meta: dict[str, Any] = field(default_factory=dict)
+    tests: list[DbtTest] = field(default_factory=list)
+
+    @property
+    def name(self) -> str:
+        return f"{self.source_name}.{self.table_name}"
+
+
+@dataclass
+class DbtTest:
+    name: str
+    unique_id: str
+    test_type: str  # not_null | unique | accepted_values | relationships | singular
+    model_id: str | None = None
+    column: str | None = None
+    params: dict[str, Any] = field(default_factory=dict)
+    raw_sql: str | None = None  # singular tests
+    status: NodeStatus = "pending"
+
+
+@dataclass
+class Feature:
+    """Feature-store column metadata
+    (reference: feature_store/feature.py:5-17)."""
+
+    model: str
+    column: str
+    entity_column: str | None = None
+    timestamp_column: str | None = None
+    description: str | None = None
+
+
+@dataclass
+class Manifest:
+    project_name: str
+    project_dir: Path
+    models: dict[str, DbtModel] = field(default_factory=dict)  # by unique_id
+    sources: dict[str, DbtSource] = field(default_factory=dict)
+    tests: dict[str, DbtTest] = field(default_factory=dict)
+    vars: dict[str, Any] = field(default_factory=dict)
+
+    def model_by_name(self, name: str) -> DbtModel:
+        for m in self.models.values():
+            if m.name == name:
+                return m
+        raise KeyError(f"model not found: {name}")
+
+    def source_by_name(self, source_name: str, table_name: str) -> DbtSource:
+        for s in self.sources.values():
+            if s.source_name == source_name and s.table_name == table_name:
+                return s
+        raise KeyError(f"source not found: {source_name}.{table_name}")
+
+    def features(self) -> list[Feature]:
+        """Columns tagged with fal feature metadata
+        (reference: project.py:642-673)."""
+        out = []
+        for m in self.models.values():
+            for col, spec in (m.columns or {}).items():
+                meta = (spec or {}).get("meta", {}).get("fal", {})
+                if "feature" in meta or meta.get("is_feature"):
+                    f = meta.get("feature", {}) if isinstance(meta.get("feature"), dict) else {}
+                    out.append(
+                        Feature(
+                            model=m.name,
+                            column=col,
+                            entity_column=f.get("entity_column"),
+                            timestamp_column=f.get("timestamp_column"),
+                            description=(spec or {}).get("description"),
+                        )
+                    )
+        return out

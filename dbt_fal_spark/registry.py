@@ -50,6 +50,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from dbt_fal_spark.operators import (  # noqa: F401
         dedup,
         multimodal,
+        project_ops,
         relational,
         similarity,
         text,

@@ -1,0 +1,146 @@
+"""Planner unit tests — ported semantics from the reference's planner
+suite (reference: projects/adapter/tests/planner/test_schedule.py,
+tests/graph/test_selectors.py): priority scoring, failure propagation,
+selector operators.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from dbt_fal_spark.plans.node_graph import NodeGraph
+from dbt_fal_spark.plans.schedule import FAILURE, SUCCESS, Scheduler, TaskGroup
+from dbt_fal_spark.plans.selectors import SelectorPlan, select_nodes
+from dbt_fal_spark.project.manifest import DbtModel, Manifest
+
+
+class _NoopTask:
+    def execute(self, context):
+        return SUCCESS
+
+
+def _group(gid, deps=()):
+    return TaskGroup(group_id=gid, task=_NoopTask(), dependencies=list(deps))
+
+
+def _manifest(edges: dict[str, list[str]], tags: dict[str, list[str]] | None = None) -> Manifest:
+    m = Manifest(project_name="t", project_dir=Path("."))
+    for name, deps in edges.items():
+        m.models[f"model.t.{name}"] = DbtModel(
+            name=name,
+            unique_id=f"model.t.{name}",
+            raw_sql="select 1",
+            depends_on=[f"model.t.{d}" for d in deps],
+            tags=(tags or {}).get(name, []),
+        )
+    return m
+
+
+# --- scheduler ---
+
+def test_scheduler_runs_in_dependency_order():
+    a, b, c = _group("a"), None, None
+    b = _group("b", [a])
+    c = _group("c", [b])
+    sched = Scheduler([c, b, a])
+    order = []
+    while not sched.is_done:
+        for g in sched.iter_available_groups():
+            order.append(g.group_id)
+            sched.finish(g, SUCCESS)
+    assert order == ["a", "b", "c"]
+
+
+def test_scheduler_priority_prefers_wider_unblocks():
+    # hub unblocks two groups; leaf unblocks none → hub first
+    hub, leaf = _group("hub"), _group("leaf")
+    d1, d2 = _group("d1", [hub]), _group("d2", [hub])
+    sched = Scheduler([leaf, d1, d2, hub])
+    first = next(iter(sched.iter_available_groups()))
+    assert first.group_id == "hub"
+
+
+def test_scheduler_failure_skips_transitive_dependents():
+    a = _group("a")
+    b = _group("b", [a])
+    c = _group("c", [b])
+    d = _group("d")  # independent
+    sched = Scheduler([a, b, c, d])
+    for g in sched.iter_available_groups():
+        if g.group_id == "a":
+            sched.finish(g, FAILURE)
+        else:
+            sched.finish(g, SUCCESS)
+    while not sched.is_done:
+        for g in sched.iter_available_groups():
+            sched.finish(g, SUCCESS)
+    assert a.status == "failure"
+    assert b.status == "skipped"
+    assert c.status == "skipped"
+    assert d.status == "success"
+
+
+# --- selectors (reference: tests/graph/test_selectors.py semantics) ---
+
+@pytest.fixture
+def diamond_graph():
+    #   a → b → d
+    #   a → c → d → e
+    m = _manifest(
+        {"a": [], "b": ["a"], "c": ["a"], "d": ["b", "c"], "e": ["d"]},
+        tags={"b": ["nightly"], "c": ["nightly"], "e": ["reporting"]},
+    )
+    return NodeGraph.from_manifest(m)
+
+
+def _names(nodes):
+    return {n.split(".")[-1] for n in nodes}
+
+
+def test_select_single(diamond_graph):
+    assert _names(select_nodes(diamond_graph, "d")) == {"d"}
+
+
+def test_select_descendants(diamond_graph):
+    assert _names(select_nodes(diamond_graph, "b+")) == {"b", "d", "e"}
+
+
+def test_select_ancestors(diamond_graph):
+    assert _names(select_nodes(diamond_graph, "+d")) == {"a", "b", "c", "d"}
+
+
+def test_select_level_limited(diamond_graph):
+    assert _names(select_nodes(diamond_graph, "1+d")) == {"b", "c", "d"}
+    assert _names(select_nodes(diamond_graph, "a+1")) == {"a", "b", "c"}
+
+
+def test_select_both_directions(diamond_graph):
+    assert _names(select_nodes(diamond_graph, "+d+")) == {"a", "b", "c", "d", "e"}
+
+
+def test_select_at_operator(diamond_graph):
+    # @b: b + descendants + ancestors of those descendants
+    assert _names(select_nodes(diamond_graph, "@b")) == {"a", "b", "c", "d", "e"}
+
+
+def test_select_tag(diamond_graph):
+    assert _names(select_nodes(diamond_graph, "tag:nightly")) == {"b", "c"}
+
+
+def test_select_union(diamond_graph):
+    assert _names(select_nodes(diamond_graph, "b c")) == {"b", "c"}
+
+
+def test_select_exclude(diamond_graph):
+    assert _names(select_nodes(diamond_graph, "+d", exclude="b")) == {"a", "c", "d"}
+
+
+def test_selector_plan_parse():
+    p = SelectorPlan.parse("2+model+3")
+    assert p.ancestors and p.ancestor_levels == 2
+    assert p.descendants and p.descendant_levels == 3
+    assert p.body == "model"
+    assert SelectorPlan.parse("@m").at_operator
+    assert SelectorPlan.parse("tag:x").is_tag

@@ -1,0 +1,157 @@
+"""End-to-end project runs — the reference's BDD layer
+(SURVEY §5: 'which nodes ran, in what order, with what side effects')
+plus the query-correctness layer it lacks.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from pathlib import Path
+
+import pytest
+
+from dbt_fal_spark.api import FalSpark
+from tests.conftest import SF_DIR
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture(scope="module")
+def jaffle(spark):
+    os.environ["TESTDATA_DIR"] = SF_DIR
+    marker = tempfile.NamedTemporaryFile(mode="r", suffix=".txt", delete=False)
+    os.environ["AUDIT_MARKER_FILE"] = marker.name
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+    fal = FalSpark(FIXTURES / "jaffle_spark", spark=spark)
+    statuses = fal.run(threads=4)
+    yield fal, statuses, marker.name
+    os.unlink(marker.name)
+
+
+def test_all_models_succeed(jaffle):
+    fal, statuses, _ = jaffle
+    assert statuses, "no nodes ran"
+    assert all(s == "success" for s in statuses.values()), statuses
+
+
+def test_customers_matches_oracle(jaffle, oracle):
+    fal, _, _ = jaffle
+    rows = {
+        r["customer_id"]: (r["number_of_orders"], r["customer_lifetime_value"])
+        for r in fal.ref("customers").collect()
+    }
+    exp = {
+        r[0]: (r[1], r[2])
+        for r in oracle.execute(
+            """
+            SELECT c_custkey,
+                   count(o_orderkey),
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+            """
+        ).fetchall()
+    }
+    assert rows == exp
+
+
+def test_python_model_ran(jaffle):
+    fal, _, _ = jaffle
+    seg = {r["segment"]: r["n_customers"] for r in fal.ref("segment_stats").collect()}
+    assert sum(seg.values()) == fal.ref("customers").count()
+
+
+def test_view_model_is_view(jaffle):
+    fal, _, _ = jaffle
+    # views resolve through ref() and honor vars
+    big = fal.ref("big_orders")
+    assert big.count() > 0
+    assert big.filter("order_total <= 100").count() == 0
+
+
+def test_after_script_ran_with_context(jaffle):
+    fal, _, marker = jaffle
+    content = Path(marker).read_text().strip().splitlines()
+    assert any(line.startswith("customers:") for line in content)
+    name, n_rows, status = content[0].split(":")
+    assert int(n_rows) == fal.ref("customers").count()
+
+
+def test_incremental_rerun_is_stable(jaffle):
+    fal, _, _ = jaffle
+    n1 = fal.ref("orders_inc").count()
+    fal.run(select="orders_inc")
+    n2 = fal.ref("orders_inc").count()
+    assert n1 == n2  # no new data → merge adds nothing
+
+
+def test_generic_and_singular_tests_pass(jaffle):
+    fal, _, _ = jaffle
+    results = fal.test()
+    assert results
+    failed = [r for r in results if r["status"] != "tested"]
+    assert not failed, failed
+
+
+def test_source_freshness_statuses(jaffle):
+    fal, _, _ = jaffle
+    res = fal.source_freshness()
+    assert len(res) == 1
+    assert res[0]["source"] == "testdata.events"
+    # events data is from 2024 → older than the 30-day error threshold
+    assert res[0]["status"] == "error"
+
+
+def test_selector_subset_run(spark):
+    os.environ["TESTDATA_DIR"] = SF_DIR
+    fal = FalSpark(FIXTURES / "jaffle_spark", spark=spark)
+    statuses = fal.run(select="+orders_daily")
+    names = {uid.split(".")[-1] for uid in statuses}
+    assert names == {"stg_orders", "orders_daily"}
+
+
+def test_run_results_artifact(jaffle):
+    fal, _, _ = jaffle
+    path = fal.project_dir / "target" / "run_results.json"
+    assert path.exists()
+    import json
+
+    payload = json.loads(path.read_text())
+    assert {r["status"] for r in payload["results"]} == {"success"}
+
+
+def test_list_api(jaffle):
+    fal, _, _ = jaffle
+    models = {m.name for m in fal.list_models()}
+    assert {"customers", "orders_daily", "stg_orders", "segment_stats"} <= models
+    assert {s.name for s in fal.list_sources()} >= {"testdata.orders", "testdata.events"}
+    assert len(fal.list_tests()) >= 4
+    feats = fal.list_features()
+    assert len(feats) == 1 and feats[0].column == "customer_lifetime_value"
+
+
+def test_execute_sql_with_jinja(jaffle):
+    fal, _, _ = jaffle
+    df = fal.execute_sql("select count(*) as n from {{ ref('customers') }}")
+    assert df.collect()[0]["n"] == fal.ref("customers").count()
+
+
+def test_write_to_model_roundtrip(jaffle):
+    fal, _, _ = jaffle
+    df = fal.execute_sql("select customer_id, number_of_orders from {{ ref('customers') }} limit 10")
+    fal.write_to_model(df, "audit_snapshot", mode="overwrite")
+    assert fal.ref("audit_snapshot").count() == 10
+    fal.write_to_model(df, "audit_snapshot", mode="append")
+    assert fal.ref("audit_snapshot").count() == 20
+
+
+def test_failure_propagation(spark):
+    os.environ["TESTDATA_DIR"] = SF_DIR
+    spark.sql("DROP DATABASE IF EXISTS broken_proj CASCADE")
+    fal = FalSpark(FIXTURES / "broken_proj", spark=spark)
+    statuses = fal.run()
+    by_name = {uid.split(".")[-1]: s for uid, s in statuses.items()}
+    assert by_name["ok_orders"] == "success"
+    assert by_name["bad_model"] == "error"
+    assert by_name["downstream_of_bad"] == "skipped"
