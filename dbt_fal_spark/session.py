@@ -19,11 +19,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-_DEFAULTS = {
-    "spark.sql.shuffle.partitions": "32",
-    "spark.sql.adaptive.enabled": "true",
-    "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    "spark.sql.adaptive.skewJoin.enabled": "true",
+_COMMON = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
@@ -34,12 +30,54 @@ _DEFAULTS = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
+# Scale profile: the plans AQE produces are what you want on a cluster
+# reading TBs (runtime coalescing, skew splitting, dynamic broadcast),
+# but its stage-barrier materialization costs ~100ms+ per shuffle — real
+# money on sub-GB inputs. So the session picks a profile from the input
+# footprint (measured, not guessed): small data gets a low-latency plan
+# (no AQE, few shuffle partitions), big data gets the full adaptive
+# machinery with wide shuffles. This mirrors what a production deployment
+# does with --conf per workload class.
+_LATENCY_PROFILE = {
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.shuffle.partitions": "8",
+}
+_SCALE_PROFILE = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.shuffle.partitions": "200",
+}
 
-def get_spark(app_name: str = "dbt_fal_spark", **overrides: str) -> SparkSession:
+_SMALL_INPUT_BYTES = 1 << 30  # 1 GiB
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def pick_profile(sf_dir: str | None = None) -> dict[str, str]:
+    sf_dir = sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        small = _dir_bytes(sf_dir) < _SMALL_INPUT_BYTES
+    except OSError:
+        small = False
+    return dict(_LATENCY_PROFILE if small else _SCALE_PROFILE)
+
+
+def get_spark(app_name: str = "dbt_fal_spark", sf_dir: str | None = None, **overrides: str) -> SparkSession:
     """Build (or fetch) the session. ``overrides`` win over defaults."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
-    conf = dict(_DEFAULTS)
+    conf = dict(_COMMON)
+    conf.update(pick_profile(sf_dir))
     conf.update({k: str(v) for k, v in overrides.items()})
     for k, v in conf.items():
         builder = builder.config(k, v)
