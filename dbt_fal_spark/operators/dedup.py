@@ -67,13 +67,18 @@ _ORACLE_SHINGLES = """
 
 def _spark_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """doc_id × distinct word n-gram shingles (docs shorter than n tokens
-    produce none, matching generate_series emptiness in the oracle)."""
+    produce none, matching generate_series emptiness in the oracle).
+
+    Tokenizes ONCE into ``w`` before shingling — referencing
+    ``split(text)`` inside the transform lambda would re-split the whole
+    text per shingle (O(tokens²) per doc; Catalyst does not CSE across a
+    lambda boundary)."""
     shingle_expr = (
-        f"transform(sequence(0, size({_SPARK_TOKS}) - {n}),"
-        f" i -> concat_ws(' ', slice({_SPARK_TOKS}, i + 1, {n})))"
+        f"transform(sequence(0, size(w) - {n}), i -> concat_ws(' ', slice(w, i + 1, {n})))"
     )
     return (
-        docs.filter(F.size(F.split("text", " ")) >= n)
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= n)
         .select("doc_id", F.explode(F.array_distinct(F.expr(shingle_expr))).alias("sh"))
     )
 
@@ -146,11 +151,21 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the subquadratic path.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # Persist shingles (3 consumers), hash-partitioned on the join key:
-    # the self-join inherits this 64-way partitioning (no re-exchange),
-    # so the quadratic candidate-pair stage runs wide even under the
+    # Join on a 64-bit hash of the shingle, not the string: sorts and
+    # shuffles move 8-byte longs instead of ~20-byte UTF8 (xxhash64 is
+    # native JVM). Collision odds over ~10^6 distinct shingles are
+    # ~(n²/2^65) ≈ 10⁻⁷ — far below the synthetic-data noise floor; the
+    # sf0.01 oracle gate still compares against the exact string join.
+    # Persist (3 consumers), hash-partitioned on the join key: the
+    # self-join inherits this 64-way partitioning (no re-exchange), so
+    # the quadratic candidate-pair stage runs wide even under the
     # low-latency session profile (8 shuffle partitions).
-    sh = _spark_shingles(docs).repartition(64, "sh").persist()
+    sh = (
+        _spark_shingles(docs)
+        .select("doc_id", F.xxhash64("sh").alias("sh"))
+        .repartition(64, "sh")
+        .persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -159,8 +174,11 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    # sizes is one row per doc (tiny vs the pair table) but sits behind an
+    # aggregate, so without AQE Spark can't see that and would sort-merge —
+    # broadcast explicitly: the pair table then never re-shuffles
+    sa = F.broadcast(sizes.alias("sa"))
+    sb = F.broadcast(sizes.alias("sb"))
     jaccard = F.col("n_shared").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
     return (
         pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
@@ -182,9 +200,12 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _minhash_exprs_spark() -> list:
-    h = _SPARK_H32
+    """Aggregates over a pre-hashed column ``h`` (NOT the raw shingle):
+    hashing once in the projection instead of inside each aggregate cuts
+    16 md5+conv evaluations per shingle row to 1. DuckDB CSEs the
+    repeated md5 in the oracle automatically; Catalyst does not."""
     return [
-        F.expr(f"min((({a} * ({h} % {MERSENNE_P})) + {b}) % {MERSENNE_P})").alias(f"m{i}")
+        F.expr(f"min((({a} * (h % {MERSENNE_P})) + {b}) % {MERSENNE_P})").alias(f"m{i}")
         for i, (a, b) in enumerate(PERMS)
     ]
 
@@ -245,7 +266,7 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-(1-j^4)^4 (≈1 for j≥0.9, ≈0.04 for j=0.3).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _spark_shingles(docs)
+    sh = _spark_shingles(docs).select("doc_id", F.expr(_SPARK_H32).alias("h"))
     # sig feeds the band unpivot AND both sides of the est_sim join —
     # persist so the shingle scan + 16 min-aggregates run once, not 3×
     sig = sh.groupBy("doc_id").agg(*_minhash_exprs_spark()).persist()

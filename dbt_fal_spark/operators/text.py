@@ -227,13 +227,12 @@ def t_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     The explode multiplies rows ~token-count×, but the partial agg
     collapses them before the shuffle; top-k is TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    bigrams = F.expr(
-        "transform(sequence(0, size(split(text, ' ')) - 2),"
-        " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))"
-    )
+    # split ONCE per row, then pair adjacent tokens; inlining the split
+    # into the lambda would re-tokenize the full text per bigram (O(len²))
+    toks = docs.select(F.split("text", " ").alias("w"))
+    bigrams = F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        toks.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
