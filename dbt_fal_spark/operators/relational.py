@@ -574,3 +574,261 @@ def q_part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("p_name").alias("name_len"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins, correlated subqueries (TPC-H Q4/Q13/Q16/Q22 shapes)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q04_late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "semi"),
+)
+def q04_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → LEFT SEMI join. The semi join never
+    materializes matched lineitem rows (probe-side short circuit), and the
+    date filter is pushed to the orders parquet scan.
+    Reference delegates EXISTS entirely to the warehouse (SURVEY §2.G)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    window = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    late = window.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+    tags=("join", "outer", "aggregate"),
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join preserving order-less customers,
+    two-level aggregation (per-customer count, then histogram). count(col)
+    skips the NULLs the outer join introduces — the 0-order bucket falls
+    out naturally."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q16_parts_not_recently_shipped",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts, min(p_retailprice) AS min_price
+    FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01')
+    GROUP BY p_brand
+    """,
+    tags=("join", "anti"),
+)
+def q16_parts_not_recently_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts with no shipment since 2001: NOT IN → LEFT ANTI join
+    (l_partkey is never null here, so the null-semantics trap of NOT IN
+    doesn't bite). The shipdate filter pushes to the parquet scan, so the
+    anti join probes a sliver of the fact table."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    recent = li.filter(F.col("l_shipdate") >= "2001-01-01")
+    never = part.join(recent, F.col("p_partkey") == F.col("l_partkey"), "left_anti")
+    return never.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_retailprice").alias("min_price"),
+    )
+
+
+@query(
+    "q22_lapsed_rich_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {o_davg('c_acctbal')} AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS nationkey,
+           count(*) AS numcust,
+           {o_dsum('c.c_acctbal')} AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= DATE '2000-01-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+    tags=("join", "anti", "subquery"),
+)
+def q22_lapsed_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (global avg balance,
+    computed exactly in decimal then divided in double — deterministic in
+    both engines) broadcast into the filter, then NOT EXISTS → LEFT ANTI
+    against orders placed since 2000 (customers gone quiet). The scalar is a 1-row cross join, not a collect() —
+    the whole plan stays lazy/distributed."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(davg("c_acctbal", "a"))
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("a"))
+    recent = orders.filter(F.col("o_orderdate") >= "2000-01-01")
+    lapsed = rich.join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    return lapsed.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum("c_acctbal", "totacctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / CUBE, percentiles, ordered set aggregation, regression
+# ---------------------------------------------------------------------------
+
+@query(
+    "q_cube_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           count(*) AS n_orders,
+           {o_dsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("aggregate", "cube"),
+)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) with GROUPING() markers — all four
+    grouping sets in ONE shuffle (Catalyst expands then partially
+    aggregates map-side). Complements q_region_rollup_revenue (ROLLUP)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    ).select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n_orders", "revenue")
+
+
+@query(
+    "q_quantity_quartiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5) AS median,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "percentile"),
+)
+def q_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`: same linear interpolation on the sorted
+    values; quantities are small integers stored as doubles, so the
+    interpolated midpoints are exact in both engines). At 100 TB swap in
+    approx_percentile (t-digest, single pass, mergeable sketches)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_status_set_per_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           count(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("aggregate", "collect"),
+)
+def q_status_set_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set aggregation into a deterministic (sorted) array — collect_set
+    arrival order differs run to run, so sort_array makes the result
+    reproducible; the oracle sorts its list() the same way."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@query(
+    "q_revenue_trend_by_priority",
+    oracle="""
+    WITH xy AS (
+      SELECT o_orderpriority,
+             CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS y
+      FROM orders
+    ), s AS (
+      SELECT o_orderpriority,
+             count(*) AS n,
+             sum(x) AS sx,
+             sum(x * x) AS sxx,
+             sum(y) AS sy,
+             sum(CAST(x AS DECIMAL(18,0)) * y) AS sxy
+      FROM xy GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_per_day
+    FROM s
+    """,
+    tags=("aggregate", "regression"),
+)
+def q_revenue_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares revenue trend from exact closed-form sums:
+    slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²), every Σ in integer/decimal math
+    so partial aggregation is order-independent, with ONE double division
+    at the end. The distributed-safe version of regr_slope (whose double
+    running sums are shuffle-order-dependent). Mirrors the reference's
+    per-series model-fit workload shape (orders_forecast.py) as pure SQL."""
+    orders = load_table(spark, sf_dir, "orders")
+    xy = orders.select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        money("o_totalprice").alias("y"),
+    )
+    s = xy.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    return s.select("o_orderpriority", "n", slope.alias("slope_per_day"))

@@ -103,3 +103,148 @@ def st_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch tumbling-window oracle (stream/batch unification check)."""
     events = read_events_stream(spark, sf_dir)
     return run_stream_to_completion(hourly_windowed_agg(events))
+
+
+# ---------------------------------------------------------------------------
+# Session windows (built-in) and custom state (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_SEC = 1800  # must match operators/timeseries.py batch twin
+
+
+@query(
+    "st_session_stream",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) >= {SESSION_GAP_SEC}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), sess AS (
+      SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           count(*) AS n_events,
+           {o_dsum('value')} AS session_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session"),
+)
+def st_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap sessionization with the BUILT-IN session_window:
+    windows extend to last_event + gap and merge while they overlap, so
+    an event exactly `gap` after the previous one opens a NEW session —
+    hence the oracle's `>=` (the batch twin e_sessionize uses `>`; the
+    boundary case never fires on this data but the contract is spelled
+    out). State per key is bounded by the watermark; sessions close and
+    leave state as event time passes. The scale path for 100 TB/day
+    clickstreams — no per-user full history is ever held."""
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", f"{SESSION_GAP_SEC} seconds"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return run_stream_to_completion(agg)
+
+
+@query(
+    "st_user_totals_stateful",
+    oracle=f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           {o_dsum('value')} AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def st_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (count, decimal-cents total) kept in GroupState and
+    re-emitted as a cumulative update each microbatch; the drained result
+    takes each user's final update (max n_events), so correctness does
+    not depend on how the source slices microbatches. The template for
+    operators Spark lacks natively (CEP, per-entity model state, custom
+    eviction) — state is per-key and O(1), the 100 TB path.
+
+    Value totals ride as integer cents (round(value*100)) inside state —
+    exact, associative — and divide by 100 in double once at the end,
+    matching the decimal oracle bit-for-bit.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_events_stream(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("cents", T.LongType())]
+    )
+
+    def update_totals(key, pdfs, state: GroupState):
+        # nested helpers only — executors can't import dbt_fal_spark
+        import pandas as pd
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # value is dollars.cents exactly representable ×100 in int64
+            cents += int(round(pdf["value"].mul(100).round().sum())) if len(pdf) else 0
+        state.update((n, cents))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "cents": [cents]})
+
+    updates = (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_totals,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        updates.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = updates.sparkSession
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "cents"), "n_events").alias("s"))
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        (F.col("s.cents").cast("double") / 100.0).alias("total_value"),
+    )
