@@ -65,9 +65,11 @@ _ORACLE_SHINGLES = """
 """
 
 
-def _spark_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+def _spark_shingles(docs: DataFrame, n: int = 3, *, distinct: bool = True) -> DataFrame:
     """doc_id × distinct word n-gram shingles (docs shorter than n tokens
     produce none, matching generate_series emptiness in the oracle).
+    ``distinct=False`` skips the per-doc dedup for consumers whose
+    aggregate is idempotent under duplicates (min-hash).
 
     Tokenizes ONCE into ``w`` before shingling — referencing
     ``split(text)`` inside the transform lambda would re-split the whole
@@ -76,10 +78,11 @@ def _spark_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     shingle_expr = (
         f"transform(sequence(0, size(w) - {n}), i -> concat_ws(' ', slice(w, i + 1, {n})))"
     )
+    arr = F.expr(shingle_expr) if not distinct else F.array_distinct(F.expr(shingle_expr))
     return (
         docs.select("doc_id", F.split("text", " ").alias("w"))
         .filter(F.size("w") >= n)
-        .select("doc_id", F.explode(F.array_distinct(F.expr(shingle_expr))).alias("sh"))
+        .select("doc_id", F.explode(arr).alias("sh"))
     )
 
 
@@ -266,7 +269,9 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-(1-j^4)^4 (≈1 for j≥0.9, ≈0.04 for j=0.3).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _spark_shingles(docs).select("doc_id", F.expr(_SPARK_H32).alias("h"))
+    # distinct=False: duplicate shingles can't change a min() — skip the
+    # per-doc array_distinct entirely
+    sh = _spark_shingles(docs, distinct=False).select("doc_id", F.expr(_SPARK_H32).alias("h"))
     # sig feeds the band unpivot AND both sides of the est_sim join —
     # persist so the shingle scan + 16 min-aggregates run once, not 3×
     sig = sh.groupBy("doc_id").agg(*_minhash_exprs_spark()).persist()
@@ -334,8 +339,10 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("sh"))
     hashed = toks.select("doc_id", F.expr(_SPARK_H32).alias("h"))
+    # ±1 vote as branch-free arithmetic: 2·bit − 1 (same value as the
+    # oracle's CASE, cheaper than 32 conditionals per row in codegen)
     bit_aggs = [
-        F.sum(F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"s{j}")
+        F.sum(F.expr(f"((h >> {j}) & 1) * 2 - 1")).alias(f"s{j}")
         for j in range(32)
     ]
     bits = hashed.groupBy("doc_id").agg(*bit_aggs)

@@ -238,3 +238,69 @@ def t_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@query(
+    "t_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (df.df + 1) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+      ) AS rnk
+      FROM scored
+    ) t
+    WHERE rnk <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by a rational TF-IDF variant:
+    score = tf·(N+1)/(df+1) (a monotone-in-1/df inverse-frequency weight).
+
+    tf and df are integer aggregates (order-independent); tf·(N+1) stays
+    in exact int64 and the score is ONE double division — no float sums
+    and no transcendental calls, so both engines agree bit-for-bit (ln()
+    differs between JVM and C libm in the last ulp, which is why the
+    classic log-idf can't be hash-compared across engines). df rides a broadcast join back onto
+    the per-doc term counts; ties break lexicographically so the top-3 is
+    deterministic. The scale path drops terms with df ≈ N (stopwords)
+    before the join — they can't reach any top-k.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * (F.col("n_docs") + 1)).cast("double") / (F.col("df") + 1)).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wnd = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wnd))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )

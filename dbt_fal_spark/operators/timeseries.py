@@ -292,3 +292,115 @@ def e_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.count(F.lit(1)) / F.countDistinct("user_id")).alias("events_per_user"),
     )
+
+
+@query(
+    "e_rolling_7d_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_idx,
+             min(CAST(o_orderdate AS DATE)) AS day,
+             {o_dsum('o_totalprice')} AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT day, revenue, n_orders,
+           CAST(sum(CAST(revenue AS DECIMAL(18,4))) OVER (
+             ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS revenue_7d,
+           sum(n_orders) OVER (
+             ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS orders_7d
+    FROM daily
+    """,
+    tags=("window", "rolling", "timeseries"),
+)
+def e_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling revenue over a calendar RANGE frame (not ROWS — gaps
+    in the calendar must shrink the window, so the frame is keyed on the
+    integer day index). The daily pre-aggregation collapses the fact
+    table to ~one row per day BEFORE the unpartitioned window, so the
+    single-partition sort sees thousands of rows, not 600 K — at 100 TB
+    the same shape holds (days, not rows, hit the window).
+    Decimal inner sums keep the rolling total order-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("day_idx")
+    ).agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("day"),
+        dsum("o_totalprice", "revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = W.orderBy("day_idx").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "revenue",
+        "n_orders",
+        F.sum(F.col("revenue").cast("decimal(18,4)")).over(w).cast("double").alias("revenue_7d"),
+        F.sum("n_orders").over(w).alias("orders_7d"),
+    )
+
+
+@query(
+    "e_resample_daily_fill",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), grid AS (
+      SELECT day, event_type FROM spine CROSS JOIN types
+    ), daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             count(*) AS n, {o_dsum('value')} AS day_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.day, g.event_type,
+           coalesce(d.n, 0) AS n_events,
+           coalesce(d.day_value, 0.0) AS day_value,
+           last_value(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS day_value_ffill
+    FROM grid g LEFT JOIN daily d ON g.day = d.day AND g.event_type = d.event_type
+    """,
+    tags=("timeseries", "resample"),
+)
+def e_resample_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize an event stream onto a dense daily grid: date spine
+    (sequence → explode) × observed types, left join the daily rollup,
+    zero-fill counts and FORWARD-fill values (last non-null via
+    last_value IGNORE NULLS). The spine is generated, never collected;
+    the fill is one partitioned window — the standard gap-repair step
+    before any rolling/seasonal model at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"), F.max(F.col("ts").cast("date")).alias("hi")
+    )
+    spine = bounds.select(F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"))
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "day_value"))
+    joined = grid.alias("g").join(
+        daily.alias("d"),
+        (F.col("g.day") == F.col("d.day")) & (F.col("g.event_type") == F.col("d.event_type")),
+        "left_outer",
+    )
+    wf = (
+        W.partitionBy("g.event_type")
+        .orderBy("g.day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        F.col("g.day").alias("day"),
+        F.col("g.event_type").alias("event_type"),
+        F.coalesce(F.col("d.n"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("d.day_value"), F.lit(0.0)).alias("day_value"),
+        F.last(F.col("d.day_value"), ignorenulls=True).over(wf).alias("day_value_ffill"),
+    )
