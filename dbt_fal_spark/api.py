@@ -75,6 +75,32 @@ class FalSpark:
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{self.schema}`")
         self._view_models: set[str] = set()  # model names materialized as views
         self.target_dir = self.project_dir / "target"
+        self._reattach_catalog()
+
+    def _reattach_catalog(self) -> None:
+        """Re-register persisted tables after a process restart.
+
+        Spark's default in-memory catalog forgets table registrations when
+        the session ends, but the data stays under spark-warehouse/<schema>.db/.
+        The reference relies on the warehouse being durable between CLI
+        invocations (`fal run` reads the previous `dbt run`'s tables —
+        reference: fal_runner.py:34-76); mirror that by attaching any
+        model directory present on disk as an external parquet table.
+        View/ephemeral models are re-created lazily on first reference
+        (see ``_identifier``) — dbt semantics, where a view is just stored
+        SQL."""
+        wh = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh_path = Path(wh.removeprefix("file:"))
+        db_dir = wh_path / f"{self.schema}.db"
+        for model in self.manifest.models.values():
+            if model.materialization in ("view", "ephemeral"):
+                continue
+            loc = db_dir / model.name
+            identifier = f"{self.schema}.{model.name}"
+            if loc.is_dir() and any(loc.iterdir()) and not self.spark.catalog.tableExists(identifier):
+                self.spark.sql(
+                    f"CREATE TABLE {identifier} USING parquet LOCATION '{loc.resolve()}'"
+                )
 
     # ------------------------------------------------------------------
     # relation resolution
@@ -82,6 +108,24 @@ class FalSpark:
 
     def _identifier(self, model_name: str) -> str:
         if model_name in self._view_models:
+            return f"{self.schema}__{model_name}"
+        try:
+            model = self.manifest.model_by_name(model_name)
+        except KeyError:
+            model = None
+        if model is not None and model.materialization in ("view", "ephemeral"):
+            # a view is stored SQL — re-derive it on first reference in
+            # this process (dbt semantics; upstream views chain lazily
+            # through the ref-resolution this render performs)
+            self._view_models.add(model_name)
+            rendered, _ = render_model_sql(
+                model.raw_sql,
+                resolve_ref=self._resolve_ref,
+                resolve_source=self._resolve_source,
+                this_name=f"{self.schema}__{model_name}",
+                vars=self.manifest.vars,
+            )
+            self.spark.sql(rendered).createOrReplaceTempView(f"{self.schema}__{model_name}")
             return f"{self.schema}__{model_name}"
         return f"{self.schema}.{model_name}"
 
@@ -264,6 +308,48 @@ class FalSpark:
     # ------------------------------------------------------------------
     # tests + freshness
     # ------------------------------------------------------------------
+
+    def run_scripts(
+        self,
+        select: str | list[str] | None = None,
+        exclude: str | list[str] | None = None,
+        *,
+        use_last_run: bool = True,
+        only_scripts: list[str] | None = None,
+    ) -> list[str]:
+        """Post-run scripts mode (reference: `fal run`, fal_runner.py:34-76 +
+        model filter :144-174): run BEFORE/AFTER scripts and hooks around
+        models selected from the last run_results.json (or all models with
+        ``use_last_run=False``, the reference's ``--all``)."""
+        selected = select_nodes(self.graph, select, exclude)
+        if use_last_run:
+            rr = self.target_dir / "run_results.json"
+            if rr.exists():
+                last = {
+                    r["unique_id"]
+                    for r in json.loads(rr.read_text()).get("results", [])
+                    if r.get("status") == "success"
+                }
+                selected &= last
+        ran: list[str] = []
+        context: dict = {"errors": []}
+        for node in self.graph.sort_nodes():
+            if node not in selected or self.graph.node_kind(node) == NodeKind.FAL_SCRIPT:
+                continue
+            model: DbtModel = self.graph.node_attr(node, "model")
+            for before in (True, False):
+                for script in model.get_scripts(before=before):
+                    if only_scripts and script not in only_scripts:
+                        continue
+                    _ScriptTask(self, model, script).execute(context)
+                    ran.append(f"script.{model.name}.{'BEFORE' if before else 'AFTER'}.{script}")
+            for pre in (True, False):
+                for h in model.get_hooks(pre=pre):
+                    if only_scripts and h.path not in only_scripts:
+                        continue
+                    _HookTask(self, model, h.path, h.arguments).execute(context)
+                    ran.append(f"hook.{model.name}.{'PRE' if pre else 'POST'}.{h.path}")
+        return ran
 
     def test(self, select: str | list[str] | None = None) -> list[dict]:
         """Generic + singular tests → violation counts

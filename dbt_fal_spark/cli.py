@@ -1,0 +1,97 @@
+"""Command-line entry point mirroring the reference's CLI verbs.
+
+Reference surface (projects/adapter/src/fal/dbt/cli/cli.py:14-41,
+args.py:205-276):
+- ``fal flow run``  → ``python -m dbt_fal_spark flow run``   (models + scripts/hooks)
+- ``fal run``       → ``python -m dbt_fal_spark run``        (post-run scripts mode,
+  reference: fal_runner.py:34-76 — scripts around models from the last run_results)
+- plus ``test`` and ``source freshness`` verbs (the reference delegates
+  these to dbt; here the engine owns them).
+
+Shared level flags (reference args.py): ``--project-dir``, ``--select``,
+``--exclude``, ``--threads``, ``--vars``; ``run`` adds ``--all`` /
+``--before``/``--after`` script scoping.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dbt_fal_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add_common(sp: argparse.ArgumentParser) -> None:
+        sp.add_argument("--project-dir", default=".", help="dbt-style project directory")
+        sp.add_argument("--select", nargs="*", default=None, help="node selectors (dbt syntax)")
+        sp.add_argument("--exclude", nargs="*", default=None)
+        sp.add_argument("--threads", type=int, default=4)
+        sp.add_argument("--vars", default="{}", help="JSON dict of project vars")
+
+    flow = sub.add_parser("flow", help="flow verbs")
+    flow_sub = flow.add_subparsers(dest="flow_command", required=True)
+    flow_run = flow_sub.add_parser("run", help="run models with their scripts and hooks")
+    add_common(flow_run)
+
+    run = sub.add_parser("run", help="post-run scripts mode (reference: fal run)")
+    add_common(run)
+    run.add_argument("--all", action="store_true", help="ignore last run_results; run for all models")
+    run.add_argument("--scripts", nargs="*", default=None, help="only these script files")
+
+    test = sub.add_parser("test", help="generic + singular tests")
+    add_common(test)
+
+    source = sub.add_parser("source", help="source verbs")
+    source_sub = source.add_subparsers(dest="source_command", required=True)
+    fresh = source_sub.add_parser("freshness", help="compute source freshness")
+    add_common(fresh)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    # import late so `--help` works without a JVM
+    from dbt_fal_spark.api import FalSpark
+
+    fal = FalSpark(args.project_dir, vars=json.loads(args.vars))
+
+    if args.command == "flow":
+        statuses = fal.run(select=args.select, exclude=args.exclude, threads=args.threads)
+        for node, status in sorted(statuses.items()):
+            print(f"{status:8s} {node}")
+        return 0 if all(s == "success" for s in statuses.values()) else 1
+
+    if args.command == "run":
+        ran = fal.run_scripts(
+            select=args.select,
+            exclude=args.exclude,
+            use_last_run=not args.all,
+            only_scripts=args.scripts,
+        )
+        for node in ran:
+            print(f"ran      {node}")
+        return 0
+
+    if args.command == "test":
+        results = fal.test(select=args.select)
+        bad = 0
+        for r in results:
+            status = r["status"]
+            bad += status != "tested"
+            print(f"{status:8s} {r['test']} violations={r.get('violations', '?')}")
+        return 0 if bad == 0 else 1
+
+    if args.command == "source":
+        for r in fal.source_freshness():
+            print(f"{r['status']:6s} {r['source']} age={r['age_sec']:.0f}s")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

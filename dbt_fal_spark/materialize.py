@@ -66,6 +66,10 @@ def replace_relation_atomic(spark: SparkSession, df: DataFrame, identifier: str)
     try:
         df.write.mode("overwrite").format("parquet").saveAsTable(tmp)
         spark.sql(f"DROP TABLE IF EXISTS {_q(identifier)}")
+        # dropping an EXTERNAL table (e.g. one re-attached after a process
+        # restart) leaves its files — clear them or RENAME collides with
+        # LOCATION_ALREADY_EXISTS
+        _clean_orphan_location(spark, identifier)
         spark.sql(f"ALTER TABLE {_q(tmp)} RENAME TO {_q(identifier)}")
     except Exception:
         spark.sql(f"DROP TABLE IF EXISTS {_q(tmp)}")

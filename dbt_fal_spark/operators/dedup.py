@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from dbt_fal_spark.registry import query
@@ -440,4 +440,38 @@ def d_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.mapInPandas(
         pairs_batch,
         schema="vec_a long, vec_b long, label_a long, label_b long, cosine double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-row selection (deterministic dropDuplicates)
+# ---------------------------------------------------------------------------
+
+@query(
+    "d_keep_best_per_key",
+    oracle="""
+    SELECT source, lang, doc_id, n_chars
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY source, lang ORDER BY n_chars DESC, doc_id
+      ) AS rn
+      FROM documents
+    ) t
+    WHERE rn = 1
+    """,
+    tags=("dedup", "canonical"),
+)
+def d_keep_best_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep ONE canonical row per (source, lang): the longest document,
+    doc_id as tiebreak. This is what dropDuplicates should have been —
+    dropDuplicates keeps an arbitrary partition-order-dependent row,
+    which silently changes between runs/cluster sizes; row_number over an
+    explicit total order is reproducible anywhere. One shuffle; at scale
+    prefer max_by-style pre-aggregation when the payload is wide."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source", "lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "lang", "doc_id", "n_chars")
     )

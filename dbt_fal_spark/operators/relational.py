@@ -832,3 +832,58 @@ def q_revenue_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     ).cast("double")
     return s.select("o_orderpriority", "n", slope.alias("slope_per_day"))
+
+
+@query(
+    "q02_min_cost_part_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, min(unit_cost) AS best_cost FROM costs GROUP BY l_partkey
+    )
+    SELECT c.l_partkey AS partkey,
+           min(c.l_suppkey) AS best_suppkey,
+           min(p.p_brand) AS brand,
+           min(c.unit_cost) AS unit_cost
+    FROM costs c
+    JOIN best b ON c.l_partkey = b.l_partkey AND c.unit_cost = b.best_cost
+    JOIN part p ON p.p_partkey = c.l_partkey
+    WHERE p.p_size <= 15
+    GROUP BY c.l_partkey
+    """,
+    tags=("join", "subquery", "argmin"),
+)
+def q02_min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-group argmin via aggregate-then-rejoin (the
+    correlated `= (SELECT min ...)` decorrelated by hand into the form
+    Catalyst executes it as anyway). unit_cost is a single double
+    division per row — no float summation — and ties collapse through
+    min(), so the result is engine-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    costs = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = costs.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    small = part.filter(F.col("p_size") <= 15)
+    return (
+        costs.alias("c")
+        .join(
+            best.alias("b"),
+            (F.col("c.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("c.unit_cost") == F.col("b.best_cost")),
+        )
+        .join(F.broadcast(small).alias("p"), F.col("p.p_partkey") == F.col("c.l_partkey"))
+        .groupBy(F.col("c.l_partkey").alias("partkey"))
+        .agg(
+            F.min("c.l_suppkey").alias("best_suppkey"),
+            F.min("p.p_brand").alias("brand"),
+            F.min("c.unit_cost").alias("unit_cost"),
+        )
+    )

@@ -404,3 +404,48 @@ def e_resample_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("d.day_value"), F.lit(0.0)).alias("day_value"),
         F.last(F.col("d.day_value"), ignorenulls=True).over(wf).alias("day_value_ffill"),
     )
+
+
+@query(
+    "e_sliding_window_traffic",
+    oracle=f"""
+    WITH base AS (
+      SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000) AS slot, event_type, value
+      FROM events
+    ), w0 AS (
+      SELECT slot AS window_start, event_type, count(*) AS n, {o_dsum('value')} AS v
+      FROM base GROUP BY slot, event_type
+    ), w1 AS (
+      SELECT slot - INTERVAL 30 MINUTE AS window_start, event_type, count(*) AS n, {o_dsum('value')} AS v
+      FROM base GROUP BY slot, event_type
+    ), both_halves AS (
+      SELECT * FROM w0 UNION ALL SELECT * FROM w1
+    )
+    SELECT window_start, event_type,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM both_halves
+    GROUP BY window_start, event_type
+    """,
+    tags=("window", "sliding", "events"),
+)
+def e_sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min (each event lands in exactly
+    two windows). Spark's window(ts, '1 hour', '30 minutes') generates
+    the member windows per row and aggregates once; the oracle builds the
+    same answer from two half-hour-offset tumbling rollups merged — a
+    useful identity (hour sliding-by-half = union of shifted halves
+    re-aggregated) that also shows the partial-agg-then-merge shape this
+    compiles to at scale. Decimal at both levels keeps re-aggregation
+    order-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,53 @@
+"""CLI surface tests (reference: projects/adapter/tests/test_cli.py —
+verb/flag parsing — plus the cli_tests behave suites' "models are
+calculated" assertions, here in-process)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dbt_fal_spark.cli import build_parser, main
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "jaffle_spark")
+
+
+def test_parser_flow_run_flags():
+    args = build_parser().parse_args(
+        ["flow", "run", "--project-dir", "p", "--select", "a+", "tag:x", "--exclude", "b", "--threads", "7"]
+    )
+    assert args.command == "flow" and args.flow_command == "run"
+    assert args.select == ["a+", "tag:x"] and args.exclude == ["b"] and args.threads == 7
+
+
+def test_parser_run_scripts_flags():
+    args = build_parser().parse_args(["run", "--all", "--scripts", "s.py"])
+    assert args.command == "run" and args.all and args.scripts == ["s.py"]
+
+
+def test_parser_source_freshness():
+    args = build_parser().parse_args(["source", "freshness"])
+    assert args.command == "source" and args.source_command == "freshness"
+
+
+@pytest.fixture(scope="module")
+def cli_env(spark):
+    os.environ["TESTDATA_DIR"] = os.environ.get(
+        "SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001"
+    )
+    yield
+
+
+def test_cli_flow_run_then_post_run_and_test(cli_env, capsys):
+    assert main(["flow", "run", "--project-dir", FIXTURE]) == 0
+    out = capsys.readouterr().out
+    assert "success  model.jaffle_spark.customers" in out
+    # post-run scripts mode consumes the run_results the flow run wrote
+    assert main(["run", "--project-dir", FIXTURE]) == 0
+    out = capsys.readouterr().out
+    assert "AFTER" in out and "after_audit.py" in out
+    assert main(["test", "--project-dir", FIXTURE]) == 0
+    out = capsys.readouterr().out
+    assert "tested" in out and "error" not in out
+    assert main(["source", "freshness", "--project-dir", FIXTURE]) == 0
