@@ -33,7 +33,7 @@ from dbt_fal_spark.materialize import (
 from dbt_fal_spark.plans.executor import parallel_executor
 from dbt_fal_spark.plans.node_graph import NodeGraph, NodeKind
 from dbt_fal_spark.plans.schedule import FAILURE, SUCCESS, Scheduler, TaskGroup
-from dbt_fal_spark.plans.selectors import select_nodes
+from dbt_fal_spark.plans.selectors import model_checksums, select_nodes
 from dbt_fal_spark.project.jinja import render_model_sql
 from dbt_fal_spark.project.loader import load_project
 from dbt_fal_spark.project.manifest import DbtModel, DbtTest
@@ -251,7 +251,7 @@ class FalSpark:
         exclude: str | list[str] | None = None,
         threads: int = 4,
     ) -> dict[str, str]:
-        selected = select_nodes(self.graph, select, exclude)
+        selected = select_nodes(self.graph, select, exclude, state=self._load_state())
         order = [n for n in self.graph.sort_nodes() if n in selected]
         groups: dict[str, TaskGroup] = {}
         for node in order:
@@ -290,7 +290,23 @@ class FalSpark:
             )
             statuses[node] = model.status
         self._write_run_results(statuses, time.time() - t0, context)
+        self._write_state()
         return statuses
+
+    def _load_state(self) -> dict[str, str]:
+        """Prior name→checksum snapshot for ``state:new/modified`` selectors
+        (reference: `--state` passthrough, args.py:103-105; here the state
+        artifact is written by every run — SURVEY §4 manifest-diff row)."""
+        path = self.target_dir / "manifest_checksums.json"
+        if path.exists():
+            return json.loads(path.read_text())
+        return {}
+
+    def _write_state(self) -> None:
+        self.target_dir.mkdir(exist_ok=True)
+        (self.target_dir / "manifest_checksums.json").write_text(
+            json.dumps(model_checksums(self.manifest), indent=1, sort_keys=True)
+        )
 
     def _write_run_results(self, statuses: dict[str, str], elapsed: float, context: dict) -> None:
         """dbt-format-ish run_results.json (reference: flow_runner.py:86-133)."""
@@ -321,7 +337,7 @@ class FalSpark:
         model filter :144-174): run BEFORE/AFTER scripts and hooks around
         models selected from the last run_results.json (or all models with
         ``use_last_run=False``, the reference's ``--all``)."""
-        selected = select_nodes(self.graph, select, exclude)
+        selected = select_nodes(self.graph, select, exclude, state=self._load_state())
         if use_last_run:
             rr = self.target_dir / "run_results.json"
             if rr.exists():

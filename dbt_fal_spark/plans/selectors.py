@@ -10,17 +10,38 @@ src/fal/dbt/cli/selectors.py:13-65 plan build, :156-226 SelectorPlan,
 - ``@model``          node + descendants + ancestors-of-descendants
 - ``tag:x``           nodes carrying tag x
 - ``script.py``       scripts by file name
+- ``state:modified`` / ``state:new``  models whose checksum changed / that
+  did not exist in the saved state (reference: selectors.py:228-242 routes
+  these to dbt's state machinery; here the state is the checksum snapshot
+  the last run wrote — see ``model_checksums`` / FalSpark ``target/``)
 - space-separated selectors = union; ``--exclude`` subtracts.
 """
 
 from __future__ import annotations
 
+import hashlib
 import re
 from dataclasses import dataclass
 
 from dbt_fal_spark.plans.node_graph import NodeGraph
 
 OP_PLUS_RE = r"(?P<pre_n>\d*)(?P<pre_plus>\+?)(?P<body>[^+]+?)(?P<post_plus>\+?)(?P<post_n>\d*)$"
+
+
+def model_checksum(model) -> str:
+    """Content checksum of a model's definition (SQL or Python source)."""
+    if model.raw_sql is not None:
+        body = model.raw_sql
+    elif model.python_model is not None:
+        body = model.python_model.read_text()
+    else:
+        body = ""
+    return hashlib.md5(body.encode()).hexdigest()
+
+
+def model_checksums(manifest) -> dict[str, str]:
+    """name → checksum for every model, the persistable state snapshot."""
+    return {m.name: model_checksum(m) for m in manifest.models.values()}
 
 
 @dataclass
@@ -32,31 +53,48 @@ class SelectorPlan:
     descendant_levels: int | None = None
     at_operator: bool = False
     is_tag: bool = False
+    is_state: bool = False
 
     @classmethod
     def parse(cls, raw: str) -> "SelectorPlan":
-        if raw.startswith("tag:"):
-            return cls(body=raw[4:], is_tag=True)
         at = raw.startswith("@")
         if at:
             return cls(body=raw[1:], at_operator=True, descendants=True)
         m = re.match(OP_PLUS_RE, raw)
         if not m:
             return cls(body=raw)
-        return cls(
-            body=m.group("body"),
+        body = m.group("body")
+        ops = dict(
             ancestors=bool(m.group("pre_plus")),
             ancestor_levels=int(m.group("pre_n")) if m.group("pre_n") else None,
             descendants=bool(m.group("post_plus")),
             descendant_levels=int(m.group("post_n")) if m.group("post_n") else None,
         )
+        # graph operators compose with prefixed matchers (dbt semantics:
+        # `state:modified+`, `+tag:nightly`)
+        if body.startswith("tag:"):
+            return cls(body=body[4:], is_tag=True, **ops)
+        if body.startswith("state:"):
+            return cls(body=body[6:], is_state=True, **ops)
+        return cls(body=body, **ops)
 
 
-def _match_nodes(graph: NodeGraph, plan: SelectorPlan) -> set[str]:
+def _match_nodes(graph: NodeGraph, plan: SelectorPlan, state: dict[str, str] | None = None) -> set[str]:
     out: set[str] = set()
     for node in graph.graph.nodes:
         attrs = graph.graph.nodes[node]
         model = attrs.get("model")
+        if plan.is_state:
+            if model is None:
+                continue
+            prior = (state or {}).get(model.name)
+            if plan.body == "new":
+                changed = prior is None
+            else:  # "modified" (dbt semantics: new counts as modified)
+                changed = prior is None or prior != model_checksum(model)
+            if changed:
+                out.add(node)
+            continue
         if plan.is_tag:
             if model is not None and plan.body in (model.tags or []):
                 out.add(node)
@@ -76,8 +114,10 @@ def select_nodes(
     graph: NodeGraph,
     select: list[str] | str | None,
     exclude: list[str] | str | None = None,
+    state: dict[str, str] | None = None,
 ) -> set[str]:
-    """Evaluate selectors → node id set. None selects everything."""
+    """Evaluate selectors → node id set. None selects everything.
+    ``state`` is the prior name→checksum snapshot for ``state:`` selectors."""
     if select is None or select == [] or select == "":
         selected = set(graph.graph.nodes)
     else:
@@ -86,7 +126,7 @@ def select_nodes(
         selected = set()
         for raw in select:
             plan = SelectorPlan.parse(raw)
-            base = _match_nodes(graph, plan)
+            base = _match_nodes(graph, plan, state)
             expanded = set(base)
             for node in base:
                 if plan.ancestors:
@@ -103,7 +143,7 @@ def select_nodes(
             exclude = exclude.split()
         for raw in exclude:
             plan = SelectorPlan.parse(raw)
-            base = _match_nodes(graph, plan)
+            base = _match_nodes(graph, plan, state)
             removed = set(base)
             for node in base:
                 if plan.ancestors:

@@ -12,7 +12,7 @@ import pytest
 
 from dbt_fal_spark.plans.node_graph import NodeGraph
 from dbt_fal_spark.plans.schedule import FAILURE, SUCCESS, Scheduler, TaskGroup
-from dbt_fal_spark.plans.selectors import SelectorPlan, select_nodes
+from dbt_fal_spark.plans.selectors import SelectorPlan, model_checksums, select_nodes
 from dbt_fal_spark.project.manifest import DbtModel, Manifest
 
 
@@ -144,3 +144,29 @@ def test_selector_plan_parse():
     assert p.body == "model"
     assert SelectorPlan.parse("@m").at_operator
     assert SelectorPlan.parse("tag:x").is_tag
+
+
+# --- state: selectors (reference: selectors.py:228-242 state routing) ---
+
+def test_select_state_modified_and_new():
+    m = _manifest({"a": [], "b": ["a"], "c": ["b"]})
+    g = NodeGraph.from_manifest(m)
+    state = model_checksums(m)
+    # nothing changed → nothing selected
+    assert select_nodes(g, ["state:modified"], state=state) == set()
+    # edit b → modified picks exactly b; +state:modified adds descendants
+    m.models["model.t.b"].raw_sql = "select 2"
+    assert _names(select_nodes(g, ["state:modified"], state=state)) == {"b"}
+    assert _names(select_nodes(g, ["state:modified+"], state=state)) == {"b", "c"}
+    # b is not NEW (it existed in state)
+    assert select_nodes(g, ["state:new"], state=state) == set()
+    # add a model → new picks it
+    m2 = _manifest({"a": [], "b": ["a"], "c": ["b"], "d": ["c"]})
+    g2 = NodeGraph.from_manifest(m2)
+    assert _names(select_nodes(g2, ["state:new"], state=state)) == {"d"}
+    assert _names(select_nodes(g2, ["state:modified"], state=state)) == {"d"}
+
+
+def test_state_selector_plan_parse():
+    p = SelectorPlan.parse("state:modified")
+    assert p.is_state and p.body == "modified"
