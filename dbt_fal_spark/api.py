@@ -492,12 +492,19 @@ class _ModelTask:
             fal._view_models.add(model.name)
             df.createOrReplaceTempView(fal._identifier(model.name))
         elif mat == "incremental":
-            incremental_merge(spark, df, identifier, model.unique_key)
+            incremental_merge(
+                spark,
+                df,
+                identifier,
+                model.unique_key,
+                strategy=model.incremental_strategy,
+                partition_by=model.partition_by,
+            )
         else:  # table
             if exists:
                 replace_relation_atomic(spark, df, identifier)
             else:
-                write_table(df, identifier, mode="overwrite")
+                write_table(df, identifier, mode="overwrite", partition_by=model.partition_by)
         return SUCCESS
 
     def _run_python_model(self, model: DbtModel) -> int:

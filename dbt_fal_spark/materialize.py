@@ -51,11 +51,18 @@ def _clean_orphan_location(spark: SparkSession, identifier: str) -> None:
         shutil.rmtree(loc, ignore_errors=True)
 
 
-def write_table(df: DataFrame, identifier: str, mode: str = "overwrite") -> None:
+def write_table(
+    df: DataFrame, identifier: str, mode: str = "overwrite", partition_by: str | None = None
+) -> None:
     """Eager write — the write boundary forces materialization, matching
-    the reference's eager write_to_* semantics (SURVEY §7 risk note)."""
+    the reference's eager write_to_* semantics (SURVEY §7 risk note).
+    ``partition_by`` lays the table out hive-partitioned (the 100 TB
+    contract: partition pruning + per-partition overwrite both need it)."""
     _clean_orphan_location(df.sparkSession, identifier)
-    df.write.mode(mode).format("parquet").saveAsTable(identifier)
+    writer = df.write.mode(mode).format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*[c.strip() for c in partition_by.split(",")])
+    writer.saveAsTable(identifier)
 
 
 def replace_relation_atomic(spark: SparkSession, df: DataFrame, identifier: str) -> None:
@@ -81,19 +88,44 @@ def incremental_merge(
     new_rows: DataFrame,
     identifier: str,
     unique_key: str | None,
+    strategy: str | None = None,
+    partition_by: str | None = None,
 ) -> None:
-    """Incremental strategies (reference: C5 — append / merge):
+    """Incremental strategies (reference: C5 — the adapter declares
+    append / delete+insert / merge / insert_overwrite, fal/python/impl.py:
+    256-291; dbt resolves ``get_incremental_{strategy}_sql``):
 
-    - no unique_key → plain INSERT INTO (append)
-    - unique_key    → upsert: keep old rows whose key is absent from the
-      new batch, union the new batch, swap atomically (the no-Delta MERGE).
+    - append            → plain INSERT INTO
+    - merge (default when unique_key is set) → upsert: keep old rows whose
+      key is absent from the new batch, union, swap atomically (the
+      no-Delta MERGE)
+    - insert_overwrite  → dynamic partition overwrite: ONLY the partitions
+      present in the new batch are replaced — the strategy that scales,
+      since a daily 100 TB backfill rewrites one day's partitions, never
+      the table
     """
     if not spark.catalog.tableExists(identifier):
-        write_table(new_rows, identifier, mode="overwrite")
+        write_table(new_rows, identifier, mode="overwrite", partition_by=partition_by)
         return
-    if unique_key is None:
+    strategy = strategy or ("merge" if unique_key else "append")
+    if strategy == "append":
         new_rows.write.mode("append").format("parquet").insertInto(identifier)
         return
+    if strategy == "insert_overwrite":
+        if not partition_by:
+            raise ValueError(f"{identifier}: insert_overwrite requires partition_by")
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            cols = spark.table(identifier).columns  # insertInto is positional
+            new_rows.select(*cols).write.mode("overwrite").insertInto(identifier)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return
+    if strategy != "merge":
+        raise ValueError(f"{identifier}: unknown incremental strategy {strategy!r}")
+    if unique_key is None:
+        raise ValueError(f"{identifier}: merge strategy requires unique_key")
     old = spark.table(identifier)
     keys = [k.strip() for k in unique_key.split(",")]
     merged = old.join(new_rows.select(*keys).distinct(), on=keys, how="left_anti").unionByName(

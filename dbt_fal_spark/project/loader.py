@@ -125,6 +125,8 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
                 raw_sql=raw,
                 materialization=config.get("materialized", props.get("config", {}).get("materialized", "table")),
                 unique_key=config.get("unique_key"),
+                incremental_strategy=config.get("incremental_strategy"),
+                partition_by=config.get("partition_by"),
                 tags=list(config.get("tags", [])) + list(props.get("tags", [])),
                 meta=meta,
                 columns={c["name"]: c for c in props.get("columns", [])},

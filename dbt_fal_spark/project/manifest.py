@@ -33,6 +33,8 @@ class DbtModel:
     python_model: Path | None = None  # .py model (exclusive with raw_sql)
     materialization: str = "table"  # table | view | ephemeral | incremental
     unique_key: str | None = None  # for incremental merge
+    incremental_strategy: str | None = None  # append | merge | insert_overwrite
+    partition_by: str | None = None  # hive partition column(s)
     depends_on: list[str] = field(default_factory=list)  # unique_ids
     tags: list[str] = field(default_factory=list)
     meta: dict[str, Any] = field(default_factory=dict)

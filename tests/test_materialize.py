@@ -1,0 +1,63 @@
+"""Materialization-strategy unit tests (reference: C5 — the adapter
+declares append / merge / insert_overwrite, fal/python/impl.py:256-291)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_fal_spark.materialize import incremental_merge, write_table
+
+SCHEMA = "mat_tests"
+
+
+@pytest.fixture(autouse=True)
+def _db(spark):
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {SCHEMA}")
+    yield
+    spark.sql(f"DROP DATABASE IF EXISTS {SCHEMA} CASCADE")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "day string, k long, v string")
+
+
+def test_insert_overwrite_replaces_only_touched_partitions(spark):
+    t = f"{SCHEMA}.io_target"
+    first = _df(spark, [("d1", 1, "a"), ("d1", 2, "b"), ("d2", 3, "c")])
+    incremental_merge(spark, first, t, None, strategy="insert_overwrite", partition_by="day")
+    # second batch rewrites d2 and adds d3; d1 must survive untouched
+    second = _df(spark, [("d2", 9, "z"), ("d3", 4, "d")])
+    incremental_merge(spark, second, t, None, strategy="insert_overwrite", partition_by="day")
+    got = {(r.day, r.k, r.v) for r in spark.table(t).collect()}
+    assert got == {("d1", 1, "a"), ("d1", 2, "b"), ("d2", 9, "z"), ("d3", 4, "d")}
+
+
+def test_insert_overwrite_requires_partition_by(spark):
+    t = f"{SCHEMA}.io_bad"
+    write_table(_df(spark, [("d1", 1, "a")]), t)
+    with pytest.raises(ValueError, match="insert_overwrite requires partition_by"):
+        incremental_merge(spark, _df(spark, [("d1", 1, "a")]), t, None, strategy="insert_overwrite")
+
+
+def test_append_strategy_keeps_duplicates(spark):
+    t = f"{SCHEMA}.app_target"
+    incremental_merge(spark, _df(spark, [("d1", 1, "a")]), t, None, strategy="append")
+    incremental_merge(spark, _df(spark, [("d1", 1, "a")]), t, None, strategy="append")
+    assert spark.table(t).count() == 2
+
+
+def test_merge_strategy_upserts_by_key(spark):
+    t = f"{SCHEMA}.mrg_target"
+    incremental_merge(spark, _df(spark, [("d1", 1, "a"), ("d1", 2, "b")]), t, "k")
+    incremental_merge(spark, _df(spark, [("d1", 2, "B"), ("d2", 3, "c")]), t, "k")
+    got = {(r.k, r.v) for r in spark.table(t).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_partitioned_table_prunes_on_partition_filter(spark):
+    t = f"{SCHEMA}.pruned"
+    write_table(_df(spark, [("d1", 1, "a"), ("d2", 2, "b")]), t, partition_by="day")
+    plan = spark.table(t).filter(F.col("day") == "d1")._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the scan must carry the partition filter
+    assert "PartitionFilters" in plan and "d1" in plan
