@@ -60,6 +60,7 @@ def main() -> None:
                 specs[name].fn(spark, warm_dir).count()
             except Exception:
                 pass
+        spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in names:
@@ -69,6 +70,12 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         _ = n
+        # operators persist() multi-consumer intermediates for the duration
+        # of their own query; dropping them between queries keeps 39
+        # queries' caches from compounding into executor-memory pressure
+        # (this is bookkeeping, not warm-state reuse — each timing still
+        # includes its own cache build)
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -103,6 +103,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            spark.catalog.clearCache()  # drop per-query persisted intermediates
         t_spark = time.time() - t0
         if spec.oracle is None:
             print(f"NOOR  {name}: rows={len(srows)} cols={scols} ({t_spark:.1f}s) [rows-only check]")
