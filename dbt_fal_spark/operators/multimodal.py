@@ -122,3 +122,56 @@ def m_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(
         decode_batch, schema="doc_id long, n_bytes int, width int, height int, format string"
     )
+
+
+@query(
+    "m_frame_sample",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             unnest(generate_series(0, 3)) AS frame_no
+      FROM documents
+      WHERE octet_length(encode(text)) >= 64
+    )
+    SELECT f.doc_id AS doc_id, f.frame_no AS frame_no,
+           CAST(f.frame_no * floor((f.n_bytes - 16) / 3.0) AS BIGINT) AS byte_offset,
+           -- corpus is ASCII: byte slices == char slices (DuckDB has no
+           -- BLOB substring), same identity m_binary_metadata relies on
+           md5(substring(d.text,
+                         CAST(f.frame_no * floor((f.n_bytes - 16) / 3.0) AS BIGINT) + 1,
+                         16)) AS frame_md5
+    FROM frames f, documents d
+    WHERE f.doc_id = d.doc_id
+    """,
+    tags=("multimodal", "frames"),
+)
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque binary payloads: each blob yields 4
+    evenly-spaced 16-byte 'frames' (offset arithmetic + slice + digest) —
+    one output row per frame. This is the video-keyframe shape: a
+    generator expression (posexplode over computed offsets) fans each
+    blob into frame rows WITHOUT shuffling the blob — the explode happens
+    in the scan stage, and only the 16-byte slices' digests flow on.
+    With a real codec, the slice+md5 becomes decode-at-offset inside the
+    same mapInPandas pattern as m_decode_pipeline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    base = docs.select("doc_id", payload.alias("payload")).filter(
+        F.length(F.col("payload")) >= 64
+    )
+    stride = F.floor((F.length("payload") - 16) / 3.0)
+    with_frames = base.select(
+        "doc_id",
+        "payload",
+        F.posexplode(F.expr("array(0, 1, 2, 3)")).alias("frame_no", "_"),
+    ).select(
+        "doc_id",
+        "frame_no",
+        (F.col("frame_no") * stride).cast("long").alias("byte_offset"),
+        F.md5(
+            F.expr("substring(payload, cast(frame_no * floor((length(payload) - 16) / 3.0) as int) + 1, 16)")
+        ).alias("frame_md5"),
+    )
+    return with_frames

@@ -249,3 +249,130 @@ def s_label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cent.groupBy("label", "n").agg(
         (F.sum(F.col("s") * F.col("s")).cast("double") / (F.col("n") * F.col("n"))).alias("centroid_sq_norm")
     ).select("label", F.col("n").alias("n_vectors"), "centroid_sq_norm")
+
+
+N_PROBE = 2  # IVF probe width
+
+
+@query(
+    "s_knn_ivf",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nrm FROM q
+    ), comp AS (
+      SELECT label, unnest(generate_series(1, {DIM})) AS d, qv FROM q
+    ), cent AS (  -- exact integer centroid numerators: c_l = s_l / n_l
+      SELECT label AS c_label, d, sum(qv[d]) AS s, count(*) AS cnt
+      FROM (SELECT label, d, qv FROM comp) GROUP BY label, d
+    ), cvec AS (
+      SELECT c_label, cnt, list(s ORDER BY d) AS sv FROM cent GROUP BY c_label, cnt
+    ), dist AS (  -- ||x - s/n||^2 = ||x||^2 - 2 x.s/n + ||s||^2/n^2, all terms exact
+      SELECT n.vec_id, n.label, n.qv, n.nrm, c.c_label,
+             CAST(n.nrm AS DOUBLE)
+               - 2.0 * CAST(list_dot_product(n.qv, c.sv) AS DOUBLE) / c.cnt
+               + CAST(list_dot_product(c.sv, c.sv) AS DOUBLE) / (c.cnt * c.cnt) AS d2
+      FROM n CROSS JOIN cvec c
+    ), assign AS (  -- coarse quantization: nearest centroid (min label tiebreak)
+      SELECT vec_id, label, qv, nrm, c_label AS cell
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, c_label) AS rn FROM dist) t
+      WHERE rn = 1
+    ), probes AS (  -- each query probes its N_PROBE nearest cells
+      SELECT vec_id AS query_id, c_label AS cell
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d2, c_label) AS rn FROM dist) t
+      WHERE rn <= {N_PROBE} AND vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, a.label AS neighbor_label, a.cell,
+             CAST(list_dot_product(qq.qv, a.qv) AS DOUBLE) / (sqrt(qq.nrm) * sqrt(a.nrm)) AS cosine
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      JOIN n qq ON qq.vec_id = p.query_id
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cell, cosine, rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    ) t
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "knn", "ivf"),
+)
+def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize every vector to its
+    nearest centroid cell, probe the N_PROBE nearest cells per query,
+    score only inside probed cells. Completes the ANN triad
+    (s_knn_bruteforce = exact baseline, s_knn_lsh_bucketed = hash
+    buckets, here = learned-ish cells): candidates per query drop to
+    ~(probed cells / all cells) of the corpus, and the cell assignment is
+    ONE broadcast join — the structure that scales to billions of
+    vectors with k-means centroids.
+
+    Determinism: centroids stay as exact integer (sum, count) pairs —
+    never a float mean — so every distance term (||x||², x·s/n, ||s||²/n²)
+    is a single double op on exact integers, bit-identical across engines
+    and partition orders. Label groups stand in for k-means cells (the
+    synthetic labels ARE clusters); swapping in Lloyd iterations changes
+    the centroid builder, not the query plan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select("vec_id", "label", F.expr(_SPARK_QVEC).alias("qv")).withColumn(
+        "nrm", F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    )
+    comp = n.select("label", F.posexplode("qv").alias("d", "v"))
+    cent = comp.groupBy("label", "d").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
+    cvec = (
+        cent.groupBy(F.col("label").alias("c_label"), "cnt")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "s"))).alias("ds"))
+        .select("c_label", "cnt", F.expr("transform(ds, x -> x.s)").alias("sv"))
+    )
+    xs = F.expr("aggregate(zip_with(qv, sv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    ss = F.expr("aggregate(zip_with(sv, sv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    dist = n.crossJoin(F.broadcast(cvec)).select(
+        "vec_id",
+        "label",
+        "qv",
+        "nrm",
+        "c_label",
+        (
+            F.col("nrm").cast("double")
+            - 2.0 * xs.cast("double") / F.col("cnt")
+            + ss.cast("double") / (F.col("cnt") * F.col("cnt"))
+        ).alias("d2"),
+    )
+    w_cell = W.partitionBy("vec_id").orderBy("d2", "c_label")
+    ranked = dist.withColumn("rn", F.row_number().over(w_cell))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "label", "qv", "nrm", F.col("c_label").alias("cell")
+    )
+    probes = (
+        ranked.filter((F.col("rn") <= N_PROBE) & (F.col("vec_id") < N_QUERIES))
+        .select(F.col("vec_id").alias("query_id"), F.col("c_label").alias("cell"))
+    )
+    qq = n.select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv"), F.col("nrm").alias("q_nrm")
+    )
+    dot = F.expr("aggregate(zip_with(q_qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    cosine = dot.cast("double") / (F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("nrm")))
+    scored = (
+        F.broadcast(probes.alias("p"))
+        .join(
+            assign.alias("a"),
+            (F.col("p.cell") == F.col("a.cell")) & (F.col("a.vec_id") != F.col("p.query_id")),
+            "inner",
+        )
+        .join(F.broadcast(qq), F.col("q_id") == F.col("p.query_id"))
+        .select(
+            F.col("p.query_id").alias("query_id"),
+            F.col("a.vec_id").alias("neighbor_id"),
+            F.col("a.label").alias("neighbor_label"),
+            F.col("p.cell").alias("cell"),
+            cosine.alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
