@@ -293,6 +293,20 @@ class FalSpark:
         self._write_state()
         return statuses
 
+    def teleport_export(self, name: str, url: str) -> str:
+        """Export a relation to interchange parquet at ``url`` (reference
+        B6/B7: teleport write, fal_experimental/teleport.py:59-74 +
+        teleport_to_external_storage — there a COPY dance per warehouse;
+        here one distributed write, since parquet IS the native format)."""
+        self.spark.table(self._identifier(name)).write.mode("overwrite").parquet(url)
+        return url
+
+    def teleport_import(self, url: str, name: str) -> None:
+        """Import interchange parquet at ``url`` as a model table
+        (reference: teleport read, teleport.py:43-56)."""
+        df = self.spark.read.parquet(url)
+        write_table(df, f"{self.schema}.{name}", mode="overwrite")
+
     def _load_state(self) -> dict[str, str]:
         """Prior name→checksum snapshot for ``state:new/modified`` selectors
         (reference: `--state` passthrough, args.py:103-105; here the state
@@ -582,6 +596,7 @@ class _ScriptTask:
             arguments=self.arguments,
         )
         namespace = {
+            "__file__": str(path),
             "context": script_context,
             "ref": fal.ref,
             "source": fal.source,

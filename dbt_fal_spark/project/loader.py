@@ -83,7 +83,18 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
                         source_name=src["name"],
                         table_name=tbl["name"],
                         unique_id=uid,
-                        path=(tbl.get("meta", {}) or {}).get("path") or (src.get("meta", {}) or {}).get("path"),
+                        # table-level path wins; the source-level path is a
+                        # DIRECTORY prefix, so the fallback joins the table's
+                        # filename — handing a table the bare directory would
+                        # point reads at sibling tables and, worse, let an
+                        # overwrite-mode write_to_source clobber the whole
+                        # source directory
+                        path=(tbl.get("meta", {}) or {}).get("path")
+                        or (
+                            f"{(src.get('meta', {}) or {}).get('path').rstrip('/')}/{tbl['name']}.parquet"
+                            if (src.get("meta", {}) or {}).get("path")
+                            else None
+                        ),
                         format=(tbl.get("meta", {}) or {}).get("format", "parquet"),
                         loaded_at_field=tbl.get("loaded_at_field") or src.get("loaded_at_field"),
                         freshness=tbl.get("freshness") or src.get("freshness") or {},

@@ -170,3 +170,25 @@ def test_select_state_modified_and_new():
 def test_state_selector_plan_parse():
     p = SelectorPlan.parse("state:modified")
     assert p.is_state and p.body == "modified"
+
+
+def test_source_level_path_fallback_joins_table_name(tmp_path):
+    """A table without its own path inherits <source_dir>/<table>.parquet,
+    never the bare directory (regression: an overwrite write_to_source to
+    the bare directory would clobber every sibling table)."""
+    from dbt_fal_spark.project.loader import load_project
+
+    (tmp_path / "models").mkdir()
+    (tmp_path / "dbt_project.yml").write_text("name: t\n")
+    (tmp_path / "models" / "schema.yml").write_text(
+        "sources:\n"
+        "  - name: s\n"
+        "    meta: {path: /data/dir}\n"
+        "    tables:\n"
+        "      - name: bare\n"
+        "      - name: explicit\n"
+        "        meta: {path: /data/elsewhere.parquet}\n"
+    )
+    m = load_project(tmp_path)
+    assert m.source_by_name("s", "bare").path == "/data/dir/bare.parquet"
+    assert m.source_by_name("s", "explicit").path == "/data/elsewhere.parquet"

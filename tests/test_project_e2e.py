@@ -155,3 +155,40 @@ def test_failure_propagation(spark):
     assert by_name["ok_orders"] == "success"
     assert by_name["bad_model"] == "error"
     assert by_name["downstream_of_bad"] == "skipped"
+
+
+def test_pre_hook_receives_with_arguments(jaffle):
+    import json
+    payload = json.loads((FIXTURES / "jaffle_spark" / "target" / "pre_note.json").read_text())
+    assert payload["model"] == "customers"
+    assert payload["arguments"] == {"note": "pre-customers", "threshold": 7}
+
+
+def test_write_to_source_append_and_dtype(jaffle, spark):
+    fal = jaffle[0]
+    base = fal.source("testdata", "customer").limit(3).select("c_custkey", "c_acctbal")
+    n0 = base.count()
+    fal.write_to_source(base, "testdata", "audit_sink", mode="overwrite", dtype={"c_acctbal": "decimal(12,2)"})
+    fal.write_to_source(base, "testdata", "audit_sink", mode="append", dtype={"c_acctbal": "decimal(12,2)"})
+    got = fal.source("testdata", "audit_sink")
+    assert got.count() == 2 * n0
+    assert dict(got.dtypes)["c_acctbal"] == "decimal(12,2)"
+
+
+def test_teleport_roundtrip(jaffle, tmp_path):
+    fal = jaffle[0]
+    url = str(tmp_path / "tele" / "customers.parquet")
+    fal.teleport_export("customers", url)
+    fal.teleport_import(url, "customers_imported")
+    a = fal.ref("customers")
+    b = fal.ref("customers_imported")
+    assert a.count() == b.count() and set(a.columns) == set(b.columns)
+
+
+def test_init_fal_injects_globals(jaffle, spark):
+    from dbt_fal_spark.magics import init_fal
+    ns: dict = {}
+    os.environ.setdefault("TESTDATA_DIR", os.environ.get("TESTDATA_DIR", "/root/testdata/sf0.001"))
+    handle = init_fal(str(FIXTURES / "jaffle_spark"), spark=spark, namespace=ns)
+    assert callable(ns["ref"]) and callable(ns["execute_sql"]) and ns["session"] is spark
+    assert ns["ref"]("customers").count() == handle.ref("customers").count()
