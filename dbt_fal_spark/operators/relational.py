@@ -887,3 +887,69 @@ def q02_min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c.unit_cost").alias("unit_cost"),
         )
     )
+
+
+@query(
+    "q_customer_value_deciles",
+    oracle="""
+    SELECT decile,
+           count(*) AS n_customers,
+           min(c_acctbal) AS min_bal,
+           max(c_acctbal) AS max_bal
+    FROM (
+      SELECT c_acctbal,
+             ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer
+    ) t
+    GROUP BY decile
+    """,
+    tags=("window", "ntile"),
+)
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing via ntile over a TOTAL order (custkey tiebreak —
+    without it ntile's bucket assignment at equal balances would be
+    engine/partition dependent). The unpartitioned window sorts once;
+    at 100 TB swap ntile for approx_percentile boundaries + a broadcast
+    range join, which needs no global sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+@query(
+    "q_order_date_parts",
+    oracle="""
+    SELECT extract(year FROM o_orderdate) AS y,
+           extract(quarter FROM o_orderdate) AS q,
+           extract(month FROM o_orderdate) AS m,
+           count(*) AS n_orders,
+           min(CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)) AS month_end,
+           min(CAST(date_trunc('month', o_orderdate) AS DATE)) AS month_start
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+    tags=("date", "aggregate"),
+)
+def q_order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function surface: extract year/quarter/month, last_day,
+    date_trunc — functions whose semantics agree between engines (unlike
+    dayofweek, whose origin differs: Spark counts Sunday=1, DuckDB
+    Sunday=0 — deliberately excluded from the cross-engine contract)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.month("o_orderdate").cast("long").alias("m"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(F.last_day("o_orderdate")).alias("month_end"),
+        F.min(F.date_trunc("month", "o_orderdate").cast("date")).alias("month_start"),
+    )

@@ -20,6 +20,11 @@ import os
 from pyspark.sql import SparkSession
 
 _COMMON = {
+    # FAIR job scheduling: concurrent model materializations (the
+    # thread-pool executor runs independent DAG branches in parallel)
+    # share cluster slots instead of queueing FIFO behind the widest job.
+    # No-op for a single job at a time.
+    "spark.scheduler.mode": "FAIR",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
