@@ -320,9 +320,20 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the centroid builder, not the query plan.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.select("vec_id", "label", F.expr(_SPARK_QVEC).alias("qv")).withColumn(
-        "nrm", F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    # persist: the quantized corpus feeds four subplans (codebook agg, cell
+    # assignment, probe build) — one scan + quantization instead of four.
+    n = (
+        emb.select("vec_id", "label", F.expr(_SPARK_QVEC).alias("qv"))
+        .withColumn(
+            "nrm", F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+        )
+        .persist()
     )
+    # Codebook build: exact integer (sum-vector, count) per cell, collected to
+    # the driver (k cells × DIM ints — driver-sized BY DESIGN: an IVF coarse
+    # quantizer is always tiny relative to the corpus) and re-embedded as
+    # literal expressions, so cell assignment below is pure map-side compute —
+    # no per-vector shuffle, no recomputation across the assign/probe branches.
     comp = n.select("label", F.posexplode("qv").alias("d", "v"))
     cent = comp.groupBy("label", "d").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
     cvec = (
@@ -330,31 +341,35 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("d", "s"))).alias("ds"))
         .select("c_label", "cnt", F.expr("transform(ds, x -> x.s)").alias("sv"))
     )
-    xs = F.expr("aggregate(zip_with(qv, sv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
-    ss = F.expr("aggregate(zip_with(sv, sv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
-    dist = n.crossJoin(F.broadcast(cvec)).select(
-        "vec_id",
-        "label",
-        "qv",
-        "nrm",
-        "c_label",
-        (
-            F.col("nrm").cast("double")
-            - 2.0 * xs.cast("double") / F.col("cnt")
-            + ss.cast("double") / (F.col("cnt") * F.col("cnt"))
-        ).alias("d2"),
+    codebook = sorted(
+        (r["c_label"], r["cnt"], list(r["sv"])) for r in cvec.collect()
     )
-    w_cell = W.partitionBy("vec_id").orderBy("d2", "c_label")
-    ranked = dist.withColumn("rn", F.row_number().over(w_cell))
-    assign = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "label", "qv", "nrm", F.col("c_label").alias("cell")
+    # d2 = ||x||² - 2·x·s/n + ||s||²/n² — identical arithmetic shape to the
+    # oracle (each term one double op on exact integers → bit-identical).
+    cell_structs = []
+    for c_label, cnt, sv in codebook:
+        ssv = sum(x * x for x in sv)  # exact: python ints
+        arr = ", ".join(str(x) for x in sv)
+        dot = f"aggregate(zip_with(qv, array({arr}), (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+        d2 = (
+            f"cast(nrm as double) - 2.0D * cast({dot} as double) / {cnt}"
+            f" + cast({ssv} as double) / {cnt * cnt}"
+        )
+        cell_structs.append(f"struct({d2} as d2, {c_label}L as c_label)")
+    # array_sort on (d2, c_label) structs == ORDER BY d2, c_label
+    cells_expr = f"array_sort(array({', '.join(cell_structs)}))"
+    withcells = n.withColumn("cells", F.expr(cells_expr))
+    assign = withcells.select(
+        "vec_id", "label", "qv", "nrm", F.expr("cells[0].c_label").alias("cell")
     )
-    probes = (
-        ranked.filter((F.col("rn") <= N_PROBE) & (F.col("vec_id") < N_QUERIES))
-        .select(F.col("vec_id").alias("query_id"), F.col("c_label").alias("cell"))
-    )
-    qq = n.select(
-        F.col("vec_id").alias("q_id"), F.col("qv").alias("q_qv"), F.col("nrm").alias("q_nrm")
+    # probes carry their own query vector — no separate query-side join
+    probes = withcells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode(
+            F.expr(f"transform(slice(cells, 1, {N_PROBE}), x -> x.c_label)")
+        ).alias("cell"),
     )
     dot = F.expr("aggregate(zip_with(q_qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
     cosine = dot.cast("double") / (F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("nrm")))
@@ -365,7 +380,6 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p.cell") == F.col("a.cell")) & (F.col("a.vec_id") != F.col("p.query_id")),
             "inner",
         )
-        .join(F.broadcast(qq), F.col("q_id") == F.col("p.query_id"))
         .select(
             F.col("p.query_id").alias("query_id"),
             F.col("a.vec_id").alias("neighbor_id"),
