@@ -52,6 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         project_ops,
         relational,
+        relational_tpch2,
         similarity,
         text,
         timeseries,
