@@ -475,3 +475,121 @@ def d_keep_best_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("source", "lang", "doc_id", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup connected components (dedup clustering)
+# ---------------------------------------------------------------------------
+
+@query(
+    "d_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE {_ORACLE_SHINGLES},
+    sig AS (
+      SELECT doc_id,
+           {_minhash_exprs_oracle()}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {band} AS band_id, {_band_sig_oracle(band)} AS bsig FROM sig" for band in range(N_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS canonical_id FROM reach GROUP BY src
+    )
+    SELECT doc_id, canonical_id,
+           count(*) OVER (PARTITION BY canonical_id) AS component_size
+    FROM comp
+    """,
+    tags=("dedup", "components", "iterative"),
+)
+def d_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the MinHash-LSH
+    candidate graph, every document labeled with the min doc_id of its
+    component (singletons label themselves). This is the step that turns
+    pairwise near-dup evidence into the keep-one-per-cluster decision of
+    a training-data pipeline.
+
+    Algorithm: iterative min-label propagation — labels start as own id;
+    each round every node takes min(own label, neighbors' labels); stop
+    when a round changes nothing. Rounds = graph diameter (near-dup
+    clusters are shallow; ≤ a handful even at 100 TB). Each round is one
+    shuffle-join + one aggregate over the EDGE list, never the corpus
+    pairs; the per-round `.persist()` + count truncates lineage so round
+    N doesn't recompute rounds 1..N-1. At extreme diameters swap the loop
+    body for the large-star/small-star rounds (Kiveris et al.) — same
+    driver-loop skeleton, fewer rounds. The fixpoint (min reachable id)
+    is unique, so results are independent of execution order — the
+    DuckDB oracle computes it as a recursive-CTE transitive closure.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _spark_shingles(docs, distinct=False).select("doc_id", F.expr(_SPARK_H32).alias("h"))
+    # persist: sig feeds both sides of the band self-join (without it the
+    # whole shingle+minhash pipeline runs once per side)
+    sig = sh.groupBy("doc_id").agg(*_minhash_exprs_spark()).persist()
+    bands = None
+    for band in range(N_BANDS):
+        part = sig.select("doc_id", F.lit(band).alias("band_id"), _band_sig_spark(band).alias("bsig"))
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # symmetrize with ONE explode so cand evaluates once, not per union arm
+    sym = cand.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").persist()
+    sym.count()
+    sig.unpersist()
+
+    labels = docs.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("label")).persist()
+    # Convergence check without a self-join: labels only ever decrease
+    # (min of a set containing the old label), so Σlabel is strictly
+    # monotone until the fixpoint — an unchanged sum IS convergence.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    while True:
+        neighbor = sym.join(labels, sym.dst == labels.id).select(
+            F.col("src").alias("id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(neighbor).groupBy("id").agg(F.min("label").alias("label"))
+        ).persist()
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    sym.unpersist()
+    w = W.partitionBy("canonical_id")
+    return (
+        labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))
+        .withColumn("component_size", F.count(F.lit(1)).over(w))
+    )
