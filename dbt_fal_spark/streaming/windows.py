@@ -248,3 +248,85 @@ def st_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.n_events").alias("n_events"),
         (F.col("s.cents").cast("double") / 100.0).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join and watermarked streaming dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "st_enriched_stream",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS day,
+           c_mktsegment AS segment,
+           count(*) AS n_events,
+           {o_dsum('value')} AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY date_trunc('day', ts), c_mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+def st_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a static customer
+    dimension (re-read and broadcast per microbatch — the standard
+    pattern for slowly-changing dims), then aggregates a daily tumbling
+    window per market segment. Must equal the batch join+rollup oracle.
+
+    At 100 TB/day the static side stays broadcast-sized (it's a
+    dimension); only the windowed agg keeps state, bounded by the
+    watermark to (days retained × segments) groups.
+    """
+    from dbt_fal_spark.sources.readers import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .join(F.broadcast(cust), events.user_id == cust.c_custkey)
+        .groupBy(F.window("ts", "1 day"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            # DuckDB date_trunc('day') yields DATE — match it
+            F.col("window.start").cast("date").alias("day"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_stream_to_completion(agg)
+
+
+@query(
+    "st_dedup_stream",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: dropDuplicates on (user_id, event_type)
+    keeps the first occurrence seen across microbatches (dedup state per
+    key), and the downstream count becomes distinct-users-per-type —
+    deterministic even though WHICH duplicate survives is not, because
+    only the key columns flow on. The oracle is the batch COUNT(DISTINCT).
+
+    With a watermark the dedup state evicts keys older than the horizon
+    (dropDuplicatesWithinWatermark is the at-scale variant when exact
+    cross-time uniqueness isn't required); here the finite drain keeps
+    full state, bounded by |users × types|, not row count.
+    """
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return run_stream_to_completion(agg)
