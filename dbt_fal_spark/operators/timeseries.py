@@ -449,3 +449,107 @@ def e_sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group model fit + forecast (the reference's flagship Python-model shape)
+# ---------------------------------------------------------------------------
+
+FORECAST_H = 7  # days ahead
+_TS_EPOCH = "2024-01-01"
+
+
+@query(
+    "e_forecast_daily_by_type",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(datediff('day', DATE '{_TS_EPOCH}', CAST(ts AS DATE)) AS BIGINT) AS x,
+             sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS y
+      FROM events
+      GROUP BY event_type, CAST(ts AS DATE)
+    ), s AS (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(x * x) AS sxx,
+             sum(y) AS sy, sum(x * y) AS sxy,
+             max(x) AS xmax
+      FROM daily GROUP BY event_type
+    ), fit AS (
+      SELECT event_type, n, sx, sy, xmax,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+      FROM s
+    ), fit2 AS (
+      SELECT event_type, xmax, slope,
+             (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS icept
+      FROM fit
+    )
+    SELECT event_type,
+           DATE '{_TS_EPOCH}' + CAST(xmax + h AS INTEGER) AS forecast_day,
+           (icept + slope * CAST(xmax + h AS DOUBLE)) / CAST(100 AS DOUBLE) AS yhat
+    FROM fit2, (SELECT unnest(generate_series(1, {FORECAST_H})) AS h)
+    """,
+    tags=("timeseries", "forecast", "applyInPandas"),
+)
+def e_forecast_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model fit + horizon forecast via ``applyInPandas`` — the
+    reference's flagship Python-model workload (orders_forecast.py fits
+    Prophet per series on pandas and writes yhat rows; SURVEY §2.G
+    "ML/UDF workloads") re-expressed Spark-first: daily totals are
+    pre-aggregated JVM-side (decimal-exact cents), then each event_type
+    group ships ONE small Arrow batch to a Python worker that fits a
+    least-squares trend and emits {FORECAST_H} forecast rows. Swap the
+    closed form for Prophet/sklearn inside the same UDF — the plan shape
+    (shuffle on group key, per-group fit, tiny fan-out) is unchanged, and
+    is exactly how per-series models scale to millions of series.
+
+    Determinism: the fit consumes exact integer sums (Python bigints ==
+    DuckDB HUGEINT), and slope/intercept/yhat do the identical sequence
+    of double ops as the oracle — bit-identical output.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit(_TS_EPOCH).cast("date"))
+            .cast("long")
+            .alias("x"),
+            (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    horizon = FORECAST_H
+    epoch = _TS_EPOCH
+
+    def fit_forecast(pdf):
+        # nested import/helpers only — executors can't import dbt_fal_spark
+        import datetime as dt
+
+        import pandas as pd
+
+        xs = [int(v) for v in pdf["x"]]
+        ys = [int(v) for v in pdf["y"]]
+        n, sx = len(xs), sum(xs)
+        sxx = sum(v * v for v in xs)
+        sy = sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        xmax = max(xs)
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        icept = (float(sy) - slope * float(sx)) / float(n)
+        base = dt.date.fromisoformat(epoch)
+        rows = []
+        for h in range(1, horizon + 1):
+            x_h = xmax + h
+            rows.append(
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "forecast_day": base + dt.timedelta(days=x_h),
+                    "yhat": (icept + slope * float(x_h)) / 100.0,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return daily.groupBy("event_type").applyInPandas(
+        fit_forecast, schema="event_type string, forecast_day date, yhat double"
+    )
