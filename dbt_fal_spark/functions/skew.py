@@ -43,3 +43,45 @@ def salted_join(
     if broadcast_small:
         replicated = F.broadcast(replicated)
     return salted_big.join(replicated, on=[on, SALT], how=how).drop(SALT)
+
+
+# Registry entry: the salted join as an oracle-checked operator (results
+# must be exactly the plain join's — salting only moves work).
+from pyspark.sql import SparkSession  # noqa: E402
+
+from dbt_fal_spark.functions.numeric import dsum, o_dsum  # noqa: E402
+from dbt_fal_spark.registry import query  # noqa: E402
+from dbt_fal_spark.sources.readers import load_table  # noqa: E402
+
+
+@query(
+    "q_salted_join_supplier_volume",
+    oracle=f"""
+    SELECT s_name,
+           count(*) AS n_items,
+           {o_dsum('l_quantity')} AS total_qty
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+    tags=("join", "skew"),
+)
+def q_salted_join_supplier_volume(spark: SparkSession, sf_dir: str):
+    """Hot-key-proof fact⋈dim join: lineitem joins supplier through
+    ``salted_join`` (8 salts), then aggregates per supplier. The oracle is
+    the PLAIN join — proving salting is result-invariant — while the plan
+    spreads any pathological supplier key over 8 tasks. The random salt
+    never reaches results: it only routes rows, and the aggregate's
+    decimal sums are order-independent.
+    """
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_quantity"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        salted_join(li, supp, on="s_suppkey", salts=8)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity", "total_qty"))
+    )

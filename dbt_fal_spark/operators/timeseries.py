@@ -553,3 +553,58 @@ def e_forecast_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("event_type").applyInPandas(
         fit_forecast, schema="event_type string, forecast_day date, yhat double"
     )
+
+
+@query(
+    "e_anomaly_events",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, event_type, ts,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM events
+    ), s AS (
+      SELECT user_id, count(*) AS n, sum(cents) AS sx,
+             sum(cents * cents) AS sxx
+      FROM c GROUP BY user_id
+    )
+    SELECT event_id, c.user_id, event_type, ts
+    FROM c JOIN s ON c.user_id = s.user_id
+    WHERE n >= 2
+      AND (c.cents * n - sx) * (c.cents * n - sx) > 9 * (n * sxx - sx * sx)
+    """,
+    tags=("timeseries", "anomaly"),
+)
+def e_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 3σ outlier detection (the reference's anomaly-detection
+    example, `examples/anomaly-detection/README.md`, re-expressed as
+    relational algebra instead of a single-node sklearn fit): an event is
+    anomalous when |value − mean_user| > 3·σ_user (population σ).
+
+    The predicate is algebraically cleared of ALL division and sqrt:
+    |v − sx/n| > 3·sqrt((n·sxx − sx²))/n  ⟺  (v·n − sx)² > 9·(n·sxx − sx²),
+    so both engines evaluate pure integer arithmetic on exact cents —
+    zero float sensitivity, and the per-user moments are one partial-agg
+    shuffle (n, Σx, Σx²), then a broadcast-sized stats side joins back to
+    the facts. At 100 TB the stats relation is |users| rows; the fact
+    scan streams once.
+    """
+    events = load_table(spark, sf_dir, "events")
+    c = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
+    )
+    s = c.groupBy(F.col("user_id").alias("su")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+    )
+    dev = F.col("cents") * F.col("n") - F.col("sx")
+    m2 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        c.join(F.broadcast(s), c.user_id == F.col("su"))
+        .filter((F.col("n") >= 2) & (dev * dev > 9 * m2))
+        .select("event_id", "user_id", "event_type", "ts")
+    )

@@ -57,6 +57,7 @@ def all_queries() -> dict[str, QuerySpec]:
         text,
         timeseries,
     )
+    from dbt_fal_spark.functions import skew  # noqa: F401
     from dbt_fal_spark.streaming import windows  # noqa: F401
 
     return dict(_REGISTRY)
