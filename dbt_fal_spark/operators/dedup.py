@@ -569,24 +569,9 @@ def d_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym.count()
     sig.unpersist()
 
-    labels = docs.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("label")).persist()
-    # Convergence check without a self-join: labels only ever decrease
-    # (min of a set containing the old label), so Σlabel is strictly
-    # monotone until the fixpoint — an unchanged sum IS convergence.
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    while True:
-        neighbor = sym.join(labels, sym.dst == labels.id).select(
-            F.col("src").alias("id"), "label"
-        )
-        new_labels = (
-            labels.unionByName(neighbor).groupBy("id").agg(F.min("label").alias("label"))
-        ).persist()
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+    from dbt_fal_spark.functions.graph import min_label_components
+
+    labels = min_label_components(docs.select(F.col("doc_id").alias("id")), sym)
     sym.unpersist()
     w = W.partitionBy("canonical_id")
     return (
