@@ -475,3 +475,33 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(cond).agg(
         dsum(disc_price(), "revenue"), F.count(F.lit(1)).alias("n_rows")
     )
+
+
+@query(
+    "q_customer_value_percentile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS pr,
+           cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS cd
+    FROM customer
+    """,
+    tags=("window", "rank"),
+)
+def q_customer_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per market segment — the relative-rank
+    window family (deciles are covered by q_customer_value_deciles; this
+    is the continuous variant). Both functions are exact rational values
+    ((rank−1)/(n−1), peers/n) computed identically in both engines; the
+    tie-broken ORDER BY makes ranks deterministic. One shuffle on the
+    partition key, rank computed during the partition-local sort.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
