@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -132,11 +133,27 @@ class FalSpark:
     def _resolve_ref(self, name: str) -> str:
         return self._identifier(name)
 
+    @staticmethod
+    def _expand_source_path(raw: str) -> str:
+        """Expand $VARs in a declared source path (the reference allows
+        env_var in source definitions — A/cli_tests/projects/000_fal_run/
+        models/schema.yml:5-8), failing fast with the variable name when
+        one is unset instead of handing Spark a literal ``$VAR`` path."""
+        path = os.path.expandvars(raw)
+        if "$" in path:
+            unset = [tok for tok in re.findall(r"\$\{?(\w+)\}?", path)]
+            raise ValueError(
+                f"source path {raw!r} references unset environment "
+                f"variable(s): {', '.join(sorted(set(unset)))} — export them "
+                "before running (e.g. TESTDATA_DIR=/root/testdata/sf0.001)"
+            )
+        return path
+
     def _resolve_source(self, source_name: str, table_name: str) -> str:
         src = self.manifest.source_by_name(source_name, table_name)
         view = f"src__{source_name}__{table_name}"
         if src.path:
-            path = os.path.expandvars(str(src.path))
+            path = self._expand_source_path(str(src.path))
             if not os.path.isabs(path):
                 path = str(self.project_dir / path)
             reader = self.spark.read
@@ -219,7 +236,7 @@ class FalSpark:
         src = self.manifest.source_by_name(source_name, table_name)
         df = apply_dtype_casts(df, dtype)
         if src.path:
-            path = os.path.expandvars(str(src.path))
+            path = self._expand_source_path(str(src.path))
             if not os.path.isabs(path):
                 path = str(self.project_dir / path)
             df.write.mode(mode).format(src.format if src.format != "csv" else "parquet").save(path)

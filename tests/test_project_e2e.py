@@ -192,3 +192,15 @@ def test_init_fal_injects_globals(jaffle, spark):
     handle = init_fal(str(FIXTURES / "jaffle_spark"), spark=spark, namespace=ns)
     assert callable(ns["ref"]) and callable(ns["execute_sql"]) and ns["session"] is spark
     assert ns["ref"]("customers").count() == handle.ref("customers").count()
+
+
+def test_unset_env_var_in_source_path_fails_fast(jaffle, monkeypatch):
+    """A source path referencing an unset $VAR must raise a clear error
+    naming the variable, not hand Spark a literal '$VAR' path."""
+    import pytest as _pytest
+
+    from dbt_fal_spark.api import FalSpark
+
+    monkeypatch.delenv("TESTDATA_DIR", raising=False)
+    with _pytest.raises(ValueError, match="TESTDATA_DIR"):
+        FalSpark._expand_source_path("$TESTDATA_DIR/orders.parquet")
