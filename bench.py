@@ -63,6 +63,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    jvm_gc = spark.sparkContext._jvm.System.gc
     for name in names:
         fn = specs[name].fn
         # min of two runs: single-run numbers swing ±40% from JVM GC noise
@@ -72,6 +73,10 @@ def main() -> None:
         # each timing still includes its own cache build.
         best = None
         for _ in range(2):
+            # full GC between runs: collection pauses from the PREVIOUS
+            # query's garbage land here instead of inside the timed region
+            # (also lets the ContextCleaner reap dereferenced broadcasts)
+            jvm_gc()
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.count()

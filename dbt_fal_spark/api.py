@@ -69,7 +69,11 @@ class FalSpark:
         schema: str | None = None,
     ) -> None:
         self.project_dir = Path(project_dir)
-        self.spark = spark or get_spark()
+        # FAIR scheduling: the executor runs independent DAG branches
+        # concurrently from threads; FAIR pools keep a wide model from
+        # starving its siblings. (Single-query sessions default to FIFO —
+        # see session.py.)
+        self.spark = spark or get_spark(**{"spark.scheduler.mode": "FAIR"})
         self.manifest = load_project(project_dir, vars=vars)
         self.graph = NodeGraph.from_manifest(self.manifest)
         self.schema = schema or self.manifest.project_name.replace("-", "_")

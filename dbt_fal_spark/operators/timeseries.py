@@ -583,10 +583,12 @@ def e_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     The predicate is algebraically cleared of ALL division and sqrt:
     |v − sx/n| > 3·sqrt((n·sxx − sx²))/n  ⟺  (v·n − sx)² > 9·(n·sxx − sx²),
     so both engines evaluate pure integer arithmetic on exact cents —
-    zero float sensitivity, and the per-user moments are one partial-agg
-    shuffle (n, Σx, Σx²), then a broadcast-sized stats side joins back to
-    the facts. At 100 TB the stats relation is |users| rows; the fact
-    scan streams once.
+    zero float sensitivity. The per-user moments (n, Σx, Σx²) come from
+    an unordered window over user_id: ONE shuffle of the facts, each
+    event compared to its own partition's moments in the same pass — no
+    second stats relation to join back (a groupBy+join would either
+    broadcast |users| rows — not broadcast-sized at 100 TB — or pay a
+    second shuffle).
     """
     events = load_table(spark, sf_dir, "events")
     c = events.select(
@@ -596,15 +598,15 @@ def e_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("cents"),
     )
-    s = c.groupBy(F.col("user_id").alias("su")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("sx"),
-        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
-    )
+    w = W.partitionBy("user_id")
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum("cents").over(w)
+    sxx = F.sum(F.col("cents") * F.col("cents")).over(w)
+    stats = c.select("event_id", "user_id", "event_type", "ts", "cents",
+                     n.alias("n"), sx.alias("sx"), sxx.alias("sxx"))
     dev = F.col("cents") * F.col("n") - F.col("sx")
     m2 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     return (
-        c.join(F.broadcast(s), c.user_id == F.col("su"))
-        .filter((F.col("n") >= 2) & (dev * dev > 9 * m2))
+        stats.filter((F.col("n") >= 2) & (dev * dev > 9 * m2))
         .select("event_id", "user_id", "event_type", "ts")
     )

@@ -34,10 +34,21 @@ TESTDATA_TABLES = (
 # matching DuckDB's own nanos→micros truncation.
 _NANOS_TS_COLS = {"events": ("ts",)}
 
+# Catalog-metadata cache: `spark.read.parquet` re-reads footers and re-infers
+# the schema on every call (~80 ms/table in local mode — a per-query tax a
+# metastore-backed deployment never pays). DataFrames are immutable lazy
+# plans, so one per (session, dir, table) is safe to hand out repeatedly;
+# keyed by applicationId so a restarted session gets fresh scans.
+_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one testdata table (predicate/column pushdown
     stays available because nothing is materialized here)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name in _NANOS_TS_COLS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -45,6 +56,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get(col) == "bigint":
             # integer division: ns values (~1.7e18) exceed double precision
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    _SCAN_CACHE[key] = df
     return df
 
 

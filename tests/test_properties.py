@@ -43,8 +43,14 @@ def test_components_match_networkx(spark, edges):
         edf = spark.createDataFrame(sym, "src long, dst long")
     else:
         edf = spark.createDataFrame([], "src long, dst long")
-    got = {r["id"]: r["label"] for r in min_label_components(nodes, edf).collect()}
-    assert got == expected
+    # threshold=0 forces the distributed iterative path; the default
+    # exercises the driver-local union-find — both must hit the fixpoint
+    for threshold in (0, 500_000):
+        got = {
+            r["id"]: r["label"]
+            for r in min_label_components(nodes, edf, local_threshold=threshold).collect()
+        }
+        assert got == expected
 
 
 join_rows = st.lists(
