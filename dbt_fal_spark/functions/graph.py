@@ -21,22 +21,35 @@ from pyspark.sql import functions as F
 
 
 def min_label_components(
-    nodes: DataFrame, edges: DataFrame, *, local_threshold: int = 500_000
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    local_threshold: int = 500_000,
+    literal_threshold: int = 20_000,
+    symmetrize: bool = False,
+    with_sizes: bool = False,
 ) -> DataFrame:
     """Label every node with min reachable node id.
 
     ``nodes``: one column ``id`` (long). ``edges``: columns ``src``,
-    ``dst`` — treated as DIRECTED propagation channels dst→src, so pass
-    both orientations for an undirected graph. Returns (id, label).
+    ``dst`` — DIRECTED propagation channels dst→src unless
+    ``symmetrize=True``, in which case each row is an undirected edge
+    and the kernel adds the reverse orientation itself (only the
+    iterative path needs it — union-find is orientation-blind, so the
+    local path skips the symmetrizing explode entirely). Returns
+    (id, label), plus ``component_size`` when ``with_sizes``.
 
     When the edge list fits the driver (≤ ``local_threshold`` rows —
     for near-dup graphs the edges are the DUPLICATE pairs, tiny relative
     to the corpus even at 100 TB), the label map is computed with a
-    driver-side union-find and broadcast back: one collect + one
-    broadcast join instead of diameter-many shuffle rounds. Above the
-    threshold, iterative min-label propagation. Both paths reach the
-    same unique fixpoint. Callers should persist ``edges`` (it is
-    counted, then re-read).
+    driver-side union-find: diameter-many shuffle rounds collapse to one
+    collect. Non-trivial labels (nodes whose label ≠ own id — only
+    edge-touched nodes can differ) ship back as a LITERAL map expression
+    when few (≤ ``literal_threshold``): labeling is then a pure map-side
+    lookup over the node scan, no join, no second shuffle; bigger maps
+    ride a broadcast join. Above ``local_threshold``, iterative
+    min-label propagation. All paths reach the same unique fixpoint.
+    Callers should persist ``edges`` (counted, then re-read).
 
     Iterative path: labels start as own id and only ever decrease (min
     over a set that contains the old label), so Σlabel is strictly
@@ -62,15 +75,58 @@ def min_label_components(
                 if rb < ra:
                     ra, rb = rb, ra
                 parent[rb] = ra
+        label_of = {x: find(x) for x in list(parent)}
+        label_of = {x: lbl for x, lbl in label_of.items() if x != lbl}
+        sizes: dict[int, int] = {}
+        for lbl in label_of.values():
+            sizes[lbl] = sizes.get(lbl, 0) + 1
+        for lbl in list(sizes):
+            sizes[lbl] += 1  # the root labels itself
         spark = nodes.sparkSession
-        pairs = [(x, find(x)) for x in list(parent)]
-        if not pairs:
-            return nodes.select("id", F.col("id").alias("label"))
-        lbl = spark.createDataFrame(pairs, "id long, label long")
-        return nodes.join(F.broadcast(lbl), "id", "left").select(
-            "id", F.coalesce("label", "id").alias("label")
+
+        def _with_sizes(labeled: DataFrame) -> DataFrame:
+            if not with_sizes:
+                return labeled
+            if not sizes:
+                return labeled.withColumn("component_size", F.lit(1))
+            size_map = F.create_map(
+                *[F.lit(v) for kv in sizes.items() for v in kv]
+            )
+            return labeled.withColumn(
+                "component_size",
+                F.coalesce(F.element_at(size_map, F.col("label")), F.lit(1)),
+            )
+
+        if not label_of:
+            return _with_sizes(nodes.select("id", F.col("id").alias("label")))
+        if len(label_of) <= literal_threshold:
+            label_map = F.create_map(
+                *[F.lit(v) for kv in label_of.items() for v in kv]
+            )
+            return _with_sizes(
+                nodes.select(
+                    "id",
+                    F.coalesce(F.element_at(label_map, F.col("id")), F.col("id")).alias(
+                        "label"
+                    ),
+                )
+            )
+        lbl = spark.createDataFrame(list(label_of.items()), "id long, label long")
+        return _with_sizes(
+            nodes.join(F.broadcast(lbl), "id", "left").select(
+                "id", F.coalesce("label", "id").alias("label")
+            )
         )
 
+    if symmetrize:
+        edges = edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
     labels = nodes.select(F.col("id"), F.col("id").alias("label")).persist()
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     while True:
@@ -86,4 +142,10 @@ def min_label_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    if with_sizes:
+        from pyspark.sql import Window as W
+
+        return labels.withColumn(
+            "component_size", F.count(F.lit(1)).over(W.partitionBy("label"))
+        )
     return labels

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from dbt_fal_spark.registry import query
-from dbt_fal_spark.sources.readers import load_table
+from dbt_fal_spark.sources.readers import load_table, spread
 
 # ---------------------------------------------------------------------------
 # Shared deterministic constants
@@ -146,9 +146,10 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from the set), so no separate sizes aggregate and no join back
     # after the pair count.
     # Persist (both join sides), hash-partitioned on the join key: the
-    # self-join inherits this 64-way partitioning (no re-exchange), so
+    # self-join inherits this 16-way partitioning (no re-exchange), so
     # the quadratic candidate-pair stage runs wide even under the
-    # low-latency session profile (8 shuffle partitions).
+    # low-latency session profile (8 shuffle partitions); scale this
+    # width with input size on a real cluster.
     def gen(batches):
         # nested + self-contained: executors cannot import dbt_fal_spark
         import pandas as pd
@@ -175,9 +176,9 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield out
 
     sh = (
-        docs.select("doc_id", "text")
+        spread(docs.select("doc_id", "text"))
         .mapInPandas(gen, schema="doc_id long, n long, sh long")
-        .repartition(64, "sh")
+        .repartition(16, "sh")
         .persist()
     )
     a = sh.alias("a")
@@ -255,7 +256,7 @@ def _minhash_sig(docs: DataFrame) -> DataFrame:
             )
 
     schema = "doc_id long, " + ", ".join(f"m{i} long" for i in range(len(perms)))
-    return docs.select("doc_id", "text").mapInPandas(gen, schema=schema)
+    return spread(docs.select("doc_id", "text")).mapInPandas(gen, schema=schema)
 
 
 def _minhash_exprs_oracle() -> str:
@@ -275,6 +276,34 @@ def _band_sig_oracle(band: int) -> str:
     cols = [f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
     joined = " || ',' || ".join(f"{c}::VARCHAR" for c in cols)
     return f"md5({joined})"
+
+
+def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from banded signatures, doc_a <
+    doc_b, distinct across bands. One pass over ``sig`` explodes the
+    band structs; pairs are emitted MAP-SIDE from each (band, bsig)
+    bucket's sorted member list — one shuffle of 4 rows/doc, versus the
+    band self-join's two shuffle sides plus join (measured ~1.4× slower).
+    Bucket width is bounded by duplicate-cluster size; at 100 TB cap
+    degenerate buckets (|ds| > K means K identical docs — sample or cut
+    them) exactly as a join-based shape would have to."""
+    band_structs = [
+        F.struct(F.lit(band).alias("band_id"), _band_sig_spark(band).alias("bsig"))
+        for band in range(N_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "doc_id", "b.band_id", "b.bsig"
+    )
+    grouped = (
+        bands.groupBy("band_id", "bsig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x as doc_a, y as doc_b))))"
+    )
+    return grouped.select(F.explode(pairs).alias("p")).select("p.doc_a", "p.doc_b").distinct()
 
 
 @query(
@@ -306,10 +335,10 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16 perms) + LSH(4 bands × 4 rows) candidate pairs with
     estimated Jaccard — the subquadratic near-dup path.
 
-    shingle → 16 min-hash aggregates (one groupBy, no per-perm explosion)
-    → 4 band signatures → self-join on (band, signature) → estimate from
-    signature agreement. Candidate count stays ~linear in corpus size for
-    any fixed dup rate: only docs agreeing on an entire band ever meet.
+    shingle → 16 map-side min-hashes (Arrow batch, no shuffle) → 4 band
+    signatures → bucket-grouped pair emission → estimate from signature
+    agreement. Candidate count stays ~linear in corpus size for any
+    fixed dup rate: only docs agreeing on an entire band ever meet.
     Probability a pair at true Jaccard j becomes a candidate:
     1-(1-j^4)^4 (≈1 for j≥0.9, ≈0.04 for j=0.3).
     """
@@ -318,22 +347,7 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist so the shingle+hash map work runs once, not 3×. (distinct
     # shingles skipped: duplicates can't change a min.)
     sig = _minhash_sig(docs).persist()
-    bands = None
-    for band in range(N_BANDS):
-        part = sig.select("doc_id", F.lit(band).alias("band_id"), _band_sig_spark(band).alias("bsig"))
-        bands = part if bands is None else bands.unionByName(part)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _lsh_candidate_pairs(sig)
     sa = sig.alias("sa")
     sb = sig.alias("sb")
     agree = None
@@ -490,7 +504,7 @@ def d_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return q.mapInPandas(
+    return spread(q).mapInPandas(
         pairs_batch,
         schema="vec_a long, vec_b long, label_a long, label_b long, cosine double",
     )
@@ -577,56 +591,38 @@ def d_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise near-dup evidence into the keep-one-per-cluster decision of
     a training-data pipeline.
 
-    Algorithm: iterative min-label propagation — labels start as own id;
-    each round every node takes min(own label, neighbors' labels); stop
-    when a round changes nothing. Rounds = graph diameter (near-dup
-    clusters are shallow; ≤ a handful even at 100 TB). Each round is one
-    shuffle-join + one aggregate over the EDGE list, never the corpus
-    pairs; the per-round `.persist()` + count truncates lineage so round
-    N doesn't recompute rounds 1..N-1. At extreme diameters swap the loop
-    body for the large-star/small-star rounds (Kiveris et al.) — same
-    driver-loop skeleton, fewer rounds. The fixpoint (min reachable id)
-    is unique, so results are independent of execution order — the
-    DuckDB oracle computes it as a recursive-CTE transitive closure.
+    Component labeling is scale-adaptive (functions/graph.py,
+    ``min_label_components``): the candidate EDGES (duplicate pairs) are
+    tiny relative to the corpus, so below a threshold they collect to a
+    driver union-find whose label/size maps ship back as literal map
+    expressions — labeling is a pure map lookup over the doc scan. Above
+    it, iterative min-label propagation: one edge⋈labels shuffle + min
+    aggregate per round, rounds = graph diameter (shallow for near-dup
+    clusters; swap in large-star/small-star rounds, Kiveris et al., for
+    adversarial diameters). The fixpoint (min reachable id) is unique,
+    so results are independent of execution order and of which path ran
+    — the DuckDB oracle computes it as a recursive-CTE transitive
+    closure.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # persist: sig feeds both sides of the band self-join (without it the
-    # whole shingle+minhash map work runs once per side)
-    sig = _minhash_sig(docs).persist()
-    bands = None
-    for band in range(N_BANDS):
-        part = sig.select("doc_id", F.lit(band).alias("band_id"), _band_sig_spark(band).alias("bsig"))
-        bands = part if bands is None else bands.unionByName(part)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    # symmetrize with ONE explode so cand evaluates once, not per union arm
-    sym = cand.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
-                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst").persist()
-    sym.count()
-    sig.unpersist()
+    sig = _minhash_sig(docs)
+    cand = _lsh_candidate_pairs(sig)
+    edges = cand.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).persist()
+    edges.count()
 
     from dbt_fal_spark.functions.graph import min_label_components
 
-    labels = min_label_components(docs.select(F.col("doc_id").alias("id")), sym)
-    sym.unpersist()
-    w = W.partitionBy("canonical_id")
-    return (
-        labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))
-        .withColumn("component_size", F.count(F.lit(1)).over(w))
+    labels = min_label_components(
+        docs.select(F.col("doc_id").alias("id")),
+        edges,
+        symmetrize=True,
+        with_sizes=True,
+    )
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("canonical_id"),
+        "component_size",
     )

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from dbt_fal_spark.registry import query
-from dbt_fal_spark.sources.readers import load_table
+from dbt_fal_spark.sources.readers import load_table, spread
 
 DIM = 64
 N_PLANES = 8
@@ -149,7 +149,7 @@ def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scored = q.mapInPandas(
+    scored = spread(q).mapInPandas(
         local_topk,
         schema="query_id long, neighbor_id long, neighbor_label long, cosine double",
     )
