@@ -66,13 +66,14 @@ def main() -> None:
     jvm_gc = spark.sparkContext._jvm.System.gc
     for name in names:
         fn = specs[name].fn
-        # min of two runs: single-run numbers swing ±40% from JVM GC noise
-        # accumulated over a 40+-query session; the min is the steady-state
-        # throughput (what a long-lived engine delivers), which is what the
-        # baseline comparison is about. Caches are cleared between runs, so
-        # each timing still includes its own cache build.
+        # min of three runs: single-run numbers swing ±40% from JVM GC and
+        # host-contention noise accumulated over a 40+-query session; the
+        # min is the steady-state throughput (what a long-lived engine
+        # delivers), which is what the baseline comparison is about.
+        # Caches are cleared between runs, so each timing still includes
+        # its own cache build.
         best = None
-        for _ in range(2):
+        for _ in range(3):
             # full GC between runs: collection pauses from the PREVIOUS
             # query's garbage land here instead of inside the timed region
             # (also lets the ContextCleaner reap dereferenced broadcasts)

@@ -361,6 +361,64 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "d_lsh_levenshtein_refine",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLES},
+    sig AS (
+      SELECT doc_id,
+           {_minhash_exprs_oracle()}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {band} AS band_id, {_band_sig_oracle(band)} AS bsig FROM sig" for band in range(N_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           levenshtein(da.text, db.text) AS edit_dist,
+           CAST(levenshtein(da.text, db.text) AS DOUBLE)
+             / greatest(length(da.text), length(db.text)) AS edit_ratio
+    FROM cand
+    JOIN documents da ON doc_a = da.doc_id
+    JOIN documents db ON doc_b = db.doc_id
+    WHERE CAST(levenshtein(da.text, db.text) AS DOUBLE)
+             / greatest(length(da.text), length(db.text)) <= 0.4
+    """,
+    tags=("dedup", "lsh", "levenshtein"),
+)
+def d_lsh_levenshtein_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate refinement — the verify step every LSH dedup pipeline
+    ends with: probabilistic candidates (MinHash bands) re-checked with
+    EXACT edit distance, keeping pairs whose normalized Levenshtein ≤
+    0.4. The expensive O(len²) DP runs only on the ~linear candidate
+    set, never the corpus square; both engines' levenshtein() is the
+    classic integer DP, so the gate is engine-exact. At 100 TB the text
+    join stays proportional to candidates (broadcast the candidate ids,
+    shuffle only matching docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _minhash_sig(docs)
+    cand = _lsh_candidate_pairs(sig)
+    da = docs.select(F.col("doc_id").alias("da_id"), F.col("text").alias("text_a"))
+    db = docs.select(F.col("doc_id").alias("db_id"), F.col("text").alias("text_b"))
+    lev = F.levenshtein("text_a", "text_b")
+    ratio = lev.cast("double") / F.greatest(F.length("text_a"), F.length("text_b"))
+    return (
+        cand.join(da, F.col("doc_a") == F.col("da_id"))
+        .join(db, F.col("doc_b") == F.col("db_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.alias("edit_dist"),
+            ratio.alias("edit_ratio"),
+        )
+        .filter(F.col("edit_ratio") <= 0.4)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

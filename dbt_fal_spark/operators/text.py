@@ -64,6 +64,55 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer pattern: letter runs, digit runs, or single
+# non-alphanumeric marks — the shape GPT-2-style byte-pair encoders
+# pre-split on. Kept to RE2-safe constructs (no lookaround, no \p
+# classes) so Spark's Java regex and DuckDB's RE2 agree exactly.
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "t_token_bpe",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '{_BPE_PATTERN}') AS bpe,
+             string_split(text, ' ') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           len(bpe) AS n_bpe_tokens,
+           len(list_filter(bpe, t -> t ~ '^[A-Za-z]+$')) AS n_word_tokens,
+           len(list_filter(bpe, t -> t ~ '^[0-9]+$')) AS n_number_tokens,
+           len(bpe) - len(list_filter(bpe, t -> t ~ '^[A-Za-z]+$'))
+                    - len(list_filter(bpe, t -> t ~ '^[0-9]+$')) AS n_mark_tokens,
+           CAST(len(bpe) AS DOUBLE) / len(ws) AS bpe_per_ws_token
+    FROM toks
+    """,
+    tags=("text", "tokenize"),
+)
+def t_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token counting: a GPT-2-ish pre-tokenizer regex (letter
+    runs | digit runs | single marks) instead of whitespace splitting —
+    the token-budget estimate a training-data pipeline actually needs
+    (whitespace counts under-estimate BPE footprint on punctuation-heavy
+    text). Pure codegen'd regexp/array expressions; the real BPE merge
+    table lookup would ride the same plan as a broadcast-joined vocab."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN}', 0)")
+    words = F.expr(r"size(filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0), t -> t rlike '^[A-Za-z]+$'))")
+    nums = F.expr(r"size(filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0), t -> t rlike '^[0-9]+$'))")
+    n_bpe = F.size(bpe)
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        words.alias("n_word_tokens"),
+        nums.alias("n_number_tokens"),
+        (n_bpe - words - nums).alias("n_mark_tokens"),
+        (n_bpe.cast("double") / F.size(F.split("text", " "))).alias("bpe_per_ws_token"),
+    )
+
+
 @query(
     "t_quality_score",
     oracle=f"""
@@ -178,6 +227,104 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint") % 1024).alias("fp_bucket"),
         F.md5(F.lower(F.replace(F.col("text"), F.lit(" "), F.lit("")))).alias("fp_normalized"),
     )
+
+
+_RK_K = 8  # rolling-hash window (chars)
+_RK_B = 257  # polynomial base
+_RK_M = 2147483647  # 2^31 - 1
+_RK_SAMPLE = 64  # MOSS-style sampling: keep hashes ≡ 0 (mod 64)
+
+
+def _rk_horner_oracle() -> str:
+    """Unrolled Horner rolling hash of the k chars at window i, mod each
+    step so every intermediate stays < M·B + 255 (exact in int64)."""
+    expr = "0::BIGINT"
+    for j in range(_RK_K):
+        expr = f"(({expr}) * {_RK_B} + ascii(substr(text, i + {j}, 1))) % {_RK_M}"
+    return expr
+
+
+@query(
+    "t_rolling_fingerprint",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, length(text) - {_RK_K - 1}),
+               i -> {_rk_horner_oracle()}
+             ) AS rk
+      FROM documents
+      WHERE length(text) >= {_RK_K}
+    )
+    SELECT doc_id,
+           len(rk) AS n_windows,
+           list_min(rk) AS min_rk,
+           len(list_distinct(rk)) AS n_distinct_rk,
+           len(list_filter(rk, x -> x % {_RK_SAMPLE} = 0)) AS n_sampled
+    FROM h
+    """,
+    tags=("text", "fingerprint", "rolling-hash"),
+)
+def t_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp–Rabin rolling-hash fingerprints per document: every length-8
+    char window hashed with a mod-each-step Horner polynomial, reduced to
+    the MOSS-style signature stats (min hash, distinct count, and the
+    0-mod-64 sample count a winnowing dedup would retain). The hash walk
+    runs as one Arrow-batched ``mapInPandas`` stage — vectorized Horner:
+    k passes over the char-code array per doc, each pass updating every
+    window position at once — because per-window substring expressions
+    would be O(len·k) interpreted calls per row in either engine's
+    expression layer. Exactness: intermediates stay < M·B + 255 ≈ 5.5e11
+    (int64-exact), and ord() == DuckDB's ascii() on every code point.
+    Zero shuffles: signatures stream out of the scan at any corpus size.
+    """
+    k, base, mod, sample = _RK_K, _RK_B, _RK_M, _RK_SAMPLE
+
+    def gen(batches):
+        # nested + self-contained: executors cannot import dbt_fal_spark
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nw, mn, nd, ns = [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                if n < k:
+                    continue
+                codes = np.fromiter((ord(c) for c in text), dtype=np.int64, count=n)
+                n_win = n - k + 1
+                h = np.zeros(n_win, dtype=np.int64)
+                for j in range(k):
+                    h = (h * base + codes[j : j + n_win]) % mod
+                ids.append(doc_id)
+                nw.append(n_win)
+                mn.append(int(h.min()))
+                nd.append(len(np.unique(h)))
+                ns.append(int((h % sample == 0).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_windows": pd.Series(nw, dtype="int64"),
+                    "min_rk": pd.Series(mn, dtype="int64"),
+                    "n_distinct_rk": pd.Series(nd, dtype="int64"),
+                    "n_sampled": pd.Series(ns, dtype="int64"),
+                }
+            )
+
+    from dbt_fal_spark.sources.readers import spread
+
+    return spread(docs_narrow(spark, sf_dir)).mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, n_windows long, min_rk long, "
+            "n_distinct_rk long, n_sampled long"
+        ),
+    )
+
+
+def docs_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) projection of the documents table."""
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
 
 @query(

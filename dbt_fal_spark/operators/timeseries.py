@@ -295,6 +295,71 @@ def e_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('week', CAST(ts AS DATE))) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week,
+                            date_trunc('week', CAST(e.ts AS DATE))) AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ), cohort_sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size
+      FROM firsts GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_offset,
+           count(*) AS active_users,
+           s.cohort_size,
+           CAST(count(*) AS DOUBLE) / s.cohort_size AS retention
+    FROM activity a
+    JOIN cohort_sizes s ON a.cohort_week = s.cohort_week
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    """,
+    tags=("retention", "cohort", "events"),
+)
+def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the canonical product-analytics rollup:
+    users grouped by first-activity week, retention = share of the
+    cohort active k weeks later. Two aggregations over user_id (firsts,
+    then distinct (user, offset)) share one shuffle key; cohort sizes are
+    dimension-sized and broadcast back. At 100 TB the distinct is the
+    heavy stage — it shuffles (user, week) pairs, bounded by users ×
+    active-weeks, never raw events (map-side partial distinct collapses
+    each user's events per week before the exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    week = F.date_trunc("week", day).cast("date")
+    firsts = (
+        ev.groupBy("user_id").agg(F.min(F.date_trunc("week", F.col("ts").cast("date")).cast("date")).alias("cohort_week"))
+    )
+    activity = (
+        ev.select("user_id", week.alias("week"))
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            (F.col("active_users").cast("double") / F.col("cohort_size")).alias("retention"),
+        )
+    )
+
+
+@query(
     "e_rolling_7d_revenue",
     oracle=f"""
     WITH daily AS (

@@ -47,6 +47,11 @@ _COMMON = {
 # does with --conf per workload class.
 _LATENCY_PROFILE = {
     "spark.sql.adaptive.enabled": "false",
+    # 8 post-shuffle partitions: sub-GB inputs leave reduce stages task-
+    # overhead-bound, but narrower (4) measured WORSE on the full suite —
+    # the Arrow-stage queries lose reduce width after their 8-wide Python
+    # stages. Operators that need wider reduce stages repartition
+    # explicitly (e.g. the jaccard self-join).
     "spark.sql.shuffle.partitions": "8",
 }
 _SCALE_PROFILE = {
