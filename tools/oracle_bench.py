@@ -1,0 +1,90 @@
+"""Time the DuckDB oracle SQL for the bench query set — the BASELINE
+comparator (BASELINE.md: the 2× bound is against the DuckDB-oracle
+timing of the same query set at the same scale factor on the same
+machine). Mirrors bench.py's protocol: same query list, min-of-3 per
+query, all cores, warm connection.
+
+Usage: python tools/oracle_bench.py [sf_dir]  → one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from dbt_fal_spark.registry import all_queries  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# keep in sync with bench.py
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_topk_order_revenue",
+    "q05_region_nation_revenue",
+    "q06_filtered_revenue",
+    "q_orders_daily_pivot",
+    "q_customer_order_stats",
+    "q_topk_orders_per_segment",
+    "q_customer_running_total",
+    "q_priority_distinct_customers",
+    "q_region_rollup_revenue",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    specs = all_queries()
+    names = [n for n in HEADLINE if n in specs]
+    for name in sorted(specs):
+        if name not in names and any(
+            name.startswith(p) for p in ("d_", "s_", "t_", "e_", "m_")
+        ):
+            names.append(name)
+    timings = {}
+    skipped = []
+    for name in names:
+        spec = specs[name]
+        if not spec.oracle:
+            skipped.append(name)
+            continue
+        con.execute(spec.oracle).fetchall()  # warm
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(spec.oracle).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "oracle_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "skipped_no_oracle": skipped,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
