@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_fal_spark.registry import query
-from dbt_fal_spark.sources.readers import load_table
+from dbt_fal_spark.sources.readers import load_table, spread
 
 # Stopword markers per language for the naive lang-ID scorer. Determinism,
 # not accuracy, is the contract (the synthetic corpus shares one vocabulary).
@@ -311,8 +311,6 @@ def t_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    from dbt_fal_spark.sources.readers import spread
-
     return spread(docs_narrow(spark, sf_dir)).mapInPandas(
         gen,
         schema=(
@@ -375,8 +373,10 @@ def t_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses them before the shuffle; top-k is TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
     # split ONCE per row, then pair adjacent tokens; inlining the split
-    # into the lambda would re-tokenize the full text per bigram (O(len²))
-    toks = docs.select(F.split("text", " ").alias("w"))
+    # into the lambda would re-tokenize the full text per bigram (O(len²)).
+    # spread: the explode + map-side partial agg is the heavy stage and
+    # would otherwise run on the single scan task of a small file.
+    toks = spread(docs.select("text")).select(F.split("text", " ").alias("w"))
     bigrams = F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
     return (
         toks.select(F.explode(bigrams).alias("bigram"))
