@@ -301,6 +301,78 @@ def st_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_interval_join_stream",
+    oracle="""
+    SELECT p.user_id,
+           count(*) AS n_pairs,
+           count(DISTINCT p.event_id) AS n_attributed_purchases
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts <= p.ts
+    GROUP BY p.user_id
+    """,
+    tags=("streaming", "join", "interval"),
+)
+def st_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: purchases join clicks of the same
+    user within the preceding 30 minutes — click-to-purchase attribution
+    as both sides flow. Watermarks on BOTH sides plus the time-range
+    predicate are what make the state finite: each side buffers only rows
+    inside (watermark − range), so at 100 TB/day the join state is the
+    30-minute window's traffic, never history. The joined pairs drain in
+    append mode; the per-user rollup happens on the materialized result
+    (chaining a second stateful aggregate after a stream-stream join is
+    the documented restriction this sidesteps). Must equal the batch
+    self-join oracle."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    pairs = purchases.join(
+        clicks,
+        F.expr(
+            "p_user_id = c_user_id"
+            " AND c_ts >= p_ts - INTERVAL 30 minutes"
+            " AND c_ts <= p_ts"
+        ),
+    )
+    name = f"ivjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table(name)
+    return drained.groupBy(F.col("p_user_id").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("p_event_id").alias("n_attributed_purchases"),
+    )
+
+
+@query(
     "st_dedup_stream",
     oracle="""
     SELECT event_type, count(DISTINCT user_id) AS n_users

@@ -204,3 +204,37 @@ def test_unset_env_var_in_source_path_fails_fast(jaffle, monkeypatch):
     monkeypatch.delenv("TESTDATA_DIR", raising=False)
     with _pytest.raises(ValueError, match="TESTDATA_DIR"):
         FalSpark._expand_source_path("$TESTDATA_DIR/orders.parquet")
+
+
+def test_json_source_reads_via_generic_format(spark, tmp_path):
+    """A source declared with format: json flows through the generic
+    `reader.format(...).load(...)` path — any Spark-supported format
+    (json/orc/text) works without a dedicated branch."""
+    import json as _json
+
+    proj = tmp_path / "jsonproj"
+    (proj / "models").mkdir(parents=True)
+    data = proj / "data"
+    data.mkdir()
+    with open(data / "items.json", "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({"item_id": i, "price": 10.0 * i}) + "\n")
+    (proj / "dbt_project.yml").write_text("name: jsonproj\nmodel-paths: ['models']\n")
+    (proj / "models" / "schema.yml").write_text(
+        "sources:\n"
+        "  - name: raw\n"
+        "    tables:\n"
+        "      - name: items\n"
+        "        meta:\n"
+        "          path: data/items.json\n"
+        "          format: json\n"
+    )
+    (proj / "models" / "expensive_items.sql").write_text(
+        "SELECT item_id, price FROM {{ source('raw', 'items') }} WHERE price > 15"
+    )
+    spark.sql("DROP DATABASE IF EXISTS jsonproj CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    statuses = fal.run()
+    assert all(s == "success" for s in statuses.values()), statuses
+    rows = sorted(r["item_id"] for r in fal.ref("expensive_items").collect())
+    assert rows == [2, 3, 4]
