@@ -43,13 +43,16 @@ def min_label_components(
     for near-dup graphs the edges are the DUPLICATE pairs, tiny relative
     to the corpus even at 100 TB), the label map is computed with a
     driver-side union-find: diameter-many shuffle rounds collapse to one
-    collect. Non-trivial labels (nodes whose label ≠ own id — only
-    edge-touched nodes can differ) ship back as a LITERAL map expression
-    when few (≤ ``literal_threshold``): labeling is then a pure map-side
-    lookup over the node scan, no join, no second shuffle; bigger maps
-    ride a broadcast join. Above ``local_threshold``, iterative
-    min-label propagation. All paths reach the same unique fixpoint.
-    Callers should persist ``edges`` (counted, then re-read).
+    collect. The size probe IS the collect — ``limit(threshold+1)``
+    either returns the whole edge list (one job, no separate count) or
+    proves it exceeds the threshold. Non-trivial labels (nodes whose
+    label ≠ own id — only edge-touched nodes can differ) ship back as a
+    LITERAL map expression when few (≤ ``literal_threshold``): labeling
+    is then a pure map-side lookup over the node scan, no join, no
+    second shuffle; bigger maps ride a broadcast join. Above
+    ``local_threshold``, iterative min-label propagation. All paths
+    reach the same unique fixpoint. Callers should persist ``edges``
+    when the iterative path may run (it re-reads edges every round).
 
     Iterative path: labels start as own id and only ever decrease (min
     over a set that contains the old label), so Σlabel is strictly
@@ -57,7 +60,8 @@ def min_label_components(
     checked without a self-join. Per-round persist + aggregate truncates
     lineage so round N never recomputes rounds 1..N-1.
     """
-    if edges.count() <= local_threshold:
+    edge_rows = edges.select("src", "dst").limit(local_threshold + 1).collect()
+    if len(edge_rows) <= local_threshold:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -68,7 +72,7 @@ def min_label_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in edges.select("src", "dst").collect():
+        for row in edge_rows:
             ra, rb = find(row[0]), find(row[1])
             if ra != rb:
                 # union by label order: root IS the min id of its tree

@@ -665,10 +665,13 @@ def d_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sig = _minhash_sig(docs)
     cand = _lsh_candidate_pairs(sig)
+    # persist: the kernel's limit-collect probe materializes this cache in
+    # one job; if the graph exceeds the driver threshold, the iterative
+    # rounds then re-read edges from cache instead of re-running the
+    # whole sig+band pipeline per round.
     edges = cand.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).persist()
-    edges.count()
 
     from dbt_fal_spark.functions.graph import min_label_components
 
