@@ -734,6 +734,129 @@ def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_grouping_sets_revenue",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           count(*) AS n_orders,
+           {o_dsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("aggregate", "grouping-sets"),
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the two one-dimension rollups plus the
+    grand total, WITHOUT the (status, priority) cross cells a CUBE would
+    also compute. One shuffle for all three sets (Catalyst's Expand then
+    partial agg); at 100 TB you enumerate exactly the sets a dashboard
+    needs instead of paying for the full cube lattice."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "q_first_last_order_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_totalprice) OVER w AS first_order_value,
+           last_value(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_order_value,
+           nth_value(o_totalprice, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_order_value
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "navigation"),
+)
+def q_first_last_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions per customer: first / last / 2nd order
+    value. last_value and nth_value need the full-partition frame
+    (UNBOUNDED FOLLOWING) — with the default running frame last_value
+    degenerates to the current row, the classic window-frame trap, spelled
+    out identically in both engines. One shuffle; DISTINCT collapses the
+    per-row window results to one row per customer in the same exchange's
+    output."""
+    orders = load_table(spark, sf_dir, "orders")
+    run = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = run.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        orders.select(
+            "o_custkey",
+            F.first("o_totalprice").over(run).alias("first_order_value"),
+            F.last("o_totalprice").over(full).alias("last_order_value"),
+            F.nth_value("o_totalprice", 2).over(full).alias("second_order_value"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q_pivot_priority_by_status",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {", ".join(f'''{o_dsum(f"CASE WHEN o_orderstatus = '{s}' THEN o_totalprice ELSE 0 END")} AS revenue_{s}''' for s in ("O", "F", "P"))},
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("pivot", "aggregate"),
+)
+def q_pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True relational PIVOT (`.pivot()` with an explicit value list, not
+    hand-written case-when): revenue per priority pivoted across order
+    statuses. The explicit value list matters at scale — without it Spark
+    runs an extra distinct-values job before it can even plan. Physically
+    identical to conditional aggregation (one shuffle), which is exactly
+    what the oracle spells out."""
+    orders = load_table(spark, sf_dir, "orders")
+    statuses = ["O", "F", "P"]
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double"),
+            F.count(F.lit(1)),
+        )
+    )
+    # pivot with 2 aggs yields columns '<val>_<aggname>'; normalize + total
+    cols = [F.col("o_orderpriority")]
+    total = None
+    for s in statuses:
+        rev = [c for c in pivoted.columns if c.startswith(f"{s}_") and "sum" in c.lower()][0]
+        cnt = [c for c in pivoted.columns if c.startswith(f"{s}_") and "count" in c.lower()][0]
+        cols.append(F.coalesce(F.col(f"`{rev}`"), F.lit(0.0)).alias(f"revenue_{s}"))
+        total = F.coalesce(F.col(f"`{cnt}`"), F.lit(0)) if total is None else total + F.coalesce(F.col(f"`{cnt}`"), F.lit(0))
+    cols.append(total.alias("n_orders"))
+    return pivoted.select(*cols)
+
+
+@query(
     "q_quantity_quartiles",
     oracle="""
     SELECT l_returnflag,
