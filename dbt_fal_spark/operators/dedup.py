@@ -278,7 +278,7 @@ def _band_sig_oracle(band: int) -> str:
     return f"md5({joined})"
 
 
-def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+def _lsh_candidate_pairs(sig: DataFrame, *, distinct: bool = True) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from banded signatures, doc_a <
     doc_b, distinct across bands. One pass over ``sig`` explodes the
     band structs; pairs are emitted MAP-SIDE from each (band, bsig)
@@ -303,7 +303,10 @@ def _lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
         "flatten(transform(ds, (x, i) -> "
         "transform(slice(ds, i + 2, size(ds)), y -> struct(x as doc_a, y as doc_b))))"
     )
-    return grouped.select(F.explode(pairs).alias("p")).select("p.doc_a", "p.doc_b").distinct()
+    out = grouped.select(F.explode(pairs).alias("p")).select("p.doc_a", "p.doc_b")
+    # consumers that key on pair identity (est-jaccard join) need the
+    # cross-band dedup; union-find does not — let it skip the shuffle
+    return out.distinct() if distinct else out
 
 
 @query(
@@ -664,7 +667,7 @@ def d_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sig = _minhash_sig(docs)
-    cand = _lsh_candidate_pairs(sig)
+    cand = _lsh_candidate_pairs(sig, distinct=False)
     # persist: the kernel's limit-collect probe materializes this cache in
     # one job; if the graph exceeds the driver threshold, the iterative
     # rounds then re-read edges from cache instead of re-running the
