@@ -82,14 +82,30 @@ def m_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m_decode_pipeline", oracle=None, tags=("multimodal", "pandas-udf"))
+@query(
+    "m_decode_pipeline",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           (octet_length(encode(text)) % 640) + 1 AS width,
+           ((octet_length(encode(text)) * 7) % 480) + 1 AS height,
+           CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+    FROM documents
+    """,
+    tags=("multimodal", "pandas-udf"),
+)
 def m_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The real mapInPandas decode pipeline (rows-only check: the decode
-    itself is a deterministic fake; the Arrow batch plumbing is real).
+    """The real mapInPandas decode pipeline. The decode step is a
+    deterministic fake (the container has no codec libraries), which
+    makes even this path fully oracle-checkable: the fake's arithmetic
+    is restated in SQL on the oracle side, so what the gate certifies is
+    the Arrow plumbing — batch iteration, schema, row alignment — not
+    pixel math. Swap ``fake_decode_meta`` for ``decode_image`` when the
+    codec libraries exist (at which point the check drops to rows-only,
+    as real decodes have no SQL twin).
 
     Batches arrive as pandas DataFrames with a ``payload`` bytes column;
-    each yields a metadata frame. Swap ``fake_decode_meta`` for
-    ``decode_image`` when the codec libraries exist.
+    each yields a metadata frame.
     """
     docs = load_table(spark, sf_dir, "documents")
     with_payload = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
