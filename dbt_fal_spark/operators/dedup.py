@@ -529,9 +529,12 @@ def d_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    pair_schema = "vec_a long, vec_b long, label_a long, label_b long, cosine double"
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", "label", F.expr(_SPARK_QVEC).alias("qv"))
     rows = q.collect()  # the broadcast reference matrix (small by design)
+    if not rows:
+        return spark.createDataFrame([], pair_schema)
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     labels = np.array([r["label"] for r in rows], dtype=np.int64)
     mat = np.array([r["qv"] for r in rows], dtype=np.float64)
@@ -545,6 +548,8 @@ def d_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         all_ids, all_labels = b_ids.value, b_labels.value
         all_mat, all_norms = b_mat.value, b_norms.value
         for pdf in batches:
+            if not len(pdf):
+                continue
             my_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             my_labels = pdf["label"].to_numpy(dtype=np.int64)
             my_mat = np.array(list(pdf["qv"]), dtype=np.float64)
@@ -565,10 +570,7 @@ def d_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return spread(q).mapInPandas(
-        pairs_batch,
-        schema="vec_a long, vec_b long, label_a long, label_b long, cosine double",
-    )
+    return spread(q).mapInPandas(pairs_batch, schema=pair_schema)
 
 
 # ---------------------------------------------------------------------------

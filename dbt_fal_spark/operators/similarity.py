@@ -105,9 +105,12 @@ def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
+    knn_schema = "query_id long, neighbor_id long, neighbor_label long, cosine double"
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", "label", F.expr(_SPARK_QVEC).alias("qv"))
     qrows = q.filter(F.col("vec_id") < N_QUERIES).collect()
+    if not qrows:
+        return spark.createDataFrame([], knn_schema + ", rank int")
     qrows.sort(key=lambda r: r["vec_id"])
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["qv"] for r in qrows], dtype=np.float64)
@@ -122,6 +125,8 @@ def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         qids, qmat, qnrm = b_qids.value, b_qmat.value, b_qnrm.value
         for pdf in batches:
+            if not len(pdf):
+                continue
             n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             n_labels = pdf["label"].to_numpy(dtype=np.int64)
             n_mat = np.array(list(pdf["qv"]), dtype=np.float64)
@@ -149,10 +154,7 @@ def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scored = spread(q).mapInPandas(
-        local_topk,
-        schema="query_id long, neighbor_id long, neighbor_label long, cosine double",
-    )
+    scored = spread(q).mapInPandas(local_topk, schema=knn_schema)
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
 
@@ -344,6 +346,13 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = sorted(
         (r["c_label"], r["cnt"], list(r["sv"])) for r in cvec.collect()
     )
+    if not codebook:
+        n.unpersist()
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, neighbor_label long, "
+            "cell long, cosine double, rank int",
+        )
     # d2 = ||x||² - 2·x·s/n + ||s||²/n² — identical arithmetic shape to the
     # oracle (each term one double op on exact integers → bit-identical).
     cell_structs = []

@@ -1,0 +1,71 @@
+"""Empty-input robustness: every registered batch query must run (and
+return 0 rows) against 0-row tables with the production schemas.
+
+This is the guard for the classic Arrow-stage failure modes — np.vstack
+on an empty list, pd.DataFrame({}) schema drift, collect() on nothing,
+min/max over empty partitions — which only ever surface in production on
+an empty partition of a real corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dbt_fal_spark.registry import all_queries
+from dbt_fal_spark.sources.readers import TESTDATA_TABLES, load_table
+from tests.conftest import SF_DIR
+
+# Streaming drains need a non-empty first microbatch to terminate quickly
+# and are exercised separately; everything else must handle empty input.
+_SKIP_PREFIXES = ("st_", "p_")
+
+# One representative per plan family keeps the empty-run suite fast while
+# covering every risky code path: pandas stages (minhash/jaccard/knn/
+# decode), driver collects (ivf codebook, components), windows, pivots,
+# grouping sets, multi-join TPC-H shapes.
+_REPRESENTATIVES = [
+    "q01_pricing_summary",
+    "q05_region_nation_revenue",
+    "q13_order_count_distribution",
+    "q_pivot_priority_by_status",
+    "q_grouping_sets_revenue",
+    "q_first_last_order_value",
+    "d_exact_dedup",
+    "d_ngram_jaccard_pairs",
+    "d_minhash_lsh_pairs",
+    "d_neardup_components",
+    "d_lsh_levenshtein_refine",
+    "d_simhash",
+    "d_embedding_neardup_pairs",
+    "s_knn_bruteforce",
+    "s_knn_ivf",
+    "t_tfidf_top_terms",
+    "t_rolling_fingerprint",
+    "t_token_bpe",
+    "e_sessionize",
+    "e_retention_cohorts",
+    "e_resample_daily_fill",
+    "e_forecast_daily_by_type",
+    "m_decode_pipeline",
+    "m_frame_sample",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    """0-row copies of every testdata table, real schemas preserved."""
+    out = tmp_path_factory.mktemp("sf_empty")
+    for t in TESTDATA_TABLES:
+        load_table(spark, SF_DIR, t).limit(0).write.mode("overwrite").parquet(
+            str(out / f"{t}.parquet")
+        )
+    return str(out)
+
+
+@pytest.mark.parametrize("name", _REPRESENTATIVES)
+def test_query_runs_on_empty_tables(spark, empty_sf_dir, name):
+    specs = all_queries()
+    df = specs[name].fn(spark, empty_sf_dir)
+    assert df.count() == 0
