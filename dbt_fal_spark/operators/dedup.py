@@ -422,6 +422,76 @@ def d_lsh_levenshtein_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_BENCH_MAX_ID = 50  # doc_id < 50 plays the held-out benchmark set
+DECON_MIN_SHARED = 3  # shared-shingle threshold to flag contamination
+
+
+@query(
+    "d_decontaminate",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLES},
+    bench AS (SELECT doc_id, sh FROM sh WHERE doc_id < {DECON_BENCH_MAX_ID}),
+    train AS (SELECT doc_id, sh FROM sh WHERE doc_id >= {DECON_BENCH_MAX_ID})
+    SELECT t.doc_id AS train_doc_id,
+           b.doc_id AS bench_doc_id,
+           count(*) AS n_shared_shingles
+    FROM train t JOIN bench b ON t.sh = b.sh
+    GROUP BY t.doc_id, b.doc_id
+    HAVING count(*) >= {DECON_MIN_SHARED}
+    """,
+    tags=("dedup", "decontamination"),
+)
+def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-data step every serious
+    pipeline runs: flag training documents sharing ≥ {threshold} word
+    3-gram shingles with a held-out benchmark set (here: doc_id < 50
+    stands in for the eval suite). The benchmark side is tiny BY
+    DEFINITION, so it broadcasts: the training corpus streams once, the
+    join is map-side, and only flagged (train, bench) pairs shuffle into
+    the count — the shape that decontaminates 100 TB against a few
+    thousand eval documents in one pass. Shingles ride the same Arrow
+    stage + 64-bit siphash keys as d_ngram_jaccard_pairs; the oracle
+    joins exact strings."""
+
+    def gen(batches):
+        # nested + self-contained: executors cannot import dbt_fal_spark
+        import pandas as pd
+
+        for pdf in batches:
+            ids, shs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = text.split(" ")
+                if len(w) < 3:
+                    continue
+                uniq = {" ".join(t) for t in zip(w, w[1:], w[2:])}
+                ids.extend([doc_id] * len(uniq))
+                shs.extend(uniq)
+            out = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+            out["sh"] = pd.util.hash_array(
+                pd.Index(shs).to_numpy(dtype=object)
+            ).astype("int64")
+            yield out
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        spread(docs.select("doc_id", "text"))
+        .mapInPandas(gen, schema="doc_id long, sh long")
+        .persist()
+    )
+    bench = sh.filter(F.col("doc_id") < DECON_BENCH_MAX_ID).select(
+        F.col("doc_id").alias("bench_doc_id"), "sh"
+    )
+    train = sh.filter(F.col("doc_id") >= DECON_BENCH_MAX_ID).select(
+        F.col("doc_id").alias("train_doc_id"), "sh"
+    )
+    return (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("train_doc_id", "bench_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= DECON_MIN_SHARED)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

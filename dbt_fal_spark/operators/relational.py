@@ -733,6 +733,88 @@ def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n_orders", "revenue")
 
 
+_PROFILE_NUM_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+_PROFILE_STR_COLS = ("o_orderstatus", "o_orderpriority", "o_orderdate")
+
+
+@query(
+    "q_profile_orders",
+    oracle=" UNION ALL ".join(
+        [
+            f"""
+    SELECT '{c}' AS column_name,
+           count(*) AS n_rows,
+           sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS DOUBLE) AS min_num,
+           CAST(max({c}) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str
+    FROM orders
+    """
+            for c in _PROFILE_NUM_COLS
+        ]
+        + [
+            f"""
+    SELECT '{c}' AS column_name,
+           count(*) AS n_rows,
+           sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num,
+           CAST(NULL AS DOUBLE) AS max_num,
+           CAST(min({c}) AS VARCHAR) AS min_str,
+           CAST(max({c}) AS VARCHAR) AS max_str
+    FROM orders
+    """
+            for c in _PROFILE_STR_COLS
+        ]
+    ),
+    tags=("profiling", "data-quality"),
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the data-quality summary a pipeline runs before
+    trusting a new drop: per-column null count, distinct count, min/max.
+    ONE scan computes every column's aggregates in a single wide agg row
+    (Catalyst evaluates all of them in the same partial/final pair);
+    the row then unpivots to the long (column_name, stats) form
+    dashboards want. The oracle spells the same stats as per-column
+    UNION ALL branches. At 100 TB this exact shape holds — profiling is
+    one pass, never one pass per column; switch count(DISTINCT) to
+    approx_count_distinct when exactness isn't contractual."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs: list = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_NUM_COLS + _PROFILE_STR_COLS:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+        if c in _PROFILE_NUM_COLS:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"mx_{c}"))
+        else:
+            aggs.append(F.min(F.col(c)).cast("string").alias(f"mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("string").alias(f"mx_{c}"))
+    wide = orders.agg(*aggs)
+    branches = []
+    for c in _PROFILE_NUM_COLS:
+        branches.append(
+            f"('{c}', nn_{c}, nd_{c}, cast(mn_{c} as double), cast(mx_{c} as double), "
+            "cast(null as string), cast(null as string))"
+        )
+    for c in _PROFILE_STR_COLS:
+        branches.append(
+            f"('{c}', nn_{c}, nd_{c}, cast(null as double), cast(null as double), "
+            f"mn_{c}, mx_{c})"
+        )
+    stack = (
+        f"stack({len(branches)}, "
+        + ", ".join(b[1:-1] for b in branches)
+        + ") as (column_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
+    )
+    return wide.select(F.col("n_rows"), F.expr(stack)).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    )
+
+
 @query(
     "q_grouping_sets_revenue",
     oracle=f"""
