@@ -295,6 +295,76 @@ def e_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "e_funnel_conversion",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.t_signup
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT count(*) AS n_signup,
+           count(c.user_id) AS n_click_after_signup,
+           count(p.user_id) AS n_purchase_after_click,
+           CAST(count(p.user_id) AS DOUBLE) / count(*) AS conversion
+    FROM s
+    LEFT JOIN c ON s.user_id = c.user_id
+    LEFT JOIN p ON s.user_id = p.user_id
+    """,
+    tags=("funnel", "events"),
+)
+def e_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who signed up → first click strictly after
+    the signup → first purchase strictly after that click, with the
+    end-to-end conversion rate. ONE shuffle of events on user_id does
+    the whole chain: three CHAINED unordered windows over the same
+    partitioning (each stage's conditional min references the previous
+    stage's column — Catalyst stacks all three Window nodes on one
+    exchange), versus the oracle's three self-join CTEs. Funnel state
+    per user is three timestamps, never an event list — the shape that
+    holds at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    is_type = lambda t: F.col("event_type") == t  # noqa: E731
+    staged = (
+        ev.select("user_id", "event_type", "ts")
+        .withColumn("t_signup", F.min(F.when(is_type("signup"), F.col("ts"))).over(w))
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(is_type("click") & (F.col("ts") > F.col("t_signup")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(is_type("purchase") & (F.col("ts") > F.col("t_click")), F.col("ts"))
+            ).over(w),
+        )
+    )
+    per_user = (
+        staged.filter(F.col("t_signup").isNotNull())
+        .select("user_id", "t_click", "t_purchase")
+        .groupBy("user_id")
+        .agg(F.first("t_click").alias("t_click"), F.first("t_purchase").alias("t_purchase"))
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_signup"),
+        F.count("t_click").alias("n_click_after_signup"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
+        (F.count("t_purchase").cast("double") / F.count(F.lit(1))).alias("conversion"),
+    )
+
+
+@query(
     "e_retention_cohorts",
     oracle="""
     WITH firsts AS (
