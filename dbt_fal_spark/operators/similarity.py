@@ -192,10 +192,14 @@ def s_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross product). Recall < 1 by design — s_knn_bruteforce is the
     oracle to measure it against."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # persist: the bucket/norm projection (8 interpreted 64-term lambda
+    # dots per row) feeds BOTH the broadcast query side and the probe
+    # side — one evaluation instead of two (measured ~25% faster).
     n = (
         emb.select("vec_id", "label", F.expr(_SPARK_QVEC).alias("qv"))
         .withColumn("nrm", F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
         .withColumn("bucket", F.expr(_spark_bucket_expr()))
+        .persist()
     )
     queries = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
