@@ -401,9 +401,11 @@ def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     day = F.col("ts").cast("date")
     week = F.date_trunc("week", day).cast("date")
+    # persist: firsts feeds the activity join AND the cohort-size agg —
+    # without it the per-user min-week aggregation runs twice
     firsts = (
         ev.groupBy("user_id").agg(F.min(F.date_trunc("week", F.col("ts").cast("date")).cast("date")).alias("cohort_week"))
-    )
+    ).persist()
     activity = (
         ev.select("user_id", week.alias("week"))
         .join(firsts, "user_id")
