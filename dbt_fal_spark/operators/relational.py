@@ -1070,11 +1070,13 @@ def q02_min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(), so the result is engine-deterministic."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # persist: costs feeds the per-part min AND the argmin equality join —
+    # without it the (partkey, suppkey) aggregation runs twice
     costs = (
         li.filter(F.col("l_quantity") > 0)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
-    )
+    ).persist()
     best = costs.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
     small = part.filter(F.col("p_size") <= 15)
     return (

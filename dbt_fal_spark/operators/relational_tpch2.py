@@ -330,9 +330,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
     supp = load_table(spark, sf_dir, "supplier")
+    # persist: rev feeds the max subquery AND the equality join — without
+    # it the filtered lineitem aggregation runs twice
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(dec(disc_price())).alias("total_rev")
-    )
+    ).persist()
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
         rev.join(F.broadcast(mx), rev.total_rev == mx.max_rev)
