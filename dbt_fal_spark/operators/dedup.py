@@ -739,14 +739,32 @@ def d_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sig = _minhash_sig(docs)
-    cand = _lsh_candidate_pairs(sig, distinct=False)
+    # STAR edges, not all pairs: connecting every bucket member to the
+    # bucket's min doc_id yields the same connectivity as the full
+    # k(k-1)/2 pair set (any two members meet through the hub), with k-1
+    # edges per bucket — the first star-trick of the large-star/small-star
+    # family, applied at emission. The oracle's transitive closure over
+    # the FULL pair graph reaches the identical fixpoint.
+    band_structs = [
+        F.struct(F.lit(band).alias("band_id"), _band_sig_spark(band).alias("bsig"))
+        for band in range(N_BANDS)
+    ]
+    bands = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "doc_id", "b.band_id", "b.bsig"
+    )
+    grouped = (
+        bands.groupBy("band_id", "bsig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    star = F.expr(
+        "transform(slice(ds, 2, size(ds) - 1), y -> struct(ds[0] as src, y as dst))"
+    )
     # persist: the kernel's limit-collect probe materializes this cache in
     # one job; if the graph exceeds the driver threshold, the iterative
     # rounds then re-read edges from cache instead of re-running the
     # whole sig+band pipeline per round.
-    edges = cand.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).persist()
+    edges = grouped.select(F.explode(star).alias("e")).select("e.src", "e.dst").persist()
 
     from dbt_fal_spark.functions.graph import min_label_components
 
