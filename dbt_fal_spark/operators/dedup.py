@@ -422,6 +422,97 @@ def d_lsh_levenshtein_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WN_K = 8  # rolling-hash window (chars) — matches t_rolling_fingerprint
+_WN_B = 257
+_WN_M = 2147483647
+_WN_SAMPLE = 64  # keep hashes ≡ 0 (mod 64): ~1/64 of windows survive
+_WN_MIN_SHARED = 3
+
+
+def _wn_horner_oracle() -> str:
+    expr = "0::BIGINT"
+    for j in range(_WN_K):
+        expr = f"(({expr}) * {_WN_B} + ascii(substr(text, i + {j}, 1))) % {_WN_M}"
+    return expr
+
+
+@query(
+    "d_winnow_neardup",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, length(text) - {_WN_K - 1}),
+               i -> {_wn_horner_oracle()}
+             ) AS rk
+      FROM documents
+      WHERE length(text) >= {_WN_K}
+    ), fp AS (
+      SELECT DISTINCT doc_id, unnest(list_filter(rk, x -> x % {_WN_SAMPLE} = 0)) AS h
+      FROM h
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared_fingerprints
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {_WN_MIN_SHARED}
+    """,
+    tags=("dedup", "winnowing", "rolling-hash"),
+)
+def d_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style near-dup candidates (the MOSS idea): every length-8
+    char window gets a Karp–Rabin rolling hash; only hashes ≡ 0 (mod 64)
+    are retained as the document's fingerprint sample; documents sharing
+    ≥ 3 sampled fingerprints pair up. Character-level windows catch
+    near-dups that token-shingle methods miss (whitespace/punctuation
+    edits shift tokens but leave most char windows intact). Hashes are
+    computed in the same vectorized Arrow stage as t_rolling_fingerprint
+    (~1/64 of windows survive, so the shuffle is 64× smaller than the
+    window count); pair generation joins on the 8-byte hash. Exactness:
+    mod-each-step Horner in int64, ord() == DuckDB ascii()."""
+    k, base, mod, sample = _WN_K, _WN_B, _WN_M, _WN_SAMPLE
+
+    def gen(batches):
+        # nested + self-contained: executors cannot import dbt_fal_spark
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                if n < k:
+                    continue
+                codes = np.fromiter((ord(c) for c in text), dtype=np.int64, count=n)
+                n_win = n - k + 1
+                h = np.zeros(n_win, dtype=np.int64)
+                for j in range(k):
+                    h = (h * base + codes[j : j + n_win]) % mod
+                kept = np.unique(h[h % sample == 0])
+                ids.extend([doc_id] * len(kept))
+                hs.extend(kept.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "h": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = (
+        spread(docs.select("doc_id", "text"))
+        .mapInPandas(gen, schema="doc_id long, h long")
+        .persist()
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
+        .filter(F.col("n_shared_fingerprints") >= _WN_MIN_SHARED)
+    )
+
+
 DECON_BENCH_MAX_ID = 50  # doc_id < 50 plays the held-out benchmark set
 DECON_MIN_SHARED = 3  # shared-shingle threshold to flag contamination
 
