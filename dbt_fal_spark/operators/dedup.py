@@ -871,3 +871,62 @@ def d_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("canonical_id"),
         "component_size",
     )
+
+
+@query(
+    "d_neardup_triangles",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLES},
+    sig AS (
+      SELECT doc_id,
+           {_minhash_exprs_oracle()}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {band} AS band_id, {_band_sig_oracle(band)} AS bsig FROM sig" for band in range(N_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    )
+    SELECT count(DISTINCT x) AS n_nodes,
+           (SELECT count(*) FROM cand) AS n_edges,
+           (SELECT count(*)
+            FROM cand e1 JOIN cand e2 ON e1.doc_b = e2.doc_a
+            JOIN cand e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+           ) AS n_triangles
+    FROM (SELECT doc_a AS x FROM cand UNION SELECT doc_b FROM cand)
+    """,
+    tags=("dedup", "graph", "triangles"),
+)
+def d_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup candidate graph — the standard
+    density check on a dedup graph (many triangles = tight duplicate
+    clusters worth a single canonical doc; few = chains that need the
+    pairwise verify step). Ordered-edge (a<b) representation makes each
+    triangle count exactly once via the classic two-join pattern:
+    e1(a,b) ⋈ e2(b,c) produces wedges, e3(a,c) closes them. Both joins
+    key on node ids — at 100 TB this is two shuffles of the EDGE list
+    (degree-skew handled by the same salting as any hot-key join), never
+    the corpus. The candidate edges are persisted: they feed the node
+    census, the edge count, and all three join sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _minhash_sig(docs)
+    cand = _lsh_candidate_pairs(sig).persist()
+    nodes = cand.select(F.col("doc_a").alias("x")).union(
+        cand.select(F.col("doc_b").alias("x"))
+    )
+    e1, e2, e3 = cand.alias("e1"), cand.alias("e2"), cand.alias("e3")
+    wedges = e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+    triangles = wedges.join(
+        e3,
+        (F.col("e3.doc_a") == F.col("e1.doc_a"))
+        & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+    )
+    n_nodes = nodes.distinct().count()
+    n_edges = cand.count()
+    n_tri = triangles.count()
+    return spark.createDataFrame(
+        [(n_nodes, n_edges, n_tri)], "n_nodes long, n_edges long, n_triangles long"
+    )
