@@ -534,6 +534,7 @@ class _ModelTask:
                 model.unique_key,
                 strategy=model.incremental_strategy,
                 partition_by=model.partition_by,
+                on_schema_change=model.on_schema_change,
             )
         else:  # table
             if exists:

@@ -83,6 +83,48 @@ def replace_relation_atomic(spark: SparkSession, df: DataFrame, identifier: str)
         raise
 
 
+def _evolve_schema(
+    spark: SparkSession, new_rows: DataFrame, identifier: str, on_schema_change: str
+) -> DataFrame:
+    """dbt's on_schema_change contract for incremental reruns whose model
+    now produces extra columns:
+
+    - ignore (default)      new columns silently dropped (dbt parity)
+    - fail                  raise with the offending column list
+    - append_new_columns    ALTER TABLE ADD COLUMNS, then proceed —
+                            historical rows read the new columns as NULL
+
+    Returns ``new_rows`` aligned to the (possibly evolved) table schema.
+    Columns the table has but the model no longer produces always fail —
+    dropping data columns is never implicit."""
+    old_cols = spark.table(identifier).columns
+    new_cols = [c for c in new_rows.columns if c not in old_cols]
+    missing = [c for c in old_cols if c not in new_rows.columns]
+    if missing:
+        raise ValueError(
+            f"{identifier}: incremental model no longer produces column(s) "
+            f"{missing} — refusing to guess; full-refresh the model instead"
+        )
+    if new_cols:
+        if on_schema_change == "fail":
+            raise ValueError(
+                f"{identifier}: schema changed (new column(s) {new_cols}) and "
+                "on_schema_change=fail"
+            )
+        if on_schema_change == "append_new_columns":
+            col_defs = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in new_rows.schema.fields
+                if f.name in new_cols
+            )
+            spark.sql(f"ALTER TABLE {_q(identifier)} ADD COLUMNS ({col_defs})")
+        elif on_schema_change != "ignore":
+            raise ValueError(
+                f"{identifier}: unknown on_schema_change {on_schema_change!r}"
+            )
+    return new_rows.select(*spark.table(identifier).columns)
+
+
 def incremental_merge(
     spark: SparkSession,
     new_rows: DataFrame,
@@ -90,6 +132,7 @@ def incremental_merge(
     unique_key: str | None,
     strategy: str | None = None,
     partition_by: str | None = None,
+    on_schema_change: str = "ignore",
 ) -> None:
     """Incremental strategies (reference: C5 — the adapter declares
     append / delete+insert / merge / insert_overwrite, fal/python/impl.py:
@@ -103,11 +146,15 @@ def incremental_merge(
       present in the new batch are replaced — the strategy that scales,
       since a daily 100 TB backfill rewrites one day's partitions, never
       the table
+
+    ``on_schema_change`` handles models that grow columns between runs
+    (see `_evolve_schema`).
     """
     if not spark.catalog.tableExists(identifier):
         write_table(new_rows, identifier, mode="overwrite", partition_by=partition_by)
         return
     strategy = strategy or ("merge" if unique_key else "append")
+    new_rows = _evolve_schema(spark, new_rows, identifier, on_schema_change)
     if strategy == "append":
         new_rows.write.mode("append").format("parquet").insertInto(identifier)
         return

@@ -35,6 +35,7 @@ class DbtModel:
     unique_key: str | None = None  # for incremental merge
     incremental_strategy: str | None = None  # append | merge | insert_overwrite
     partition_by: str | None = None  # hive partition column(s)
+    on_schema_change: str = "ignore"  # ignore | fail | append_new_columns
     depends_on: list[str] = field(default_factory=list)  # unique_ids
     tags: list[str] = field(default_factory=list)
     meta: dict[str, Any] = field(default_factory=dict)

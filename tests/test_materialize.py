@@ -61,3 +61,38 @@ def test_partitioned_table_prunes_on_partition_filter(spark):
     plan = spark.table(t).filter(F.col("day") == "d1")._jdf.queryExecution().executedPlan().toString()
     # partition pruning: the scan must carry the partition filter
     assert "PartitionFilters" in plan and "d1" in plan
+
+
+def test_on_schema_change_ignore_drops_new_column(spark):
+    t = f"{SCHEMA}.osc_ignore"
+    incremental_merge(spark, _df(spark, [("d1", 1, "a")]), t, "k")
+    wider = spark.createDataFrame([("d1", 2, "b", 9.5)], "day string, k long, v string, score double")
+    incremental_merge(spark, wider, t, "k")  # default: ignore
+    assert "score" not in spark.table(t).columns
+    assert {(r.day, r.k, r.v) for r in spark.table(t).collect()} == {("d1", 1, "a"), ("d1", 2, "b")}
+
+
+def test_on_schema_change_fail_raises(spark):
+    t = f"{SCHEMA}.osc_fail"
+    incremental_merge(spark, _df(spark, [("d1", 1, "a")]), t, "k")
+    wider = spark.createDataFrame([("d1", 2, "b", 9.5)], "day string, k long, v string, score double")
+    with pytest.raises(ValueError, match="score"):
+        incremental_merge(spark, wider, t, "k", on_schema_change="fail")
+
+
+def test_on_schema_change_append_new_columns_evolves(spark):
+    t = f"{SCHEMA}.osc_grow"
+    incremental_merge(spark, _df(spark, [("d1", 1, "a")]), t, "k")
+    wider = spark.createDataFrame([("d1", 2, "b", 9.5)], "day string, k long, v string, score double")
+    incremental_merge(spark, wider, t, "k", on_schema_change="append_new_columns")
+    got = {(r.day, r.k, r.v, r.score) for r in spark.table(t).collect()}
+    # historical row reads the new column as NULL
+    assert got == {("d1", 1, "a", None), ("d1", 2, "b", 9.5)}
+
+
+def test_removed_column_always_fails(spark):
+    t = f"{SCHEMA}.osc_narrow"
+    incremental_merge(spark, _df(spark, [("d1", 1, "a")]), t, "k")
+    narrower = spark.createDataFrame([("d1", 2)], "day string, k long")
+    with pytest.raises(ValueError, match="no longer produces"):
+        incremental_merge(spark, narrower, t, "k")
