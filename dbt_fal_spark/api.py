@@ -271,7 +271,11 @@ class FalSpark:
         select: str | list[str] | None = None,
         exclude: str | list[str] | None = None,
         threads: int = 4,
+        full_refresh: bool = False,
     ) -> dict[str, str]:
+        # dbt --full-refresh: incremental models rebuild from scratch this
+        # run (is_incremental() renders False; the table is overwritten)
+        self._full_refresh = full_refresh
         selected = select_nodes(self.graph, select, exclude, state=self._load_state())
         order = [n for n in self.graph.sort_nodes() if n in selected]
         groups: dict[str, TaskGroup] = {}
@@ -513,19 +517,26 @@ class _ModelTask:
             return self._run_python_model(model)
         identifier = f"{fal.schema}.{model.name}"
         exists = spark.catalog.tableExists(identifier)
+        full_refresh = getattr(fal, "_full_refresh", False)
         rendered, _ = render_model_sql(
             model.raw_sql,
             resolve_ref=fal._resolve_ref,
             resolve_source=fal._resolve_source,
             this_name=identifier,
             vars=fal.manifest.vars,
-            is_incremental=model.is_incremental and exists,
+            is_incremental=model.is_incremental and exists and not full_refresh,
         )
         df = spark.sql(rendered)
         mat = model.materialization
         if mat in ("view", "ephemeral"):
             fal._view_models.add(model.name)
             df.createOrReplaceTempView(fal._identifier(model.name))
+        elif mat == "incremental" and full_refresh:
+            # rebuild: atomic swap (the table may feed the model's own SQL)
+            if exists:
+                replace_relation_atomic(spark, df, identifier)
+            else:
+                write_table(df, identifier, mode="overwrite", partition_by=model.partition_by)
         elif mat == "incremental":
             incremental_merge(
                 spark,

@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     flow_sub = flow.add_subparsers(dest="flow_command", required=True)
     flow_run = flow_sub.add_parser("run", help="run models with their scripts and hooks")
     add_common(flow_run)
+    flow_run.add_argument(
+        "--full-refresh", action="store_true",
+        help="rebuild incremental models from scratch (dbt --full-refresh)",
+    )
 
     run = sub.add_parser("run", help="post-run scripts mode (reference: fal run)")
     add_common(run)
@@ -60,7 +64,7 @@ def main(argv: list[str] | None = None) -> int:
     fal = FalSpark(args.project_dir, vars=json.loads(args.vars))
 
     if args.command == "flow":
-        statuses = fal.run(select=args.select, exclude=args.exclude, threads=args.threads)
+        statuses = fal.run(select=args.select, exclude=args.exclude, threads=args.threads, full_refresh=getattr(args, "full_refresh", False))
         for node, status in sorted(statuses.items()):
             print(f"{status:8s} {node}")
         return 0 if all(s == "success" for s in statuses.values()) else 1

@@ -238,3 +238,15 @@ def test_json_source_reads_via_generic_format(spark, tmp_path):
     assert all(s == "success" for s in statuses.values()), statuses
     rows = sorted(r["item_id"] for r in fal.ref("expensive_items").collect())
     assert rows == [2, 3, 4]
+
+
+def test_full_refresh_rebuilds_incremental(jaffle, spark):
+    """--full-refresh: the incremental model re-renders with
+    is_incremental()=False and its table is rebuilt, so duplicate rows an
+    append-style rerun would have produced are reset."""
+    fal, _, _ = jaffle
+    base = fal.ref("orders_inc").count()
+    fal.run(select="orders_inc")  # normal incremental rerun: stays stable
+    assert fal.ref("orders_inc").count() == base
+    fal.run(select="orders_inc", full_refresh=True)
+    assert fal.ref("orders_inc").count() == base  # rebuilt, same contents
