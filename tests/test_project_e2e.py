@@ -250,3 +250,17 @@ def test_full_refresh_rebuilds_incremental(jaffle, spark):
     assert fal.ref("orders_inc").count() == base
     fal.run(select="orders_inc", full_refresh=True)
     assert fal.ref("orders_inc").count() == base  # rebuilt, same contents
+
+
+def test_docs_generate_writes_catalog(jaffle):
+    """docs generate: catalog.json carries every materialized model's
+    columns/types and row counts (dbt catalog artifact shape)."""
+    import json as _json
+
+    fal, _, _ = jaffle
+    out = fal.generate_docs()
+    catalog = _json.loads(out.read_text())
+    entry = catalog["nodes"]["model.jaffle_spark.customers"]
+    assert entry["metadata"]["type"] == "table"
+    assert "customer_id" in entry["columns"]
+    assert entry["stats"]["row_count"] == fal.ref("customers").count()
