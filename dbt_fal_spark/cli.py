@@ -72,7 +72,17 @@ def main(argv: list[str] | None = None) -> int:
         statuses = fal.run(select=args.select, exclude=args.exclude, threads=args.threads, full_refresh=getattr(args, "full_refresh", False))
         for node, status in sorted(statuses.items()):
             print(f"{status:8s} {node}")
-        return 0 if all(s == "success" for s in statuses.values()) else 1
+        ok = all(s == "success" for s in statuses.values())
+        if not ok:
+            # surface WHY on stdout — the detail a user would otherwise
+            # have to dig out of target/run_results.json
+            try:
+                results = json.loads((fal.target_dir / "run_results.json").read_text())
+                for err in results.get("errors", []):
+                    print(f"\nerror detail: {err.strip().splitlines()[-1]}", file=sys.stderr)
+            except Exception:
+                pass
+        return 0 if ok else 1
 
     if args.command == "run":
         ran = fal.run_scripts(
