@@ -733,6 +733,33 @@ def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n_orders", "revenue")
 
 
+@query(
+    "q_paginate_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+    tags=("pagination", "topk"),
+)
+def q_paginate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination: page 3 of the orders leaderboard (ORDER BY
+    a total order, OFFSET 40 LIMIT 20). Spark executes this as
+    TakeOrdered(60) then a driver-side drop of the first 40 — fine for
+    dashboard-depth pages; the deterministic tiebreak (orderkey) is what
+    makes pages stable across runs and engines. For deep pagination at
+    100 TB use keyset predicates (WHERE (price, key) < last_seen) so the
+    scan prunes instead of ranking the world."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(40)
+        .limit(20)
+    )
+
+
 _PROFILE_NUM_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
 _PROFILE_STR_COLS = ("o_orderstatus", "o_orderpriority", "o_orderdate")
 
