@@ -15,7 +15,6 @@ Scale notes:
 
 from __future__ import annotations
 
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession

@@ -9,8 +9,6 @@ an empty partition of a real corpus.
 
 from __future__ import annotations
 
-import os
-
 import pytest
 
 from dbt_fal_spark.registry import all_queries

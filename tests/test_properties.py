@@ -12,7 +12,6 @@ from __future__ import annotations
 import networkx as nx
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
-from pyspark.sql import functions as F
 
 from dbt_fal_spark.functions.graph import min_label_components
 from dbt_fal_spark.functions.skew import salted_join

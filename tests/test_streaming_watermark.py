@@ -31,7 +31,7 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from dbt_fal_spark.streaming.windows import EVENTS_SCHEMA, read_events_stream
+from dbt_fal_spark.streaming.windows import EVENTS_SCHEMA
 
 
 def _write_events(path: str, rows: list[tuple[int, str]], mtime: float) -> None:
