@@ -82,3 +82,20 @@ def test_bucketed_join_matches_plain_join(spark, bucketed):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, bk.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_spread_noops_on_well_partitioned_input(spark):
+    """spread() exists for single-row-group small files; on input already
+    at/above the target width it must return the SAME plan (no shuffle
+    inserted on a real cluster's naturally partitioned scans)."""
+    from dbt_fal_spark.sources.readers import spread
+
+    wide = spark.range(1000, numPartitions=16)
+    assert spread(wide) is wide
+    narrow = spark.range(1000, numPartitions=1)
+    out = spread(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == min(
+        8, spark.sparkContext.defaultParallelism
+    )
+    assert out.count() == 1000
