@@ -272,6 +272,7 @@ class FalSpark:
         exclude: str | list[str] | None = None,
         threads: int = 4,
         full_refresh: bool = False,
+        fail_fast: bool = False,
     ) -> dict[str, str]:
         # dbt --full-refresh: incremental models rebuild from scratch this
         # run (is_incremental() renders False; the table is overwritten)
@@ -306,7 +307,7 @@ class FalSpark:
         scheduler = Scheduler(list(groups.values()))
         context: dict = {"errors": []}
         t0 = time.time()
-        parallel_executor(scheduler, context, threads=threads)
+        parallel_executor(scheduler, context, threads=threads, fail_fast=fail_fast)
         statuses = {}
         for node, group in groups.items():
             model = self.graph.node_attr(node, "model")

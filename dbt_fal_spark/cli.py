@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--full-refresh", action="store_true",
         help="rebuild incremental models from scratch (dbt --full-refresh)",
     )
+    flow_run.add_argument(
+        "--fail-fast", action="store_true",
+        help="stop launching new models after the first failure",
+    )
 
     run = sub.add_parser("run", help="post-run scripts mode (reference: fal run)")
     add_common(run)
@@ -69,7 +73,7 @@ def main(argv: list[str] | None = None) -> int:
     fal = FalSpark(args.project_dir, vars=json.loads(args.vars))
 
     if args.command == "flow":
-        statuses = fal.run(select=args.select, exclude=args.exclude, threads=args.threads, full_refresh=getattr(args, "full_refresh", False))
+        statuses = fal.run(select=args.select, exclude=args.exclude, threads=args.threads, full_refresh=getattr(args, "full_refresh", False), fail_fast=getattr(args, "fail_fast", False))
         for node, status in sorted(statuses.items()):
             print(f"{status:8s} {node}")
         ok = all(s == "success" for s in statuses.values())

@@ -46,11 +46,21 @@ def _run_task(task, context: dict) -> int:
         return FAILURE
 
 
-def parallel_executor(scheduler: Scheduler, context: dict, threads: int = 4) -> None:
+def parallel_executor(
+    scheduler: Scheduler, context: dict, threads: int = 4, fail_fast: bool = False
+) -> None:
+    """Run groups as dependencies allow. ``fail_fast`` (dbt --fail-fast):
+    after the first failure, stop LAUNCHING new groups — in-flight groups
+    finish (their results are real), everything not yet started is marked
+    skipped via the scheduler's transitive-skip machinery."""
+    failed = False
     with ThreadPoolExecutor(max_workers=max(1, threads)) as pool:
         futures = {}
         while not scheduler.is_done or futures:
             for group in scheduler.iter_available_groups():
+                if fail_fast and failed:
+                    scheduler.skip(group)
+                    continue
                 futures[pool.submit(_run_group, group, context)] = group
             if not futures:
                 if scheduler.is_done:
@@ -59,4 +69,7 @@ def parallel_executor(scheduler: Scheduler, context: dict, threads: int = 4) -> 
             done, _ = wait(list(futures), return_when=FIRST_COMPLETED)
             for fut in done:
                 group = futures.pop(fut)
-                scheduler.finish(group, fut.result())
+                result = fut.result()
+                if result != SUCCESS:
+                    failed = True
+                scheduler.finish(group, result)

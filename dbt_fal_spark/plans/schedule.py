@@ -74,6 +74,14 @@ class Scheduler:
         if status != SUCCESS:
             self._skip_dependents(group)
 
+    def skip(self, group: TaskGroup) -> None:
+        """Mark an un-run group skipped (fail-fast) + its dependents."""
+        self._running.discard(group.group_id)
+        if group in self._pending:
+            self._pending.remove(group)
+        group.status = "skipped"
+        self._skip_dependents(group)
+
     def _skip_dependents(self, failed: TaskGroup) -> None:
         changed = True
         while changed:

@@ -192,3 +192,39 @@ def test_source_level_path_fallback_joins_table_name(tmp_path):
     m = load_project(tmp_path)
     assert m.source_by_name("s", "bare").path == "/data/dir/bare.parquet"
     assert m.source_by_name("s", "explicit").path == "/data/elsewhere.parquet"
+
+
+def test_fail_fast_skips_later_waves():
+    """fail-fast: a failure stops LAUNCHING later scheduling waves — a
+    group unlocked after the failure is skipped even though it does not
+    depend on the failed group (plain mode runs it). Groups already
+    submitted in the same wave still finish (dbt semantics)."""
+    from dbt_fal_spark.plans.executor import parallel_executor
+    from dbt_fal_spark.plans.schedule import FAILURE, SUCCESS, Scheduler, TaskGroup
+
+    import time as _time
+
+    class T:
+        def __init__(self, result, delay=0.0):
+            self.result = result
+            self.delay = delay
+        def execute(self, context):
+            _time.sleep(self.delay)
+            return self.result
+
+    def build():
+        bad = TaskGroup(group_id="bad", task=T(FAILURE))
+        # ok outlives bad, so bad's failure is OBSERVED before ok unlocks
+        # its dependent — makes the wave ordering deterministic
+        ok = TaskGroup(group_id="ok", task=T(SUCCESS, delay=1.0))
+        later = TaskGroup(group_id="later", task=T(SUCCESS))
+        later.dependencies.append(ok)
+        return bad, ok, later
+
+    bad, ok, later = build()
+    parallel_executor(Scheduler([bad, ok, later]), {}, threads=2, fail_fast=True)
+    assert (bad.status, ok.status, later.status) == ("failure", "success", "skipped")
+
+    bad, ok, later = build()
+    parallel_executor(Scheduler([bad, ok, later]), {}, threads=2, fail_fast=False)
+    assert (bad.status, ok.status, later.status) == ("failure", "success", "success")
