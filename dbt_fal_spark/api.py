@@ -582,9 +582,15 @@ class _ModelTask:
             )
         else:  # table
             if exists:
-                replace_relation_atomic(spark, df, identifier)
+                replace_relation_atomic(spark, df, identifier, bucket_by=model.bucket_by)
             else:
-                write_table(df, identifier, mode="overwrite", partition_by=model.partition_by)
+                write_table(
+                    df,
+                    identifier,
+                    mode="overwrite",
+                    partition_by=model.partition_by,
+                    bucket_by=model.bucket_by,
+                )
         return SUCCESS
 
     def _run_python_model(self, model: DbtModel) -> int:

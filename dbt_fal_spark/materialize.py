@@ -52,26 +52,44 @@ def _clean_orphan_location(spark: SparkSession, identifier: str) -> None:
 
 
 def write_table(
-    df: DataFrame, identifier: str, mode: str = "overwrite", partition_by: str | None = None
+    df: DataFrame,
+    identifier: str,
+    mode: str = "overwrite",
+    partition_by: str | None = None,
+    bucket_by: dict | None = None,
 ) -> None:
     """Eager write — the write boundary forces materialization, matching
     the reference's eager write_to_* semantics (SURVEY §7 risk note).
     ``partition_by`` lays the table out hive-partitioned (the 100 TB
-    contract: partition pruning + per-partition overwrite both need it)."""
+    contract: partition pruning + per-partition overwrite both need it).
+    ``bucket_by`` = {"cols": "k1,k2", "n": 32} hash-buckets (and sorts)
+    the table on its join key — every later equi-join between tables
+    bucketed the same way reads co-partitioned data and plans with ZERO
+    shuffle exchanges (asserted by tests/test_bucketing.py)."""
     _clean_orphan_location(df.sparkSession, identifier)
     writer = df.write.mode(mode).format("parquet")
     if partition_by:
         writer = writer.partitionBy(*[c.strip() for c in partition_by.split(",")])
+    if bucket_by:
+        cols = [c.strip() for c in str(bucket_by["cols"]).split(",")]
+        writer = writer.bucketBy(int(bucket_by.get("n", 32)), *cols).sortBy(*cols)
     writer.saveAsTable(identifier)
 
 
-def replace_relation_atomic(spark: SparkSession, df: DataFrame, identifier: str) -> None:
+def replace_relation_atomic(
+    spark: SparkSession, df: DataFrame, identifier: str, bucket_by: dict | None = None
+) -> None:
     """Temp-table + swap: write to ``<name>__f__<uuid8>``, drop the
     original, rename — safe when ``df`` reads from ``identifier`` itself
-    (reference: lib.py:286-329 overwrite_target / _replace_relation)."""
+    (reference: lib.py:286-329 overwrite_target / _replace_relation).
+    ``bucket_by`` carries the bucketed layout through the swap."""
     tmp = f"{identifier}__f__{uuid.uuid4().hex[:8]}"
     try:
-        df.write.mode("overwrite").format("parquet").saveAsTable(tmp)
+        writer = df.write.mode("overwrite").format("parquet")
+        if bucket_by:
+            cols = [c.strip() for c in str(bucket_by["cols"]).split(",")]
+            writer = writer.bucketBy(int(bucket_by.get("n", 32)), *cols).sortBy(*cols)
+        writer.saveAsTable(tmp)
         spark.sql(f"DROP TABLE IF EXISTS {_q(identifier)}")
         # dropping an EXTERNAL table (e.g. one re-attached after a process
         # restart) leaves its files — clear them or RENAME collides with

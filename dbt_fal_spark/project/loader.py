@@ -139,6 +139,7 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
                 incremental_strategy=config.get("incremental_strategy"),
                 partition_by=config.get("partition_by"),
                 on_schema_change=config.get("on_schema_change", "ignore"),
+                bucket_by=config.get("bucket_by"),
                 tags=list(config.get("tags", [])) + list(props.get("tags", [])),
                 meta=meta,
                 columns={c["name"]: c for c in props.get("columns", [])},

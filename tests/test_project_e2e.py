@@ -10,6 +10,7 @@ import tempfile
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 from dbt_fal_spark.api import FalSpark
 from tests.conftest import SF_DIR
@@ -264,3 +265,46 @@ def test_docs_generate_writes_catalog(jaffle):
     assert entry["metadata"]["type"] == "table"
     assert "customer_id" in entry["columns"]
     assert entry["stats"]["row_count"] == fal.ref("customers").count()
+
+
+def test_bucket_by_model_config_gives_zero_shuffle_join(spark, tmp_path):
+    """Models declaring bucket_by on the same key materialize bucketed
+    tables; joining them plans with ZERO shuffle exchanges (the 100 TB
+    co-located-join contract, now reachable from project config)."""
+    proj = tmp_path / "bkproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text("name: bkproj\nmodel-paths: ['models']\n")
+    (proj / "models" / "schema.yml").write_text(
+        "sources:\n"
+        "  - name: td\n"
+        "    tables:\n"
+        "      - name: orders\n"
+        "        meta: {path: $TESTDATA_DIR/orders.parquet}\n"
+        "      - name: lineitem\n"
+        "        meta: {path: $TESTDATA_DIR/lineitem.parquet}\n"
+    )
+    (proj / "models" / "ord_b.sql").write_text(
+        "{{ config(bucket_by={'cols': 'o_orderkey', 'n': 4}) }}\n"
+        "SELECT o_orderkey, o_totalprice FROM {{ source('td', 'orders') }}"
+    )
+    (proj / "models" / "li_b.sql").write_text(
+        "{{ config(bucket_by={'cols': 'l_orderkey', 'n': 4}) }}\n"
+        "SELECT l_orderkey, l_quantity FROM {{ source('td', 'lineitem') }}"
+    )
+    os.environ.setdefault("TESTDATA_DIR", SF_DIR)
+    spark.sql("DROP DATABASE IF EXISTS bkproj CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    statuses = fal.run()
+    assert all(s == "success" for s in statuses.values()), statuses
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = fal.ref("ord_b").join(
+            fal.ref("li_b"), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located bucketed join: no shuffle exchanges at all
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
