@@ -760,41 +760,46 @@ def q_paginate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PROFILE_NUM_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
-_PROFILE_STR_COLS = ("o_orderstatus", "o_orderpriority", "o_orderdate")
+# Per-column stable string rendering for min/max: NULL-double cells hash
+# differently across comparator implementations, so the profile emits one
+# always-populated VARCHAR min/max pair per column instead, rendered through
+# casts that are bit-identical in Spark and DuckDB (bigint→str, double→
+# decimal(18,2)→str, timestamp→date→str, str passthrough).
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderstatus", "o_orderpriority", "o_orderdate")
+_PROFILE_ORACLE_RENDER = {
+    "o_orderkey": "CAST({v} AS VARCHAR)",
+    "o_custkey": "CAST({v} AS VARCHAR)",
+    "o_totalprice": "CAST(CAST({v} AS DECIMAL(18,2)) AS VARCHAR)",
+    "o_orderstatus": "{v}",
+    "o_orderpriority": "{v}",
+    "o_orderdate": "CAST(CAST({v} AS DATE) AS VARCHAR)",
+}
+
+
+def _profile_spark_render(c: str, agg):  # min/max Column -> stable string
+    if c in ("o_orderkey", "o_custkey"):
+        return agg.cast("string")
+    if c == "o_totalprice":
+        return agg.cast("decimal(18,2)").cast("string")
+    if c == "o_orderdate":
+        return agg.cast("date").cast("string")
+    return agg.cast("string")
 
 
 @query(
     "q_profile_orders",
     oracle=" UNION ALL ".join(
-        [
-            f"""
+        f"""
     SELECT '{c}' AS column_name,
            count(*) AS n_rows,
            sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
            count(DISTINCT {c}) AS n_distinct,
-           CAST(min({c}) AS DOUBLE) AS min_num,
-           CAST(max({c}) AS DOUBLE) AS max_num,
-           CAST(NULL AS VARCHAR) AS min_str,
-           CAST(NULL AS VARCHAR) AS max_str
+           {_PROFILE_ORACLE_RENDER[c].format(v=f"min({c})")} AS min_val,
+           {_PROFILE_ORACLE_RENDER[c].format(v=f"max({c})")} AS max_val
     FROM orders
     """
-            for c in _PROFILE_NUM_COLS
-        ]
-        + [
-            f"""
-    SELECT '{c}' AS column_name,
-           count(*) AS n_rows,
-           sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
-           count(DISTINCT {c}) AS n_distinct,
-           CAST(NULL AS DOUBLE) AS min_num,
-           CAST(NULL AS DOUBLE) AS max_num,
-           CAST(min({c}) AS VARCHAR) AS min_str,
-           CAST(max({c}) AS VARCHAR) AS max_str
-    FROM orders
-    """
-            for c in _PROFILE_STR_COLS
-        ]
+        for c in _PROFILE_COLS
     ),
     tags=("profiling", "data-quality"),
 )
@@ -804,41 +809,29 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE scan computes every column's aggregates in a single wide agg row
     (Catalyst evaluates all of them in the same partial/final pair);
     the row then unpivots to the long (column_name, stats) form
-    dashboards want. The oracle spells the same stats as per-column
-    UNION ALL branches. At 100 TB this exact shape holds — profiling is
-    one pass, never one pass per column; switch count(DISTINCT) to
-    approx_count_distinct when exactness isn't contractual."""
+    dashboards want. min/max are rendered to always-populated strings via
+    type-stable casts so the long form has no mixed NULL-typed cells. The
+    oracle spells the same stats as per-column UNION ALL branches. At
+    100 TB this exact shape holds — profiling is one pass, never one pass
+    per column; switch count(DISTINCT) to approx_count_distinct when
+    exactness isn't contractual."""
     orders = load_table(spark, sf_dir, "orders")
     aggs: list = [F.count(F.lit(1)).alias("n_rows")]
-    for c in _PROFILE_NUM_COLS + _PROFILE_STR_COLS:
+    for c in _PROFILE_COLS:
         aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"))
         aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
-        if c in _PROFILE_NUM_COLS:
-            aggs.append(F.min(F.col(c)).cast("double").alias(f"mn_{c}"))
-            aggs.append(F.max(F.col(c)).cast("double").alias(f"mx_{c}"))
-        else:
-            aggs.append(F.min(F.col(c)).cast("string").alias(f"mn_{c}"))
-            aggs.append(F.max(F.col(c)).cast("string").alias(f"mx_{c}"))
+        aggs.append(_profile_spark_render(c, F.min(F.col(c))).alias(f"mn_{c}"))
+        aggs.append(_profile_spark_render(c, F.max(F.col(c))).alias(f"mx_{c}"))
     wide = orders.agg(*aggs)
-    branches = []
-    for c in _PROFILE_NUM_COLS:
-        branches.append(
-            f"('{c}', nn_{c}, nd_{c}, cast(mn_{c} as double), cast(mx_{c} as double), "
-            "cast(null as string), cast(null as string))"
-        )
-    for c in _PROFILE_STR_COLS:
-        branches.append(
-            f"('{c}', nn_{c}, nd_{c}, cast(null as double), cast(null as double), "
-            f"mn_{c}, mx_{c})"
-        )
+    branches = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
     stack = (
-        f"stack({len(branches)}, "
-        + ", ".join(b[1:-1] for b in branches)
-        + ") as (column_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
+        f"stack({len(_PROFILE_COLS)}, {branches}) "
+        "as (column_name, n_nulls, n_distinct, min_val, max_val)"
     )
     return wide.select(F.col("n_rows"), F.expr(stack)).select(
-        "column_name", "n_rows", "n_nulls", "n_distinct",
-        "min_num", "max_num", "min_str", "max_str",
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val",
     )
 
 
@@ -997,7 +990,7 @@ def q_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_status_set_per_priority",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
            count(DISTINCT o_orderstatus) AS n_statuses
     FROM orders
     GROUP BY o_orderpriority
@@ -1005,12 +998,15 @@ def q_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregate", "collect"),
 )
 def q_status_set_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set aggregation into a deterministic (sorted) array — collect_set
+    """Set aggregation into a deterministic, comparable form — collect_set
     arrival order differs run to run, so sort_array makes the result
-    reproducible; the oracle sorts its list() the same way."""
+    reproducible, and array_join flattens it to a scalar string so the
+    result row is hashable by any downstream comparator (pandas
+    canonicalizers choke on list cells). The oracle sorts and joins its
+    list() the same way."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("statuses"),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
     )
 
