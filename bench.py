@@ -63,6 +63,7 @@ def main() -> None:
         spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     jvm_gc = spark.sparkContext._jvm.System.gc
     for name in names:
         fn = specs[name].fn
@@ -73,20 +74,26 @@ def main() -> None:
         # Caches are cleared between runs, so each timing still includes
         # its own cache build.
         best = None
-        for _ in range(3):
-            # full GC between runs: collection pauses from the PREVIOUS
-            # query's garbage land here instead of inside the timed region
-            # (also lets the ContextCleaner reap dereferenced broadcasts)
-            jvm_gc()
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-            # operators persist() multi-consumer intermediates for the
-            # duration of their own query; dropping them between runs keeps
-            # caches from compounding into executor-memory pressure
+        try:
+            for _ in range(3):
+                # full GC between runs: collection pauses from the PREVIOUS
+                # query's garbage land here instead of inside the timed region
+                # (also lets the ContextCleaner reap dereferenced broadcasts)
+                jvm_gc()
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.count()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+                # operators persist() multi-consumer intermediates for the
+                # duration of their own query; dropping them between runs keeps
+                # caches from compounding into executor-memory pressure
+                spark.catalog.clearCache()
+        except Exception as exc:  # noqa: BLE001 — one broken query must not
+            # zero the whole bench record; report it and keep timing the rest
+            failures[name] = f"{type(exc).__name__}: {exc}"[:300]
             spark.catalog.clearCache()
+            continue
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -97,6 +104,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "failures": failures,
                 "sf": sf,
             }
         )

@@ -174,6 +174,11 @@ class FalSpark:
                 for c in nanos_cols:
                     if dict(df.dtypes).get(c) == "bigint":
                         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+                # naive parquet timestamps → TIMESTAMP, mirroring
+                # sources/readers.py (arbitrary driver sessions infer NTZ)
+                for c, dtype in df.dtypes:
+                    if dtype.startswith("timestamp_ntz"):
+                        df = df.withColumn(c, F.col(c).cast("timestamp"))
             df.createOrReplaceTempView(view)
             return view
         return table_name  # pre-registered table/view

@@ -793,7 +793,7 @@ def _profile_spark_render(c: str, agg):  # min/max Column -> stable string
         f"""
     SELECT '{c}' AS column_name,
            count(*) AS n_rows,
-           sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(*) FILTER (WHERE {c} IS NULL) AS n_nulls,
            count(DISTINCT {c}) AS n_distinct,
            {_PROFILE_ORACLE_RENDER[c].format(v=f"min({c})")} AS min_val,
            {_PROFILE_ORACLE_RENDER[c].format(v=f"max({c})")} AS max_val

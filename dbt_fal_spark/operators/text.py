@@ -330,7 +330,7 @@ def docs_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
            count(DISTINCT source) AS n_sources
     FROM documents

@@ -42,9 +42,9 @@ SESSION_GAP_SEC = 1800  # 30 min
                      THEN 1 ELSE 0 END AS is_new
       FROM ordered
     ), sess AS (
-      SELECT *, sum(is_new) OVER (
+      SELECT *, CAST(sum(is_new) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,
@@ -177,7 +177,7 @@ def e_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT event_type,
            count(json_extract_string(props, '$.k')) AS n_with_k,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
@@ -445,9 +445,9 @@ def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(revenue AS DECIMAL(18,4))) OVER (
              ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS revenue_7d,
-           sum(n_orders) OVER (
+           CAST(sum(n_orders) OVER (
              ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
-           ) AS orders_7d
+           ) AS BIGINT) AS orders_7d
     FROM daily
     """,
     tags=("window", "rolling", "timeseries"),

@@ -28,6 +28,11 @@ _COMMON = {
     # mode is a context-level conf, so it must be chosen at session build.
     "spark.scheduler.mode": "FIFO",
     "spark.sql.session.timeZone": "UTC",
+    # Read naive parquet timestamps (isAdjustedToUTC=false) as TIMESTAMP
+    # rather than TIMESTAMP_NTZ: with the session tz pinned UTC the wall
+    # values are identical, but NTZ forbids numeric casts (epoch math via
+    # ts.cast("double")) and diverges from the DuckDB oracle's epoch().
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     # cap in-memory partition bytes so a 100 TB scan splits into sane tasks

@@ -56,6 +56,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get(col) == "bigint":
             # integer division: ns values (~1.7e18) exceed double precision
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # Naive parquet timestamps read as TIMESTAMP_NTZ under Spark 4 defaults
+    # (the driver hands us arbitrary sessions, so the session-level
+    # inferTimestampNTZ=false in session.py cannot be assumed). NTZ forbids
+    # numeric casts (epoch math) and diverges from DuckDB's epoch(); with
+    # the session tz pinned UTC the LTZ cast is wall-value identical.
+    for col, dtype in df.dtypes:
+        if dtype.startswith("timestamp_ntz"):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     _SCAN_CACHE[key] = df
     return df
 

@@ -15,6 +15,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,31 +25,50 @@ from pyspark.sql import types as T
 from dbt_fal_spark.functions.numeric import dec, o_dsum
 from dbt_fal_spark.registry import query
 
-# events.parquet schema with ts as raw int64 (parquet TIMESTAMP(NANOS) —
-# see sources/readers.py for the batch-side handling).
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# Legacy shape: ts as raw int64 (parquet TIMESTAMP(NANOS) has no Spark
+# type, so it reads as long under spark.sql.legacy.parquet.nanosAsLong).
+# Kept importable for tests that stage their own int64-ns files.
+EVENTS_SCHEMA = _events_schema(T.LongType())
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events parquet with nanos→micros conversion."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Streaming scan of the events parquet.
+
+    FileStreamSource cannot infer schemas, so probe the parquet footer
+    (driver-side metadata read, no data IO) and match the writer's
+    physical type: TIMESTAMP(NANOS) reads as raw long (legacy conf) and
+    truncates to micros like the batch path in sources/readers.py;
+    micro/milli timestamps read natively as TIMESTAMP."""
+    import pyarrow.parquet as pq
+
+    ts_physical = str(pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type)
+    nanos = ts_physical == "timestamp[ns]" or ts_physical == "int64"
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = _events_schema(T.LongType() if nanos else T.TimestampType())
     # FileStreamSource requires a directory; glob-filter to the events file
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def hourly_windowed_agg(events: DataFrame) -> DataFrame:
@@ -124,9 +144,9 @@ SESSION_GAP_SEC = 1800  # must match operators/timeseries.py batch twin
                      THEN 1 ELSE 0 END AS is_new
       FROM ordered
     ), sess AS (
-      SELECT *, sum(is_new) OVER (
+      SELECT *, CAST(sum(is_new) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id,

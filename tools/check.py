@@ -12,6 +12,7 @@ Usage: python tools/check.py [--sf /root/testdata/sf0.01] [--only name1,name2]
 from __future__ import annotations
 
 import argparse
+import datetime as _dt
 import hashlib
 import math
 import os
@@ -21,15 +22,42 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
 
 from dbt_fal_spark.registry import all_queries  # noqa: E402
 from dbt_fal_spark.session import get_spark  # noqa: E402
 from dbt_fal_spark.sources.readers import TESTDATA_TABLES  # noqa: E402
 
 
+def pandas_rows(pdf) -> list[tuple]:
+    """Rows via pandas, matching the driver's compare path. Deliberately
+    does NOT undo pandas dtype coercions (e.g. DuckDB HUGEINT → float64,
+    nullable int → float64 + NaN): the driver sees those too, and fetching
+    native Python values instead masked a real driver hash mismatch in
+    round 2 (q_profile_orders). Only numpy scalar wrappers are unboxed so
+    repr() is version-stable."""
+    def _py(v):
+        if isinstance(v, np.generic):
+            return v.item()
+        if isinstance(v, np.ndarray):
+            return [_py(x) for x in v]
+        return v
+
+    return [tuple(_py(v) for v in row) for row in pdf.itertuples(index=False, name=None)]
+
+
 def norm_cell(v):
     if v is None:
         return "NULL"
+    # Temporal: DuckDB's .df() promotes DATE to datetime64[ns] while Spark's
+    # toPandas keeps datetime.date — the driver hashes those equal, so render
+    # any midnight datetime as its date. pd.Timestamp subclasses datetime.
+    if isinstance(v, _dt.datetime):
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -98,7 +126,7 @@ def main() -> int:
         try:
             sdf = spec.fn(spark, args.sf)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            srows = pandas_rows(sdf.toPandas())
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
@@ -113,7 +141,7 @@ def main() -> int:
         try:
             res = con.execute(spec.oracle)
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            orows = pandas_rows(res.df())
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
