@@ -37,6 +37,10 @@ TOP_K = 10
 
 _SPARK_QVEC = "transform(embedding, x -> cast(round(x * 1024) as bigint))"
 _ORACLE_QVEC = "list_transform(embedding, x -> CAST(round(x * 1024) AS BIGINT))"
+# Arrow stages quantize with the numpy twin sign(x)·floor(|x·1024|+0.5)
+# instead of running the interpreted transform() HOF over the full corpus:
+# float32·1024 is an exact exponent shift and round() is HALF_UP in both
+# engines, so the numpy form is bit-identical to _SPARK_QVEC/_ORACLE_QVEC.
 
 
 def _plane_weight(p: int, d: int) -> int:
@@ -46,16 +50,6 @@ def _plane_weight(p: int, d: int) -> int:
 
 
 PLANES = [[_plane_weight(p, d) for d in range(DIM)] for p in range(N_PLANES)]
-
-
-def _spark_bucket_expr() -> str:
-    """bucket id = Σ_p (dot(plane_p, qv) > 0) << p, as one SQL expression."""
-    terms = []
-    for p, w in enumerate(PLANES):
-        arr = ", ".join(str(x) for x in w)
-        dot = f"aggregate(zip_with(qv, array({arr}), (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
-    return " + ".join(terms)
 
 
 def _oracle_bucket_expr() -> str:
@@ -107,6 +101,7 @@ def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     knn_schema = "query_id long, neighbor_id long, neighbor_label long, cosine double"
     emb = load_table(spark, sf_dir, "embeddings")
+    raw = emb.select("vec_id", "label", "embedding")
     q = emb.select("vec_id", "label", F.expr(_SPARK_QVEC).alias("qv"))
     qrows = q.filter(F.col("vec_id") < N_QUERIES).collect()
     if not qrows:
@@ -129,7 +124,8 @@ def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             n_labels = pdf["label"].to_numpy(dtype=np.int64)
-            n_mat = np.array(list(pdf["qv"]), dtype=np.float64)
+            e = np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
+            n_mat = np.sign(e) * np.floor(np.abs(e) + 0.5)  # == round() HALF_UP
             n_nrm = (n_mat * n_mat).sum(axis=1)
             cos = (qmat @ n_mat.T) / (np.sqrt(qnrm)[:, None] * np.sqrt(n_nrm)[None, :])
             out_q, out_n, out_l, out_c = [], [], [], []
@@ -154,7 +150,7 @@ def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scored = spread(q).mapInPandas(local_topk, schema=knn_schema)
+    scored = spread(raw).mapInPandas(local_topk, schema=knn_schema)
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
 
@@ -190,17 +186,49 @@ def s_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH (8 sign bits) buckets
     both sides; candidates only meet inside their bucket (equi-join, no
     cross product). Recall < 1 by design — s_knn_bruteforce is the
-    oracle to measure it against."""
+    oracle to measure it against.
+
+    The corpus-side work (8 hyperplane dots + norm for EVERY row) runs
+    as one Arrow numpy (N×64)@(64×8) matmul per batch — Catalyst does
+    not codegen higher-order lambdas, and interpreted per-row eval on
+    the full corpus is the throughput tax that survives at 100 TB. The
+    post-join pair scoring keeps the JVM expression: the bucket join has
+    already pruned candidates ~256× per query, so the interpreted dot
+    touches a tiny slice of the data — and avoiding a second Python
+    stage saves its Arrow round-trip and worker dispatch. Quantization
+    stays a Spark expression: round() is half-up in both engines while
+    np.round is banker's. Exactness: |qv| ≤ 2^13, plane weights ≤ 2^10,
+    so every dot < 2^33 — integer-exact in float64."""
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
-    # persist: the bucket/norm projection (8 interpreted 64-term lambda
-    # dots per row) feeds BOTH the broadcast query side and the probe
-    # side — one evaluation instead of two (measured ~25% faster).
-    n = (
-        emb.select("vec_id", "label", F.expr(_SPARK_QVEC).alias("qv"))
-        .withColumn("nrm", F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
-        .withColumn("bucket", F.expr(_spark_bucket_expr()))
-        .persist()
-    )
+    raw = emb.select("vec_id", "label", "embedding")
+    planes = np.array(PLANES, dtype=np.float64)  # (8, 64); pickled by value
+    bits = np.array([1 << p for p in range(N_PLANES)], dtype=np.int64)
+
+    def add_bucket(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e = np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
+            m = np.sign(e) * np.floor(np.abs(e) + 0.5)  # == round() HALF_UP
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "qv": list(m.astype(np.int64)),
+                    "nrm": (m * m).sum(axis=1).astype(np.int64),
+                    "bucket": ((m @ planes.T) > 0) @ bits,
+                }
+            )
+
+    # persist: the bucket/norm projection feeds BOTH the broadcast query
+    # side and the probe side — one evaluation instead of two.
+    n = spread(raw).mapInPandas(
+        add_bucket, schema="vec_id long, label long, qv array<long>, nrm long, bucket long"
+    ).persist()
     queries = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),
@@ -325,84 +353,138 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic labels ARE clusters); swapping in Lloyd iterations changes
     the centroid builder, not the query plan.
     """
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
-    # persist: the quantized corpus feeds four subplans (codebook agg, cell
-    # assignment, probe build) — one scan + quantization instead of four.
-    n = (
-        emb.select("vec_id", "label", F.expr(_SPARK_QVEC).alias("qv"))
-        .withColumn(
-            "nrm", F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
-        )
-        .persist()
-    )
+    raw = emb.select("vec_id", "label", "embedding")
+    q = emb.select("vec_id", "label", F.expr(_SPARK_QVEC).alias("qv"))
     # Codebook build: exact integer (sum-vector, count) per cell, collected to
     # the driver (k cells × DIM ints — driver-sized BY DESIGN: an IVF coarse
-    # quantizer is always tiny relative to the corpus) and re-embedded as
-    # literal expressions, so cell assignment below is pure map-side compute —
+    # quantizer is always tiny relative to the corpus) and shipped in the
+    # assignment closure, so cell assignment below is pure map-side compute —
     # no per-vector shuffle, no recomputation across the assign/probe branches.
-    comp = n.select("label", F.posexplode("qv").alias("d", "v"))
-    cent = comp.groupBy("label", "d").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt"))
-    # collect the flat (label, d, s, cnt) rows — k·DIM of them, driver-tiny
-    # for any real codebook — and assemble vectors in Python: one shuffle
-    # instead of two (the collect_list+array_sort re-grouping measured
-    # ~30% slower end-to-end)
-    _byl: dict = {}
-    for r in cent.collect():
-        slot = _byl.setdefault(r["label"], (r["cnt"], {}))
-        slot[1][r["d"]] = r["s"]
+    # The partial sums are map-side numpy (k×DIM int64 per batch) merged on
+    # the driver — no 64×-row posexplode shuffle, which at 100 TB would be
+    # the single biggest data movement in the query.
+
+    def partial_sums(batches):
+        import pandas as pd
+
+        acc: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e = np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
+            m = (np.sign(e) * np.floor(np.abs(e) + 0.5)).astype(np.int64)
+            labels = pdf["label"].to_numpy(dtype=np.int64)
+            for lbl in np.unique(labels):
+                sel = m[labels == lbl]
+                cnt, vec = acc.get(int(lbl), (0, 0))
+                acc[int(lbl)] = (cnt + len(sel), vec + sel.sum(axis=0, dtype=np.int64))
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "label": list(acc),
+                    "cnt": [c for c, _ in acc.values()],
+                    "sv": [v for _, v in acc.values()],
+                }
+            )
+
+    merged: dict = {}
+    for r in raw.mapInPandas(
+        partial_sums, schema="label long, cnt long, sv array<long>"
+    ).collect():
+        cnt, vec = merged.get(r["label"], (0, None))
+        sv = np.array(r["sv"], dtype=np.int64)
+        merged[r["label"]] = (cnt + r["cnt"], sv if vec is None else vec + sv)
     codebook = sorted(
-        (lbl, cnt, [dv[d] for d in sorted(dv)]) for lbl, (cnt, dv) in _byl.items()
+        (lbl, cnt, [int(x) for x in vec]) for lbl, (cnt, vec) in merged.items()
     )
     if not codebook:
-        n.unpersist()
         return spark.createDataFrame(
             [],
             "query_id long, neighbor_id long, neighbor_label long, "
             "cell long, cosine double, rank int",
         )
-    # d2 = ||x||² - 2·x·s/n + ||s||²/n² — identical arithmetic shape to the
-    # oracle (each term one double op on exact integers → bit-identical).
-    cell_structs = []
-    for c_label, cnt, sv in codebook:
-        ssv = sum(x * x for x in sv)  # exact: python ints
-        arr = ", ".join(str(x) for x in sv)
-        dot = f"aggregate(zip_with(qv, array({arr}), (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
-        d2 = (
-            f"cast(nrm as double) - 2.0D * cast({dot} as double) / {cnt}"
-            f" + cast({ssv} as double) / {cnt * cnt}"
-        )
-        cell_structs.append(f"struct({d2} as d2, {c_label}L as c_label)")
-    # array_sort on (d2, c_label) structs == ORDER BY d2, c_label
-    cells_expr = f"array_sort(array({', '.join(cell_structs)}))"
-    withcells = n.withColumn("cells", F.expr(cells_expr))
-    assign = withcells.select(
-        "vec_id", "label", "qv", "nrm", F.expr("cells[0].c_label").alias("cell")
+    # Everything per-row runs as ONE Arrow numpy stage against the broadcast
+    # codebook + broadcast query matrix — exactly the s_knn_bruteforce
+    # pattern, with a cell mask instead of full scoring. Each batch does:
+    # (a) d2 vs all cells in one (N×64)@(64×k) matmul, (b) stable argsort
+    # (cells pre-sorted by label == ORDER BY d2, c_label tiebreak),
+    # (c) one (nq×64)@(64×N) cosine matmul masked to rows whose assigned
+    # cell is probed by each query, (d) local top-k. No join ships vectors
+    # anywhere; the only shuffle is the k·batches survivors into the final
+    # rank window. d2 = ||x||² - 2·x·s/n + ||s||²/n², each term one double
+    # op on exact integers (sums < 2^50 << 2^53), bit-identical to the
+    # oracle's CAST(...AS DOUBLE) terms.
+    c_labels = np.array([c[0] for c in codebook], dtype=np.int64)  # sorted
+    c_cnt = np.array([c[1] for c in codebook], dtype=np.float64)
+    c_sv = np.array([c[2] for c in codebook], dtype=np.float64)  # (k, DIM)
+    c_ssv = np.array([float(sum(x * x for x in c[2])) for c in codebook])
+
+    def cells_for(m: "np.ndarray", nrm: "np.ndarray") -> "np.ndarray":
+        """Stable (d2, label)-ordered cell indices per row: (N, k)."""
+        d2 = nrm[:, None] - 2.0 * (m @ c_sv.T) / c_cnt[None, :] + (c_ssv / (c_cnt * c_cnt))[None, :]
+        return np.argsort(d2, axis=1, kind="stable")
+
+    # Query side: N_QUERIES rows by contract — driver-sized, same collect
+    # s_knn_bruteforce does. Probed cells are computed once here.
+    qrows = sorted(
+        q.filter(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r["vec_id"]
     )
-    # probes carry their own query vector — no separate query-side join
-    probes = withcells.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("nrm").alias("q_nrm"),
-        F.explode(
-            F.expr(f"transform(slice(cells, 1, {N_PROBE}), x -> x.c_label)")
-        ).alias("cell"),
+    empty_schema = (
+        "query_id long, neighbor_id long, neighbor_label long, "
+        "cell long, cosine double, rank int"
     )
-    dot = F.expr("aggregate(zip_with(q_qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
-    cosine = dot.cast("double") / (F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("nrm")))
-    scored = (
-        F.broadcast(probes.alias("p"))
-        .join(
-            assign.alias("a"),
-            (F.col("p.cell") == F.col("a.cell")) & (F.col("a.vec_id") != F.col("p.query_id")),
-            "inner",
-        )
-        .select(
-            F.col("p.query_id").alias("query_id"),
-            F.col("a.vec_id").alias("neighbor_id"),
-            F.col("a.label").alias("neighbor_label"),
-            F.col("p.cell").alias("cell"),
-            cosine.alias("cosine"),
-        )
+    if not qrows:
+        return spark.createDataFrame([], empty_schema)
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    q_nrm = (q_mat * q_mat).sum(axis=1)
+    # (nq, k) bool: does query qi probe cell index ci?
+    probe_mask = np.zeros((len(q_ids), len(c_labels)), dtype=bool)
+    for qi, cell_order in enumerate(cells_for(q_mat, q_nrm)):
+        probe_mask[qi, cell_order[:N_PROBE]] = True
+    b_q = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm, probe_mask))
+    top_k = TOP_K
+
+    def local_topk(batches):
+        import pandas as pd
+
+        qids, qmat, qnrm, pmask = b_q.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            n_labels = pdf["label"].to_numpy(dtype=np.int64)
+            e = np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
+            m = np.sign(e) * np.floor(np.abs(e) + 0.5)  # == round() HALF_UP
+            nrm = (m * m).sum(axis=1)
+            cell_idx = cells_for(m, nrm)[:, 0]
+            cos = (qmat @ m.T) / (np.sqrt(qnrm)[:, None] * np.sqrt(nrm)[None, :])
+            out = []
+            for qi in range(len(qids)):
+                cand = np.nonzero(pmask[qi, cell_idx] & (n_ids != qids[qi]))[0]
+                row = cos[qi]
+                if len(cand) > top_k:
+                    cand = cand[np.lexsort((n_ids[cand], -row[cand]))[:top_k]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(cand), qids[qi]),
+                            "neighbor_id": n_ids[cand],
+                            "neighbor_label": n_labels[cand],
+                            "cell": c_labels[cell_idx[cand]],
+                            "cosine": row[cand],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = spread(emb.select("vec_id", "label", "embedding")).mapInPandas(
+        local_topk,
+        schema="query_id long, neighbor_id long, neighbor_label long, cell long, cosine double",
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
