@@ -57,6 +57,16 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 PERMS = _perm_params(N_PERM)
 
 # 3-gram shingle extraction, kept textually parallel in both engines.
+# Scale caps (mirrored in every oracle, so they are part of the defined
+# semantics, not a silent truncation): a shingle present in > SHINGLE_DOC_CAP
+# docs contributes O(cap^2) near-noise pairs to the exact-Jaccard join, and an
+# LSH bucket with > LSH_BUCKET_CAP members is a degenerate dup-cluster whose
+# pairs are better handled by exact dedup / connected components. Both caps
+# only ever REMOVE candidate pairs (Jaccard numerators can only shrink), so
+# capped output is a subset of uncapped output — tests/test_dedup_caps.py.
+SHINGLE_DOC_CAP = 64
+LSH_BUCKET_CAP = 64
+
 _ORACLE_SHINGLES = """
     toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
     idx AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i FROM toks),
@@ -107,9 +117,11 @@ def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_ORACLE_SHINGLES},
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {SHINGLE_DOC_CAP}),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      JOIN rare r ON r.sh = a.sh
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b, n_shared,
@@ -125,11 +137,12 @@ def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard ≥ 0.5.
 
-    shingle → self-join on shared shingle → count → Jaccard from set
-    sizes. Integer counts divide once at the end, so the score is
-    engine-exact. At 100 TB, cap shingles appearing in >K docs before the
-    join (they contribute K² pairs of pure noise); d_minhash_lsh_pairs is
-    the subquadratic path.
+    shingle → doc-frequency cap → self-join on shared shingle → count →
+    Jaccard from set sizes. Integer counts divide once at the end, so the
+    score is engine-exact. Shingles in > SHINGLE_DOC_CAP docs are dropped
+    before the join (each would contribute O(cap^2) noise pairs — the one
+    real quadratic blowup at 100 TB); d_minhash_lsh_pairs is the
+    subquadratic path.
     """
     docs = load_table(spark, sf_dir, "documents")
     # Shingle extraction + hashing in ONE Arrow-batched mapInPandas stage:
@@ -181,8 +194,17 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(16, "sh")
         .persist()
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # Frequent-shingle cap: a shingle in > SHINGLE_DOC_CAP docs would emit
+    # O(cap^2) pairs of pure noise (stopword-like 3-grams at corpus scale).
+    # The doc-frequency window reuses the existing hash partitioning on sh
+    # (no second exchange); sizes (a.n/b.n) stay the TRUE per-doc set sizes,
+    # so a capped pair's jaccard is <= its exact value and the capped result
+    # is a subset of the uncapped one.
+    rare = sh.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("sh"))
+    ).filter(F.col("df") <= SHINGLE_DOC_CAP).drop("df")
+    a = rare.alias("a")
+    b = rare.alias("b")
     pairs = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
@@ -284,9 +306,10 @@ def _lsh_candidate_pairs(sig: DataFrame, *, distinct: bool = True) -> DataFrame:
     band structs; pairs are emitted MAP-SIDE from each (band, bsig)
     bucket's sorted member list — one shuffle of 4 rows/doc, versus the
     band self-join's two shuffle sides plus join (measured ~1.4× slower).
-    Bucket width is bounded by duplicate-cluster size; at 100 TB cap
-    degenerate buckets (|ds| > K means K identical docs — sample or cut
-    them) exactly as a join-based shape would have to."""
+    Degenerate buckets (> LSH_BUCKET_CAP members = a giant identical-doc
+    cluster, better handled by exact dedup / connected components) are
+    cut before pair emission — the cap is mirrored in the oracles, and a
+    pair sharing any OTHER small bucket still surfaces."""
     band_structs = [
         F.struct(F.lit(band).alias("band_id"), _band_sig_spark(band).alias("bsig"))
         for band in range(N_BANDS)
@@ -297,7 +320,7 @@ def _lsh_candidate_pairs(sig: DataFrame, *, distinct: bool = True) -> DataFrame:
     grouped = (
         bands.groupBy("band_id", "bsig")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") >= 2)
+        .filter(F.size("ds").between(2, LSH_BUCKET_CAP))
     )
     pairs = F.expr(
         "flatten(transform(ds, (x, i) -> "
@@ -321,10 +344,15 @@ def _lsh_candidate_pairs(sig: DataFrame, *, distinct: bool = True) -> DataFrame:
     bands AS (
       {" UNION ALL ".join(f"SELECT doc_id, {band} AS band_id, {_band_sig_oracle(band)} AS bsig FROM sig" for band in range(N_BANDS))}
     ),
+    okbkt AS (
+      SELECT band_id, bsig FROM bands
+      GROUP BY band_id, bsig HAVING count(*) <= {LSH_BUCKET_CAP}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+      JOIN okbkt k ON k.band_id = a.band_id AND k.bsig = a.bsig
     )
     SELECT doc_a, doc_b,
            CAST({" + ".join(f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(N_PERM))} AS DOUBLE) / {N_PERM} AS est_jaccard
@@ -376,10 +404,15 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS (
       {" UNION ALL ".join(f"SELECT doc_id, {band} AS band_id, {_band_sig_oracle(band)} AS bsig FROM sig" for band in range(N_BANDS))}
     ),
+    okbkt AS (
+      SELECT band_id, bsig FROM bands
+      GROUP BY band_id, bsig HAVING count(*) <= {LSH_BUCKET_CAP}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+      JOIN okbkt k ON k.band_id = a.band_id AND k.bsig = a.bsig
     )
     SELECT doc_a, doc_b,
            levenshtein(da.text, db.text) AS edit_dist,
@@ -784,10 +817,15 @@ def d_keep_best_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS (
       {" UNION ALL ".join(f"SELECT doc_id, {band} AS band_id, {_band_sig_oracle(band)} AS bsig FROM sig" for band in range(N_BANDS))}
     ),
+    okbkt AS (
+      SELECT band_id, bsig FROM bands
+      GROUP BY band_id, bsig HAVING count(*) <= {LSH_BUCKET_CAP}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+      JOIN okbkt k ON k.band_id = a.band_id AND k.bsig = a.bsig
     ),
     sym AS (
       SELECT doc_a AS a, doc_b AS b FROM cand
@@ -846,7 +884,7 @@ def d_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = (
         bands.groupBy("band_id", "bsig")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") >= 2)
+        .filter(F.size("ds").between(2, LSH_BUCKET_CAP))
     )
     star = F.expr(
         "transform(slice(ds, 2, size(ds) - 1), y -> struct(ds[0] as src, y as dst))"
@@ -885,10 +923,15 @@ def d_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS (
       {" UNION ALL ".join(f"SELECT doc_id, {band} AS band_id, {_band_sig_oracle(band)} AS bsig FROM sig" for band in range(N_BANDS))}
     ),
+    okbkt AS (
+      SELECT band_id, bsig FROM bands
+      GROUP BY band_id, bsig HAVING count(*) <= {LSH_BUCKET_CAP}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+      JOIN okbkt k ON k.band_id = a.band_id AND k.bsig = a.bsig
     )
     SELECT count(DISTINCT x) AS n_nodes,
            (SELECT count(*) FROM cand) AS n_edges,

@@ -1,0 +1,139 @@
+"""Scale-cap semantics of the dedup family.
+
+SHINGLE_DOC_CAP and LSH_BUCKET_CAP bound the one quadratic blowup a
+100 TB corpus can hit (hot shingles / degenerate buckets). The caps are
+part of the defined semantics (mirrored in the DuckDB oracles); these
+tests pin the containment property that makes them safe to apply:
+capping only ever REMOVES pairs — it never invents or rescores one.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+import pytest
+
+from dbt_fal_spark.operators.dedup import (
+    LSH_BUCKET_CAP,
+    SHINGLE_DOC_CAP,
+    d_minhash_lsh_pairs,
+    d_neardup_components,
+    d_ngram_jaccard_pairs,
+)
+
+
+def _shingles(text: str) -> set[str]:
+    w = text.split(" ")
+    return {" ".join(t) for t in zip(w, w[1:], w[2:])}
+
+
+def _exact_jaccard_pairs(docs: list[tuple[int, str]], threshold: float = 0.5):
+    """Uncapped ground truth, computed independently in Python."""
+    sets = {i: _shingles(t) for i, t in docs if len(t.split(" ")) >= 3}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if not inter:
+            continue
+        j = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if j >= threshold:
+            out[(a, b)] = j
+    return out
+
+
+@pytest.fixture(scope="module")
+def capped_corpus_dir(spark, tmp_path_factory):
+    """documents.parquet containing both blowups:
+
+    - a hot shingle ("alpha beta gamma") present in SHINGLE_DOC_CAP+16
+      docs whose remaining text is unique filler,
+    - a duplicate cluster of LSH_BUCKET_CAP+6 identical docs,
+    - two genuine near-dup pairs that must survive both caps.
+    """
+    rows = []
+    hot = "alpha beta gamma"
+    for i in range(SHINGLE_DOC_CAP + 16):
+        filler = " ".join(f"u{i}w{j}" for j in range(8))
+        rows.append((1000 + i, f"{hot} {filler}"))
+    big = "dup cluster body " + " ".join(f"c{j}" for j in range(10))
+    for i in range(LSH_BUCKET_CAP + 6):
+        rows.append((2000 + i, big))
+    # surviving near-dup pairs: high overlap, unique vocabulary
+    rows.append((1, "quick brown fox jumps over the lazy dog tonight"))
+    rows.append((2, "quick brown fox jumps over the lazy dog today"))
+    rows.append((3, "lorem ipsum dolor sit amet consectetur adipiscing elit"))
+    rows.append((4, "lorem ipsum dolor sit amet consectetur adipiscing elit"))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "test",
+            "embedding": None,
+        }
+    )
+    d = tmp_path_factory.mktemp("capped_sf")
+    pdf[["doc_id", "text", "lang", "source"]].to_parquet(str(d / "documents.parquet"))
+    return str(d), rows
+
+
+def test_capped_jaccard_is_subset_of_exact(spark, capped_corpus_dir):
+    sf_dir, rows = capped_corpus_dir
+    exact = _exact_jaccard_pairs(rows)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in d_ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+    # containment: nothing is invented, and surviving pairs keep a score
+    # <= their exact value (numerator can only shrink under the cap)
+    for pair, j in got.items():
+        assert pair in exact
+        assert j <= exact[pair] + 1e-12
+    # pairs with no frequent shingle are untouched, identical score
+    assert got[(1, 2)] == pytest.approx(exact[(1, 2)])
+    assert got[(3, 4)] == pytest.approx(exact[(3, 4)])
+    # hot-shingle-only pairs are gone: doc pairs 1000.. share ONLY the hot
+    # 3-gram, whose jaccard would be < 0.5 anyway; the dup cluster (2000..)
+    # still surfaces here (its shingles are in cap+6 docs > cap? yes —
+    # every shingle of the identical cluster exceeds the cap, so none meet)
+    assert not any(1000 <= a < 2000 and 1000 <= b < 2000 for a, b in got)
+    assert not any(2000 <= a < 3000 for a, b in got)
+
+
+def test_lsh_bucket_cap_drops_degenerate_cluster_only(spark, capped_corpus_dir):
+    sf_dir, rows = capped_corpus_dir
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in d_minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+    # the giant identical cluster never emits pairs (every band bucket
+    # holds cap+6 members)...
+    assert not any(2000 <= a < 3000 for a, b in pairs)
+    # ...while small duplicate pairs keep surfacing
+    assert (3, 4) in pairs
+    # and no pair exists that does not share at least one band signature
+    # in the UNCAPPED world (subset of exact candidates): identical docs
+    # always collide, distinct-vocabulary docs collide with prob ~2^-128
+    for a, b in pairs:
+        texts = dict((i, t) for i, t in rows)
+        assert _shingles(texts[a]) & _shingles(texts[b])
+
+
+def test_components_exclude_capped_cluster(spark, capped_corpus_dir):
+    sf_dir, rows = capped_corpus_dir
+    comp = {
+        r["doc_id"]: (r["canonical_id"], r["component_size"])
+        for r in d_neardup_components(spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+    # every doc is labeled
+    assert set(comp) == {i for i, _ in rows}
+    # the capped giant cluster degenerates to singletons (edges cut on
+    # both engine and oracle sides alike)
+    for i, _ in rows:
+        if 2000 <= i < 3000:
+            assert comp[i] == (i, 1)
+    # genuine small dup pairs still merge
+    assert comp[4][0] == 3 and comp[3][1] == 2
