@@ -14,7 +14,10 @@ src/fal/dbt/cli/selectors.py:13-65 plan build, :156-226 SelectorPlan,
   did not exist in the saved state (reference: selectors.py:228-242 routes
   these to dbt's state machinery; here the state is the checksum snapshot
   the last run wrote — see ``model_checksums`` / FalSpark ``target/``)
-- space-separated selectors = union; ``--exclude`` subtracts.
+- space-separated selectors = union; comma-separated = intersection
+  (``tag:nightly,state:modified`` = nodes matching BOTH, each component
+  fully expanded through its own graph operators before intersecting,
+  reference: selectors.py:78-125); ``--exclude`` subtracts.
 """
 
 from __future__ import annotations
@@ -110,6 +113,35 @@ def _match_nodes(graph: NodeGraph, plan: SelectorPlan, state: dict[str, str] | N
     return out
 
 
+def _eval_component(graph: NodeGraph, raw: str, state: dict[str, str] | None) -> set[str]:
+    """One selector component: match + graph-operator expansion."""
+    plan = SelectorPlan.parse(raw)
+    base = _match_nodes(graph, plan, state)
+    expanded = set(base)
+    for node in base:
+        if plan.ancestors:
+            expanded.update(graph.get_predecessors(node, plan.ancestor_levels))
+        if plan.descendants:
+            expanded.update(graph.get_successors(node, plan.descendant_levels))
+        if plan.at_operator:
+            for d in graph.get_descendants(node):
+                expanded.add(d)
+                expanded.update(graph.get_ancestors(d))
+    return expanded
+
+
+def _eval_selector(graph: NodeGraph, raw: str, state: dict[str, str] | None) -> set[str]:
+    """One space-delimited selector word; ``a,b`` intersects the fully
+    expanded component sets (dbt semantics — `+a,b+` is (+a) ∩ (b+))."""
+    out: set[str] | None = None
+    for part in raw.split(","):
+        if not part:
+            continue
+        nodes = _eval_component(graph, part, state)
+        out = nodes if out is None else out & nodes
+    return out or set()
+
+
 def select_nodes(
     graph: NodeGraph,
     select: list[str] | str | None,
@@ -125,30 +157,10 @@ def select_nodes(
             select = select.split()
         selected = set()
         for raw in select:
-            plan = SelectorPlan.parse(raw)
-            base = _match_nodes(graph, plan, state)
-            expanded = set(base)
-            for node in base:
-                if plan.ancestors:
-                    expanded.update(graph.get_predecessors(node, plan.ancestor_levels))
-                if plan.descendants:
-                    expanded.update(graph.get_successors(node, plan.descendant_levels))
-                if plan.at_operator:
-                    for d in graph.get_descendants(node):
-                        expanded.add(d)
-                        expanded.update(graph.get_ancestors(d))
-            selected |= expanded
+            selected |= _eval_selector(graph, raw, state)
     if exclude:
         if isinstance(exclude, str):
             exclude = exclude.split()
         for raw in exclude:
-            plan = SelectorPlan.parse(raw)
-            base = _match_nodes(graph, plan, state)
-            removed = set(base)
-            for node in base:
-                if plan.ancestors:
-                    removed.update(graph.get_predecessors(node, plan.ancestor_levels))
-                if plan.descendants:
-                    removed.update(graph.get_successors(node, plan.descendant_levels))
-            selected -= removed
+            selected -= _eval_selector(graph, raw, state)
     return selected

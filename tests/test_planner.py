@@ -133,6 +133,27 @@ def test_select_union(diamond_graph):
     assert _names(select_nodes(diamond_graph, "b c")) == {"b", "c"}
 
 
+def test_select_intersection(diamond_graph):
+    # comma = intersection of fully expanded components
+    # (reference: selectors.py:78-125, tests/graph/test_selectors.py)
+    assert _names(select_nodes(diamond_graph, "tag:nightly,b")) == {"b"}
+    # each side expands through its own graph ops BEFORE intersecting:
+    # (+d) = {a,b,c,d}, (b+) = {b,d,e} → {b,d}
+    assert _names(select_nodes(diamond_graph, "+d,b+")) == {"b", "d"}
+    # disjoint components intersect to nothing
+    assert select_nodes(diamond_graph, "tag:nightly,tag:reporting") == set()
+    # intersection composes with union: 'x y,z' = x ∪ (y ∩ z)
+    assert _names(select_nodes(diamond_graph, "a tag:nightly,c")) == {"a", "c"}
+    # and with --exclude, which supports intersections too
+    assert _names(select_nodes(diamond_graph, "+d", exclude="tag:nightly,b")) == {"a", "c", "d"}
+
+
+def test_select_intersection_with_state(diamond_graph):
+    state = {"a": "x", "b": "x", "c": "x", "d": "x", "e": "x"}  # all modified
+    got = select_nodes(diamond_graph, "state:modified,tag:nightly", state=state)
+    assert _names(got) == {"b", "c"}
+
+
 def test_select_exclude(diamond_graph):
     assert _names(select_nodes(diamond_graph, "+d", exclude="b")) == {"a", "c", "d"}
 
