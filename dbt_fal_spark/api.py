@@ -36,7 +36,7 @@ from dbt_fal_spark.plans.node_graph import NodeGraph, NodeKind
 from dbt_fal_spark.plans.schedule import FAILURE, SUCCESS, Scheduler, TaskGroup
 from dbt_fal_spark.plans.selectors import model_checksums, select_nodes
 from dbt_fal_spark.project.jinja import render_model_sql
-from dbt_fal_spark.project.loader import load_project
+from dbt_fal_spark.project.loader import load_profile, load_project
 from dbt_fal_spark.project.manifest import DbtModel, DbtTest
 from dbt_fal_spark.session import get_spark
 
@@ -58,6 +58,9 @@ class Context:
     current_model: CurrentModel | None
     config: dict = field(default_factory=dict)
     arguments: dict = field(default_factory=dict)
+    # active profiles.yml target name (reference: parse.py:59-98), None
+    # when the project has no profiles.yml
+    target: str | None = None
 
 
 class FalSpark:
@@ -67,17 +70,50 @@ class FalSpark:
         spark: SparkSession | None = None,
         vars: dict[str, Any] | None = None,
         schema: str | None = None,
+        target: str | None = None,
     ) -> None:
         self.project_dir = Path(project_dir)
+        # profiles.yml-lite: the active target supplies schema, warehouse
+        # location, thread default and per-target Spark conf (reference:
+        # parse.py:59-98 + load_db_profile.py:40-60); absent profiles.yml
+        # everything keeps its project-derived defaults.
+        profile = load_profile(project_dir, target=target) or {}
+        self.target_name: str | None = profile.get("target")
+        self.threads: int = int(profile.get("threads", 4))
+        self._warehouse_dir: Path | None = (
+            Path(profile["warehouse_dir"]) if profile.get("warehouse_dir") else None
+        )
         # FAIR scheduling: the executor runs independent DAG branches
         # concurrently from threads; FAIR pools keep a wide model from
         # starving its siblings. (Single-query sessions default to FIFO —
         # see session.py.)
-        self.spark = spark or get_spark(**{"spark.scheduler.mode": "FAIR"})
+        if spark is None:
+            spark = get_spark(
+                **{"spark.scheduler.mode": "FAIR", **profile.get("spark_conf", {})}
+            )
+        else:
+            # caller-provided session: apply only runtime-settable conf
+            for k, v in profile.get("spark_conf", {}).items():
+                try:
+                    spark.conf.set(k, str(v))
+                except Exception:
+                    pass  # static conf on a live session — profile is advisory
+        self.spark = spark
         self.manifest = load_project(project_dir, vars=vars)
         self.graph = NodeGraph.from_manifest(self.manifest)
-        self.schema = schema or self.manifest.project_name.replace("-", "_")
-        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{self.schema}`")
+        self.schema = (
+            schema or profile.get("schema") or self.manifest.project_name.replace("-", "_")
+        )
+        if self._warehouse_dir is not None:
+            # per-target warehouse: pin the database location explicitly so
+            # dev/prod targets write to disjoint directories even within one
+            # Spark session (spark.sql.warehouse.dir is static per session)
+            loc = (self._warehouse_dir / f"{self.schema}.db").resolve()
+            self.spark.sql(
+                f"CREATE DATABASE IF NOT EXISTS `{self.schema}` LOCATION '{loc}'"
+            )
+        else:
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{self.schema}`")
         self._view_models: set[str] = set()  # model names materialized as views
         self.target_dir = self.project_dir / "target"
         self._reattach_catalog()
@@ -94,8 +130,11 @@ class FalSpark:
         View/ephemeral models are re-created lazily on first reference
         (see ``_identifier``) — dbt semantics, where a view is just stored
         SQL."""
-        wh = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        wh_path = Path(wh.removeprefix("file:"))
+        if self._warehouse_dir is not None:
+            wh_path = self._warehouse_dir
+        else:
+            wh = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            wh_path = Path(wh.removeprefix("file:"))
         db_dir = wh_path / f"{self.schema}.db"
         for model in self.manifest.models.values():
             if model.materialization in ("view", "ephemeral"):
@@ -275,13 +314,14 @@ class FalSpark:
         self,
         select: str | list[str] | None = None,
         exclude: str | list[str] | None = None,
-        threads: int = 4,
+        threads: int | None = None,
         full_refresh: bool = False,
         fail_fast: bool = False,
     ) -> dict[str, str]:
         # dbt --full-refresh: incremental models rebuild from scratch this
         # run (is_incremental() renders False; the table is overwritten)
         self._full_refresh = full_refresh
+        threads = threads if threads is not None else self.threads
         selected = select_nodes(self.graph, select, exclude, state=self._load_state())
         order = [n for n in self.graph.sort_nodes() if n in selected]
         groups: dict[str, TaskGroup] = {}
@@ -671,6 +711,7 @@ class _ScriptTask:
                 meta=model.meta,
             ),
             arguments=self.arguments,
+            target=fal.target_name,
         )
         namespace = {
             "__file__": str(path),

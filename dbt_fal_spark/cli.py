@@ -28,8 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--project-dir", default=".", help="dbt-style project directory")
         sp.add_argument("--select", nargs="*", default=None, help="node selectors (dbt syntax)")
         sp.add_argument("--exclude", nargs="*", default=None)
-        sp.add_argument("--threads", type=int, default=4)
+        sp.add_argument("--threads", type=int, default=None, help="parallelism (default: profiles.yml threads, else 4)")
         sp.add_argument("--vars", default="{}", help="JSON dict of project vars")
+        sp.add_argument("--target", default=None, help="profiles.yml target (e.g. dev, prod)")
 
     flow = sub.add_parser("flow", help="flow verbs")
     flow_sub = flow.add_subparsers(dest="flow_command", required=True)
@@ -70,7 +71,7 @@ def main(argv: list[str] | None = None) -> int:
     # import late so `--help` works without a JVM
     from dbt_fal_spark.api import FalSpark
 
-    fal = FalSpark(args.project_dir, vars=json.loads(args.vars))
+    fal = FalSpark(args.project_dir, vars=json.loads(args.vars), target=getattr(args, "target", None))
 
     if args.command == "flow":
         statuses = fal.run(select=args.select, exclude=args.exclude, threads=args.threads, full_refresh=getattr(args, "full_refresh", False), fail_fast=getattr(args, "fail_fast", False))

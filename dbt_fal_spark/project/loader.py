@@ -219,3 +219,51 @@ def _collect_tests(manifest: Manifest, project: str, props: dict, model_id: str 
                 column=col["name"],
                 params=params or {},
             )
+
+
+# --- profiles.yml-lite (reference: A/src/fal/dbt/integration/parse.py:59-98
+# profile loading + --target resolution, load_db_profile.py:40-60) ---
+
+def load_profile(
+    project_dir: str | Path, target: str | None = None
+) -> dict[str, Any] | None:
+    """Resolve the active output of a profiles.yml, dbt-style.
+
+    Search order: <project_dir>/profiles.yml, then ~/.dbt/profiles.yml.
+    The profile name comes from dbt_project.yml's ``profile:`` key
+    (fallback: the project name). Returns a dict with ``target`` (the
+    resolved target name) merged over the output's keys (``schema``,
+    ``warehouse_dir``, ``threads``, ``spark_conf``, ...), or None when no
+    profiles.yml exists — projects without one keep working unchanged.
+    """
+    project_dir = Path(project_dir)
+    cfg = (
+        _load_yaml(project_dir / "dbt_project.yml")
+        if (project_dir / "dbt_project.yml").exists()
+        else {}
+    )
+    profile_name = cfg.get("profile") or cfg.get("name", project_dir.name)
+    path = None
+    for cand in (project_dir / "profiles.yml", Path.home() / ".dbt" / "profiles.yml"):
+        if cand.exists():
+            path = cand
+            break
+    if path is None:
+        return None
+    doc = _load_yaml(path)
+    profile = doc.get(profile_name)
+    if profile is None:
+        raise ValueError(
+            f"profiles.yml at {path} has no profile {profile_name!r} "
+            f"(available: {', '.join(sorted(doc))})"
+        )
+    outputs = profile.get("outputs", {})
+    target_name = target or profile.get("target")
+    if target_name not in outputs:
+        raise ValueError(
+            f"profile {profile_name!r} has no target {target_name!r} "
+            f"(available: {', '.join(sorted(outputs))})"
+        )
+    out = dict(outputs[target_name])
+    out["target"] = target_name
+    return out
