@@ -71,8 +71,16 @@ class FalSpark:
         vars: dict[str, Any] | None = None,
         schema: str | None = None,
         target: str | None = None,
+        state_path: str | Path | None = None,
+        defer: bool = False,
     ) -> None:
         self.project_dir = Path(project_dir)
+        # --state PATH: external artifact dir for state: selectors and
+        # --defer (reference: args.py:69-75,104). Defaults to this
+        # project's own target/ (the last local run).
+        self.state_path = Path(state_path) if state_path else None
+        self.defer = defer
+        self._run_selected: set[str] | None = None  # short names, during run()
         # profiles.yml-lite: the active target supplies schema, warehouse
         # location, thread default and per-target Spark conf (reference:
         # parse.py:59-98 + load_db_profile.py:40-60); absent profiles.yml
@@ -171,7 +179,41 @@ class FalSpark:
             )
             self.spark.sql(rendered).createOrReplaceTempView(f"{self.schema}__{model_name}")
             return f"{self.schema}__{model_name}"
-        return f"{self.schema}.{model_name}"
+        ident = f"{self.schema}.{model_name}"
+        if self.defer and not self._selected_this_run(model_name) and not self.spark.catalog.tableExists(ident):
+            deferred = self._deferred_identifier(model_name)
+            if deferred is not None:
+                return deferred
+        return ident
+
+    def _selected_this_run(self, model_name: str) -> bool:
+        """Is this model being (re)built by the current run()? Outside a
+        run everything counts as selected (defer only redirects refs FROM
+        selected nodes TO unselected upstreams — dbt semantics)."""
+        if self._run_selected is None:
+            return True
+        return model_name in self._run_selected
+
+    def _deferred_identifier(self, model_name: str) -> str | None:
+        """--defer: resolve an unselected, locally-absent upstream against
+        the state environment's warehouse (reference: args.py:104 defers to
+        the manifest at --state; here state_meta.json records the schema +
+        warehouse the artifacts were built into)."""
+        meta = self._load_state_meta()
+        schema, wh = meta.get("schema"), meta.get("warehouse_dir")
+        if not schema or not wh:
+            return None
+        ident = f"{schema}.{model_name}"
+        if self.spark.catalog.tableExists(ident):
+            return ident
+        loc = Path(wh) / f"{schema}.db" / model_name
+        if loc.is_dir() and any(loc.iterdir()):
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{schema}`")
+            self.spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {ident} USING parquet LOCATION '{loc.resolve()}'"
+            )
+            return ident
+        return None
 
     def _resolve_ref(self, name: str) -> str:
         return self._identifier(name)
@@ -323,6 +365,9 @@ class FalSpark:
         self._full_refresh = full_refresh
         threads = threads if threads is not None else self.threads
         selected = select_nodes(self.graph, select, exclude, state=self._load_state())
+        # defer scope: refs from selected nodes to models NOT in this set
+        # resolve against the state environment (when --defer is on)
+        self._run_selected = {n.split(".")[-1] for n in selected}
         order = [n for n in self.graph.sort_nodes() if n in selected]
         groups: dict[str, TaskGroup] = {}
         for node in order:
@@ -352,7 +397,10 @@ class FalSpark:
         scheduler = Scheduler(list(groups.values()))
         context: dict = {"errors": []}
         t0 = time.time()
-        parallel_executor(scheduler, context, threads=threads, fail_fast=fail_fast)
+        try:
+            parallel_executor(scheduler, context, threads=threads, fail_fast=fail_fast)
+        finally:
+            self._run_selected = None
         statuses = {}
         for node, group in groups.items():
             model = self.graph.node_attr(node, "model")
@@ -380,9 +428,21 @@ class FalSpark:
 
     def _load_state(self) -> dict[str, str]:
         """Prior name→checksum snapshot for ``state:new/modified`` selectors
-        (reference: `--state` passthrough, args.py:103-105; here the state
-        artifact is written by every run — SURVEY §4 manifest-diff row)."""
-        path = self.target_dir / "manifest_checksums.json"
+        (reference: `--state PATH`, args.py:69-75,104 — an external artifact
+        dir, e.g. the prod target/ in CI slim builds; default: this
+        project's own target/, written by every run)."""
+        base = self.state_path or self.target_dir
+        path = base / "manifest_checksums.json" if base.is_dir() else base
+        if path.exists():
+            return json.loads(path.read_text())
+        return {}
+
+    def _load_state_meta(self) -> dict:
+        """Environment descriptor of the state artifacts (schema +
+        warehouse location) — what --defer resolves unselected refs
+        against."""
+        base = self.state_path or self.target_dir
+        path = base / "state_meta.json"
         if path.exists():
             return json.loads(path.read_text())
         return {}
@@ -391,6 +451,13 @@ class FalSpark:
         self.target_dir.mkdir(exist_ok=True)
         (self.target_dir / "manifest_checksums.json").write_text(
             json.dumps(model_checksums(self.manifest), indent=1, sort_keys=True)
+        )
+        if self._warehouse_dir is not None:
+            wh = str(self._warehouse_dir.resolve())
+        else:
+            wh = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+        (self.target_dir / "state_meta.json").write_text(
+            json.dumps({"schema": self.schema, "warehouse_dir": wh}, indent=1)
         )
 
     def _write_run_results(self, statuses: dict[str, str], elapsed: float, context: dict) -> None:

@@ -31,6 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--threads", type=int, default=None, help="parallelism (default: profiles.yml threads, else 4)")
         sp.add_argument("--vars", default="{}", help="JSON dict of project vars")
         sp.add_argument("--target", default=None, help="profiles.yml target (e.g. dev, prod)")
+        sp.add_argument("--state", default=None, help="external artifact dir for state: selectors / --defer")
 
     flow = sub.add_parser("flow", help="flow verbs")
     flow_sub = flow.add_subparsers(dest="flow_command", required=True)
@@ -43,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     flow_run.add_argument(
         "--fail-fast", action="store_true",
         help="stop launching new models after the first failure",
+    )
+    flow_run.add_argument(
+        "--defer", action="store_true", dest="defer_",
+        help="resolve unselected upstream refs against the --state environment",
     )
 
     run = sub.add_parser("run", help="post-run scripts mode (reference: fal run)")
@@ -71,7 +76,13 @@ def main(argv: list[str] | None = None) -> int:
     # import late so `--help` works without a JVM
     from dbt_fal_spark.api import FalSpark
 
-    fal = FalSpark(args.project_dir, vars=json.loads(args.vars), target=getattr(args, "target", None))
+    fal = FalSpark(
+        args.project_dir,
+        vars=json.loads(args.vars),
+        target=getattr(args, "target", None),
+        state_path=getattr(args, "state", None),
+        defer=getattr(args, "defer_", False),
+    )
 
     if args.command == "flow":
         statuses = fal.run(select=args.select, exclude=args.exclude, threads=args.threads, full_refresh=getattr(args, "full_refresh", False), fail_fast=getattr(args, "fail_fast", False))
