@@ -516,11 +516,15 @@ class FalSpark:
         *,
         use_last_run: bool = True,
         only_scripts: list[str] | None = None,
+        before: bool | None = None,
     ) -> list[str]:
         """Post-run scripts mode (reference: `fal run`, fal_runner.py:34-76 +
-        model filter :144-174): run BEFORE/AFTER scripts and hooks around
-        models selected from the last run_results.json (or all models with
-        ``use_last_run=False``, the reference's ``--all``)."""
+        model filter :144-174): run scripts and hooks around models selected
+        from the last run_results.json (or all models with
+        ``use_last_run=False``, the reference's ``--all``). ``before``
+        scopes which side runs — True = BEFORE scripts/pre-hooks only (the
+        reference's `fal run --before`), False = AFTER/post only (the
+        reference's plain `fal run`), None = both (API convenience)."""
         selected = select_nodes(self.graph, select, exclude, state=self._load_state())
         if use_last_run:
             rr = self.target_dir / "run_results.json"
@@ -537,13 +541,14 @@ class FalSpark:
             if node not in selected or self.graph.node_kind(node) == NodeKind.FAL_SCRIPT:
                 continue
             model: DbtModel = self.graph.node_attr(node, "model")
-            for before in (True, False):
-                for script in model.get_scripts(before=before):
+            sides = (True, False) if before is None else (before,)
+            for side in sides:
+                for script in model.get_scripts(before=side):
                     if only_scripts and script not in only_scripts:
                         continue
                     _ScriptTask(self, model, script).execute(context)
-                    ran.append(f"script.{model.name}.{'BEFORE' if before else 'AFTER'}.{script}")
-            for pre in (True, False):
+                    ran.append(f"script.{model.name}.{'BEFORE' if side else 'AFTER'}.{script}")
+            for pre in sides:
                 for h in model.get_hooks(pre=pre):
                     if only_scripts and h.path not in only_scripts:
                         continue

@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
     add_common(run)
     run.add_argument("--all", action="store_true", help="ignore last run_results; run for all models")
     run.add_argument("--scripts", nargs="*", default=None, help="only these script files")
+    # reference CLI scoping (fal_runner.py:34-76): plain `run` = AFTER
+    # scripts, `run --before` = BEFORE scripts; `--both` keeps the old
+    # run-everything behavior
+    scope = run.add_mutually_exclusive_group()
+    scope.add_argument("--before", action="store_true", help="run BEFORE scripts/pre-hooks instead of AFTER")
+    scope.add_argument("--both", action="store_true", help="run both BEFORE and AFTER scripts")
 
     test = sub.add_parser("test", help="generic + singular tests")
     add_common(test)
@@ -106,6 +112,7 @@ def main(argv: list[str] | None = None) -> int:
             exclude=args.exclude,
             use_last_run=not args.all,
             only_scripts=args.scripts,
+            before=None if args.both else args.before,
         )
         for node in ran:
             print(f"ran      {node}")

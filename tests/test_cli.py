@@ -24,6 +24,10 @@ def test_parser_flow_run_flags():
 def test_parser_run_scripts_flags():
     args = build_parser().parse_args(["run", "--all", "--scripts", "s.py"])
     assert args.command == "run" and args.all and args.scripts == ["s.py"]
+    assert not args.before and not args.both  # default = AFTER scripts only
+    assert build_parser().parse_args(["run", "--before"]).before
+    with pytest.raises(SystemExit):  # mutually exclusive
+        build_parser().parse_args(["run", "--before", "--both"])
 
 
 def test_parser_source_freshness():
@@ -43,10 +47,17 @@ def test_cli_flow_run_then_post_run_and_test(cli_env, capsys):
     assert main(["flow", "run", "--project-dir", FIXTURE]) == 0
     out = capsys.readouterr().out
     assert "success  model.jaffle_spark.customers" in out
-    # post-run scripts mode consumes the run_results the flow run wrote
+    # post-run scripts mode consumes the run_results the flow run wrote;
+    # plain `run` scopes to AFTER scripts/post-hooks (reference default)
     assert main(["run", "--project-dir", FIXTURE]) == 0
     out = capsys.readouterr().out
     assert "AFTER" in out and "after_audit.py" in out
+    assert "PRE" not in out and "BEFORE" not in out
+    # `run --before` flips to the BEFORE side (here: the pre-hook)
+    assert main(["run", "--project-dir", FIXTURE, "--before"]) == 0
+    out = capsys.readouterr().out
+    assert "PRE" in out and "pre_note.py" in out
+    assert "AFTER" not in out
     assert main(["test", "--project-dir", FIXTURE]) == 0
     out = capsys.readouterr().out
     assert "tested" in out and "error" not in out
