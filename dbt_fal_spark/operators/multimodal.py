@@ -34,9 +34,23 @@ from dbt_fal_spark.sources.readers import load_table
 
 
 def decode_image(payload: bytes) -> dict:
-    """STUB: real implementation would decode via PIL/libvips (not in
-    this container). Raises so nothing silently pretends to decode."""
-    raise NotImplementedError("image decoding requires PIL/libvips (not installed)")
+    """Real image decode when a codec library exists (import-guarded: PIL
+    if installed), else raises so nothing silently pretends to decode.
+    Returns the same shape as ``fake_decode_meta``."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:  # container has no codec libraries
+        raise NotImplementedError(
+            "image decoding requires PIL/libvips (not installed)"
+        ) from exc
+    with Image.open(io.BytesIO(payload)) as im:
+        return {
+            "width": im.width,
+            "height": im.height,
+            "format": (im.format or "unknown").lower(),
+        }
 
 
 def fake_decode_meta(payload: bytes) -> dict:
@@ -95,20 +109,28 @@ def m_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "pandas-udf"),
 )
 def m_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The real mapInPandas decode pipeline. The decode step is a
-    deterministic fake (the container has no codec libraries), which
-    makes even this path fully oracle-checkable: the fake's arithmetic
-    is restated in SQL on the oracle side, so what the gate certifies is
-    the Arrow plumbing — batch iteration, schema, row alignment — not
-    pixel math. Swap ``fake_decode_meta`` for ``decode_image`` when the
-    codec libraries exist (at which point the check drops to rows-only,
-    as real decodes have no SQL twin).
+    """The real mapInPandas decode pipeline. Each payload first tries a
+    REAL codec decode (PIL, import-guarded per worker — absent in this
+    container); payloads that no codec recognizes (including this
+    testdata's utf-8 text blobs) fall back to the deterministic fake,
+    whose arithmetic is restated in SQL on the oracle side. So the gate
+    certifies the Arrow plumbing — batch iteration, schema, row
+    alignment — while a PIL-equipped environment exercises the real
+    codec on real image bytes through the identical plan
+    (tests/test_multimodal.py covers the PIL branch, skipped when the
+    library is absent).
 
     Batches arrive as pandas DataFrames with a ``payload`` bytes column;
     each yields a metadata frame.
     """
     docs = load_table(spark, sf_dir, "documents")
     with_payload = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    return decode_pipeline(with_payload)
+
+
+def decode_pipeline(with_payload: DataFrame) -> DataFrame:
+    """(id, payload) → decode metadata via mapInPandas; real codec when
+    available, deterministic fake for unrecognizable payloads."""
 
     # Self-contained closure: executor Python workers may not have this
     # package importable (the driver hands us an arbitrary SparkSession),
@@ -123,8 +145,28 @@ def m_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # import once per worker, not per payload
+            import io
+
+            from PIL import Image
+        except ImportError:
+            Image = None
+
+        def _meta(payload: bytes) -> dict:
+            if Image is not None:
+                try:
+                    with Image.open(io.BytesIO(payload)) as im:
+                        return {
+                            "width": im.width,
+                            "height": im.height,
+                            "format": (im.format or "unknown").lower(),
+                        }
+                except Exception:
+                    pass  # not an image this codec recognizes → fake path
+            return _fake_meta(payload)
+
         for pdf in batches:
-            metas = [_fake_meta(p) for p in pdf["payload"]]
+            metas = [_meta(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
