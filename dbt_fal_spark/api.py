@@ -36,6 +36,7 @@ from dbt_fal_spark.plans.node_graph import NodeGraph, NodeKind
 from dbt_fal_spark.plans.schedule import FAILURE, SUCCESS, Scheduler, TaskGroup
 from dbt_fal_spark.plans.selectors import model_checksums, select_nodes
 from dbt_fal_spark.project.jinja import render_model_sql
+from dbt_fal_spark.environments import load_environments
 from dbt_fal_spark.project.loader import load_profile, load_project
 from dbt_fal_spark.project.manifest import DbtModel, DbtTest
 from dbt_fal_spark.session import get_spark
@@ -124,6 +125,7 @@ class FalSpark:
             self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{self.schema}`")
         self._view_models: set[str] = set()  # model names materialized as views
         self.target_dir = self.project_dir / "target"
+        self.environments = load_environments(self.project_dir)
         self._reattach_catalog()
 
     def _reattach_catalog(self) -> None:
@@ -770,6 +772,33 @@ class _ScriptTask:
         fal = self.fal
         model = self.model
         path = fal.project_dir / self.script
+        env_name = model.environment
+        if env_name:
+            # isolated execution (reference: IsolatedHook → environments):
+            # the script runs in the named venv's interpreter with the
+            # context shim; no SparkSession crosses the boundary.
+            try:
+                env = fal.environments[env_name]
+            except KeyError:
+                raise ValueError(
+                    f"model {model.name!r} wants environment {env_name!r} "
+                    "but fal_project.yml does not define it "
+                    f"(defined: {', '.join(sorted(fal.environments)) or 'none'})"
+                ) from None
+            env.run_script(
+                path,
+                {
+                    "current_model": {
+                        "name": model.name,
+                        "alias": model.name,
+                        "status": model.status,
+                        "meta": model.meta,
+                    },
+                    "arguments": self.arguments,
+                    "target": fal.target_name,
+                },
+            )
+            return SUCCESS
         code = path.read_text()
         if path.suffix == ".ipynb":
             code = _process_ipynb(code)

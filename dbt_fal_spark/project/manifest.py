@@ -47,6 +47,12 @@ class DbtModel:
     def is_incremental(self) -> bool:
         return self.materialization == "incremental"
 
+    @property
+    def environment(self) -> str | None:
+        """Named isolated environment for this model's scripts
+        (reference: meta.fal.environment → packages/environments)."""
+        return (self.meta or {}).get("fal", {}).get("environment")
+
     def get_scripts(self, *, before: bool) -> list[str]:
         """meta.fal.scripts — plain list means after-scripts
         (reference: project.py:256-308)."""
