@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QuerySpec]:
         project_ops,
         relational,
         relational_tpch2,
+        sampling,
         similarity,
         text,
         timeseries,
