@@ -29,6 +29,7 @@ from dbt_fal_spark.materialize import (
     apply_dtype_casts,
     incremental_merge,
     replace_relation_atomic,
+    snapshot_scd2,
     write_table,
 )
 from dbt_fal_spark.plans.executor import parallel_executor
@@ -412,6 +413,43 @@ class FalSpark:
             statuses[node] = model.status
         self._write_run_results(statuses, time.time() - t0, context)
         self._write_state()
+        return statuses
+
+    def snapshot(self, select: str | list[str] | None = None, as_of: str | None = None) -> dict[str, str]:
+        """dbt snapshot: run every (or the selected) snapshot's select and
+        SCD2-merge it into snapshot.<name> history tables
+        (materialize.snapshot_scd2). ``as_of`` stamps check-strategy
+        transitions (pass the run timestamp; timestamp-strategy snapshots
+        take their boundaries from the source's own updated_at)."""
+        wanted = None
+        if select:
+            wanted = set(select.split() if isinstance(select, str) else select)
+        statuses: dict[str, str] = {}
+        for snap in self.manifest.snapshots.values():
+            if wanted is not None and snap.name not in wanted:
+                continue
+            try:
+                rendered, _ = render_model_sql(
+                    snap.raw_sql,
+                    resolve_ref=self._resolve_ref,
+                    resolve_source=self._resolve_source,
+                    vars=self.manifest.vars,
+                )
+                staged = self.spark.sql(rendered)
+                snapshot_scd2(
+                    self.spark,
+                    staged,
+                    f"{self.schema}.{snap.name}",
+                    snap.unique_key,
+                    strategy=snap.strategy,
+                    updated_at=snap.updated_at,
+                    check_cols=snap.check_cols or None,
+                    as_of=as_of,
+                )
+                statuses[snap.unique_id] = "success"
+            except Exception as exc:  # noqa: BLE001 — per-snapshot isolation
+                statuses[snap.unique_id] = "error"
+                self._last_snapshot_error = f"{snap.name}: {exc}"
         return statuses
 
     def teleport_export(self, name: str, url: str) -> str:

@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     test = sub.add_parser("test", help="generic + singular tests")
     add_common(test)
 
+    snap = sub.add_parser("snapshot", help="run SCD2 snapshots")
+    add_common(snap)
+    snap.add_argument("--as-of", default=None, help="run timestamp for check-strategy transitions")
+
     docs = sub.add_parser("docs", help="docs verbs")
     docs_sub = docs.add_subparsers(dest="docs_command", required=True)
     gen = docs_sub.add_parser("generate", help="write target/catalog.json")
@@ -126,6 +130,15 @@ def main(argv: list[str] | None = None) -> int:
             bad += status != "tested"
             print(f"{status:8s} {r['test']} violations={r.get('violations', '?')}")
         return 0 if bad == 0 else 1
+
+    if args.command == "snapshot":
+        statuses = fal.snapshot(select=args.select, as_of=args.as_of)
+        for node, status in sorted(statuses.items()):
+            print(f"{status:8s} {node}")
+        if not all(s == "success" for s in statuses.values()):
+            print(f"error detail: {getattr(fal, '_last_snapshot_error', '?')}", file=sys.stderr)
+            return 1
+        return 0
 
     if args.command == "source":
         for r in fal.source_freshness():

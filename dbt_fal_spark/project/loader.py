@@ -27,7 +27,7 @@ from typing import Any
 import yaml
 
 from dbt_fal_spark.project.jinja import extract_dependencies
-from dbt_fal_spark.project.manifest import DbtModel, DbtSource, DbtTest, Manifest
+from dbt_fal_spark.project.manifest import DbtModel, DbtSnapshot, DbtSource, DbtTest, Manifest
 
 
 def _load_yaml(path: Path) -> dict:
@@ -68,6 +68,7 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
 
     model_dirs = [project_dir / p for p in cfg.get("model-paths", ["models"])]
     seed_dirs = [project_dir / p for p in cfg.get("seed-paths", ["seeds"])]
+    snapshot_dirs = [project_dir / p for p in cfg.get("snapshot-paths", ["snapshots"])]
 
     # --- schema.yml files: sources + model configs/columns/tests ---
     model_props: dict[str, dict] = {}
@@ -116,6 +117,27 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
                 unique_id=uid,
                 path=csv,
                 materialization="seed",
+            )
+
+    # --- snapshots: SCD2 selects + config from snapshots/schema.yml ---
+    for sndir in snapshot_dirs:
+        if not sndir.exists():
+            continue
+        snap_cfg: dict[str, dict] = {}
+        for ypath in sorted(sndir.rglob("*.yml")):
+            for sn in _load_yaml(ypath).get("snapshots", []):
+                snap_cfg[sn["name"]] = sn.get("config", {})
+        for sql in sorted(sndir.glob("*.sql")):
+            cfg_s = snap_cfg.get(sql.stem, {})
+            uid = f"snapshot.{name}.{sql.stem}"
+            manifest.snapshots[uid] = DbtSnapshot(
+                name=sql.stem,
+                unique_id=uid,
+                raw_sql=sql.read_text(),
+                unique_key=cfg_s.get("unique_key", "id"),
+                strategy=cfg_s.get("strategy", "timestamp"),
+                updated_at=cfg_s.get("updated_at"),
+                check_cols=list(cfg_s.get("check_cols", [])),
             )
 
     # --- SQL + Python models ---

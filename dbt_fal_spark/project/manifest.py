@@ -115,12 +115,27 @@ class Feature:
 
 
 @dataclass
+class DbtSnapshot:
+    """dbt snapshot definition (SCD2) — snapshots/<name>.sql select +
+    config from snapshots/schema.yml."""
+
+    name: str
+    unique_id: str  # "snapshot.<project>.<name>"
+    raw_sql: str
+    unique_key: str
+    strategy: str = "timestamp"  # timestamp | check
+    updated_at: str | None = None
+    check_cols: list[str] = field(default_factory=list)
+
+
+@dataclass
 class Manifest:
     project_name: str
     project_dir: Path
     models: dict[str, DbtModel] = field(default_factory=dict)  # by unique_id
     sources: dict[str, DbtSource] = field(default_factory=dict)
     tests: dict[str, DbtTest] = field(default_factory=dict)
+    snapshots: dict[str, "DbtSnapshot"] = field(default_factory=dict)
     vars: dict[str, Any] = field(default_factory=dict)
 
     def model_by_name(self, name: str) -> DbtModel:
