@@ -374,21 +374,43 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-(1-j^4)^4 (≈1 for j≥0.9, ≈0.04 for j=0.3).
     """
     docs = load_table(spark, sf_dir, "documents")
-    # sig feeds the band unpivot AND both sides of the est_sim join —
-    # persist so the shingle+hash map work runs once, not 3×. (distinct
-    # shingles skipped: duplicates can't change a min.)
-    sig = _minhash_sig(docs).persist()
-    cand = _lsh_candidate_pairs(sig)
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    agree = None
-    for i in range(N_PERM):
-        term = F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
-        agree = term if agree is None else agree + term
+    sig = _minhash_sig(docs)
+    # Signatures ride INSIDE their band buckets (bounded by LSH_BUCKET_CAP
+    # members × 16 longs), so the agreement estimate is computed at pair
+    # emission — no join back to the signature table. The previous shape
+    # (cand ⋈ sig ⋈ sig) broadcasts fine locally but at 10^10 docs the
+    # signature table is TBs: two full shuffle joins. Here signatures
+    # never move except inside their own tiny bucket. The estimate is
+    # band-independent (a pure function of the two signatures), so the
+    # cross-band DISTINCT can dedupe on the full triple.
+    sig_arr = F.array(*[F.col(f"m{i}") for i in range(N_PERM)])
+    band_structs = [
+        F.struct(F.lit(band).alias("band_id"), _band_sig_spark(band).alias("bsig"))
+        for band in range(N_BANDS)
+    ]
+    bands = sig.select(
+        F.struct("doc_id", sig_arr.alias("sig")).alias("m"),
+        F.explode(F.array(*band_structs)).alias("b"),
+    ).select("m", "b.band_id", "b.bsig")
+    grouped = (
+        bands.groupBy("band_id", "bsig")
+        .agg(F.array_sort(F.collect_list("m")).alias("ds"))
+        .filter(F.size("ds").between(2, LSH_BUCKET_CAP))
+    )
+    # agreement over the two 16-slot signatures, interpreted HOF but only
+    # on candidate pairs (~linear in corpus for a fixed dup rate)
+    agree = (
+        "aggregate(zip_with(x.sig, y.sig, (a, b) -> IF(a = b, 1, 0)), 0, (acc, v) -> acc + v)"
+    )
+    pairs = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> "
+        f"struct(x.doc_id as doc_a, y.doc_id as doc_b, {agree} as n_agree))))"
+    )
     return (
-        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", (agree.cast("double") / N_PERM).alias("est_jaccard"))
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", (F.col("p.n_agree").cast("double") / N_PERM).alias("est_jaccard"))
+        .distinct()
     )
 
 
