@@ -294,6 +294,40 @@ def e_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("e_dau_hll_sketch", tags=("distinct", "sketch", "events"))
+def e_dau_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB DAU path made concrete: per-day HLL sketches
+    (Datasketches ``hll_sketch_agg``) plus a rolling-week MERGE of the
+    daily sketches (``hll_union_agg``) — the operation exact distinct
+    fundamentally cannot do without re-scanning the week (sketches are
+    mergeable state; exact distincts are not). No SQL oracle exists for
+    approximate results (rows-only check); the accuracy contract
+    (±5% of exact at k=12 register density) is pinned by
+    tests/test_operators_unit-style assertions in tests/test_sketch.py."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w7 = (
+        "(PARTITION BY 1 ORDER BY CAST(day AS TIMESTAMP) "
+        "RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)"
+    )
+    return daily.select(
+        "day",
+        "n_events",
+        F.expr("hll_sketch_estimate(sketch)").alias("dau_approx"),
+        F.expr(f"hll_sketch_estimate(hll_union_agg(sketch, true) OVER {w7})").alias(
+            "wau_approx_7d"
+        ),
+    ).select(
+        "day",
+        "n_events",
+        F.col("dau_approx").cast("long").alias("dau_approx"),
+        F.col("wau_approx_7d").cast("long").alias("wau_approx_7d"),
+    )
+
+
 @query(
     "e_funnel_conversion",
     oracle="""
