@@ -42,9 +42,11 @@ def main() -> None:
     spark = get_spark("bench")
     specs = all_queries()
     names = [n for n in HEADLINE if n in specs]
-    # extension families: include whatever is implemented (sorted for stability)
+    # extension families: include whatever is implemented (sorted for
+    # stability). Oracle-less entries (approx sketches) are excluded so the
+    # engine total stays paired with tools/oracle_bench.py's identical set.
     for name in sorted(specs):
-        if name not in names and any(
+        if name not in names and specs[name].oracle is not None and any(
             name.startswith(p) for p in ("d_", "s_", "t_", "e_", "m_")
         ):
             names.append(name)
