@@ -50,8 +50,12 @@ def main() -> None:
         )
     specs = all_queries()
     names = [n for n in HEADLINE if n in specs]
+    # keep in sync with bench.py: t_pack_sequences' recursive-CTE oracle is
+    # a DuckDB implementation artifact at sf0.1 (~7 s), excluded from BOTH
+    # paired sets (still oracle-checked at the sf0.01 correctness gate)
+    skip = {"t_pack_sequences"}
     for name in sorted(specs):
-        if name not in names and any(
+        if name not in names and name not in skip and any(
             name.startswith(p) for p in ("d_", "s_", "t_", "e_", "m_")
         ):
             names.append(name)
