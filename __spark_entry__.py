@@ -54,7 +54,7 @@ _CHECK_FIRST = (
     "st_hourly_stream", "st_session_stream", "st_user_totals_stateful",
     "st_enriched_stream", "st_interval_join_stream", "st_dedup_stream",
     # round-3 additions, never covered before
-    "t_stratified_sample", "t_pack_sequences",
+    "t_stratified_sample", "t_pack_sequences", "t_pack_emit",
 )
 
 

@@ -45,11 +45,11 @@ def main() -> None:
     # extension families: include whatever is implemented (sorted for
     # stability). Oracle-less entries (approx sketches) are excluded so the
     # engine total stays paired with tools/oracle_bench.py's identical set.
-    # t_pack_sequences is excluded from BOTH sides: its oracle is a
+    # the packing pair (t_pack_sequences/t_pack_emit) is excluded from BOTH sides: the oracle is a
     # row-recursive CTE whose sf0.1 cost (~7 s) is a DuckDB implementation
     # artifact, not comparable work — pairing it would flatter the engine.
     # (It stays fully oracle-checked at the sf0.01 correctness gate.)
-    skip = {"t_pack_sequences"}
+    skip = {"t_pack_sequences", "t_pack_emit"}
     for name in sorted(specs):
         if name not in names and name not in skip and specs[name].oracle is not None and any(
             name.startswith(p) for p in ("d_", "s_", "t_", "e_", "m_")

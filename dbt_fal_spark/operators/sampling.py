@@ -81,51 +81,11 @@ def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "t_pack_sequences",
-    oracle=f"""
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, doc_id % {N_SHARDS} AS shard,
-             len(string_split(text, ' ')) AS n_tokens
-      FROM documents
-    ),
-    ord AS (
-      SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
-      FROM toks
-    ),
-    pack(shard, rn, doc_id, n_tokens, bin_id, fill) AS (
-      SELECT shard, rn, doc_id, n_tokens, 0, n_tokens FROM ord WHERE rn = 1
-      UNION ALL
-      SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
-             CASE WHEN p.fill + o.n_tokens > {TOKEN_BUDGET}
-                  THEN p.bin_id + 1 ELSE p.bin_id END,
-             CASE WHEN p.fill + o.n_tokens > {TOKEN_BUDGET}
-                  THEN o.n_tokens ELSE p.fill + o.n_tokens END
-      FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1
-    )
-    SELECT doc_id, shard, bin_id, n_tokens FROM pack
-    """,
-    tags=("packing", "curation"),
-)
-def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy context-window packing: within each shard (doc_id mod
-    N_SHARDS), walk docs in doc_id order and open a new bin whenever the
-    running token fill would exceed TOKEN_BUDGET (an oversized doc gets a
-    bin of its own). The sequential fold runs per shard in one
-    applyInPandas group — the only shuffle carries (doc_id, n_tokens),
-    two longs per doc, never the text; the oracle restates the same fold
-    as a recursive CTE, so the bin assignment is engine-exact including
-    the oversize edge case."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        (F.col("doc_id") % N_SHARDS).alias("shard"),
-        F.size(F.split("text", " ")).alias("n_tokens"),
-    )
-    budget = TOKEN_BUDGET
+def _greedy_pack_fn(budget: int):
+    """Factory for the per-shard greedy fold. Returned closure is pickled
+    BY VALUE (not module reference), so executors need no package import."""
 
     def pack(pdf):
-        # nested + self-contained: executors cannot import dbt_fal_spark
         import pandas as pd
 
         pdf = pdf.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
@@ -148,6 +108,93 @@ def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return toks.groupBy("shard").applyInPandas(
-        pack, schema="doc_id long, shard long, bin_id long, n_tokens int"
+    return pack
+
+
+_PACK_CTE = f"""toks AS (
+      SELECT doc_id, doc_id % {N_SHARDS} AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    ord AS (
+      SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM toks
+    ),
+    pack(shard, rn, doc_id, n_tokens, bin_id, fill) AS (
+      SELECT shard, rn, doc_id, n_tokens, 0, n_tokens FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN p.fill + o.n_tokens > {TOKEN_BUDGET}
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.fill + o.n_tokens > {TOKEN_BUDGET}
+                  THEN o.n_tokens ELSE p.fill + o.n_tokens END
+      FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1
+    )"""
+
+
+@query(
+    "t_pack_sequences",
+    oracle=f"""
+    WITH RECURSIVE {_PACK_CTE}
+    SELECT doc_id, shard, bin_id, n_tokens FROM pack
+    """,
+    tags=("packing", "curation"),
+)
+def t_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context-window packing: within each shard (doc_id mod
+    N_SHARDS), walk docs in doc_id order and open a new bin whenever the
+    running token fill would exceed TOKEN_BUDGET (an oversized doc gets a
+    bin of its own). The sequential fold runs per shard in one
+    applyInPandas group — the only shuffle carries (doc_id, n_tokens),
+    two longs per doc, never the text; the oracle restates the same fold
+    as a recursive CTE, so the bin assignment is engine-exact including
+    the oversize edge case."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % N_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
     )
+    return toks.groupBy("shard").applyInPandas(
+        _greedy_pack_fn(TOKEN_BUDGET),
+        schema="doc_id long, shard long, bin_id long, n_tokens int",
+    )
+
+
+@query(
+    "t_pack_emit",
+    oracle=f"""
+    WITH RECURSIVE {_PACK_CTE}
+    SELECT p.shard AS shard, p.bin_id AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(p.n_tokens) AS BIGINT) AS n_tokens,
+           string_agg(d.text, chr(30) ORDER BY p.doc_id) AS packed_text
+    FROM pack p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY p.shard, p.bin_id
+    """,
+    tags=("packing", "curation"),
+)
+def t_pack_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard-writer half of packing: join the bin assignment back to
+    the text and emit one row per (shard, bin) with the member docs
+    concatenated in doc_id order (record-separator \\x1e) — the training
+    shard a sequence-packing pipeline actually writes. Text moves exactly
+    once (the join shuffles it to its bin); the assignment side carries
+    two longs per doc. At 100 TB the GROUP BY concat becomes the
+    per-bin write task of a binary shard writer — same plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % N_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    assigned = toks.groupBy("shard").applyInPandas(
+        _greedy_pack_fn(TOKEN_BUDGET),
+        schema="doc_id long, shard long, bin_id long, n_tokens int",
+    )
+    joined = assigned.join(docs.select("doc_id", "text"), "doc_id")
+    return joined.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.array_join(F.expr("transform(sort_array(collect_list(struct(doc_id, text))), x -> x.text)"), "\x1e").alias("packed_text"),
+    ).select("shard", "bin_id", "n_docs", "n_tokens", "packed_text")

@@ -53,7 +53,7 @@ def main() -> None:
     # keep in sync with bench.py: t_pack_sequences' recursive-CTE oracle is
     # a DuckDB implementation artifact at sf0.1 (~7 s), excluded from BOTH
     # paired sets (still oracle-checked at the sf0.01 correctness gate)
-    skip = {"t_pack_sequences"}
+    skip = {"t_pack_sequences", "t_pack_emit"}
     for name in sorted(specs):
         if name not in names and name not in skip and any(
             name.startswith(p) for p in ("d_", "s_", "t_", "e_", "m_")
