@@ -48,6 +48,10 @@ _REPRESENTATIVES = [
     "e_forecast_daily_by_type",
     "m_decode_pipeline",
     "m_frame_sample",
+    "t_stratified_sample",
+    "t_pack_sequences",
+    "t_pack_emit",
+    "e_dau_hll_sketch",
 ]
 
 

@@ -72,3 +72,38 @@ def test_salted_join_equals_plain_join(spark, facts, keys, how):
     plain = sorted(tuple(r) for r in fact.join(dim, on="k", how=how).collect())
     salted = sorted(tuple(r) for r in salted_join(fact, dim, on="k", how=how, salts=3).collect())
     assert salted == plain
+
+
+# --- greedy sequence packing (operators/sampling.py) ---
+
+token_lists = st.lists(st.integers(min_value=1, max_value=900), min_size=1, max_size=200)
+
+
+@given(tokens=token_lists, budget=st.integers(min_value=8, max_value=600))
+@settings(max_examples=200, deadline=None)
+def test_greedy_pack_fold_properties(tokens, budget):
+    """The per-shard fold used by t_pack_sequences/t_pack_emit: bins are
+    contiguous, never exceed the budget except as single-doc overflow,
+    and are greedily maximal (the next bin's head never fits)."""
+    import pandas as pd
+
+    from dbt_fal_spark.operators.sampling import _greedy_pack_fn
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(tokens)),
+            "shard": [0] * len(tokens),
+            "n_tokens": tokens,
+        }
+    )
+    out = _greedy_pack_fn(budget)(pdf)
+    bins = out["bin_id"].tolist()
+    assert bins == sorted(bins)  # contiguous, monotone in doc order
+    fills: dict[int, list[int]] = {}
+    for b, n in zip(bins, out["n_tokens"]):
+        fills.setdefault(b, []).append(int(n))
+    assert sorted(fills) == list(range(len(fills)))  # no bin skipped
+    for b, members in fills.items():
+        assert sum(members) <= budget or len(members) == 1
+        if b + 1 in fills:  # greedy maximality
+            assert sum(members) + fills[b + 1][0] > budget
