@@ -598,11 +598,19 @@ class FalSpark:
 
     def test(self, select: str | list[str] | None = None) -> list[dict]:
         """Generic + singular tests → violation counts
-        (reference behavior: dbt test; SURVEY §2.G generic tests row)."""
+        (reference behavior: dbt test; SURVEY §2.G generic tests row).
+        ``select`` scopes to tests whose owning model matches the
+        selection (dbt semantics: selecting a model selects its tests);
+        source-owned and singular tests run only unselected."""
         from pyspark.sql import functions as F
 
+        selected_ids: set[str] | None = None
+        if select:
+            selected_ids = select_nodes(self.graph, select, state=self._load_state())
         results = []
         for t in self.manifest.tests.values():
+            if selected_ids is not None and t.model_id not in selected_ids:
+                continue
             try:
                 if t.test_type == "singular":
                     rendered, _ = render_model_sql(

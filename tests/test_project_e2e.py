@@ -95,6 +95,16 @@ def test_generic_and_singular_tests_pass(jaffle):
     assert not failed, failed
 
 
+def test_test_select_scopes_to_model(jaffle):
+    fal, _, _ = jaffle
+    all_tests = fal.test()
+    scoped = fal.test(select="stg_orders")
+    assert scoped and len(scoped) < len(all_tests)
+    assert all("stg_orders" in t["test"] for t in scoped)
+    # a selector matching nothing runs nothing
+    assert fal.test(select="no_such_model") == []
+
+
 def test_source_freshness_statuses(jaffle):
     fal, _, _ = jaffle
     res = fal.source_freshness()
