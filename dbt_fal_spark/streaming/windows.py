@@ -421,3 +421,82 @@ def st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
     return run_stream_to_completion(agg)
+
+
+@query(
+    "st_upsert_stream",
+    oracle=f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           {o_dsum('value')} AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "upsert", "foreachBatch"),
+)
+def st_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert sink — the foreachBatch CDC pattern every
+    production pipeline ends in: ``update`` output mode hands each
+    microbatch the keys whose aggregate CHANGED (with their new
+    cumulative values — row images), and foreachBatch upserts them into
+    a persistent target: full-outer on the key, delta row wins. The
+    drained target must equal the batch aggregate no matter how the
+    source slices microbatches, because each row image is already
+    cumulative. On a lakehouse the merge body is one MERGE INTO
+    (Delta/Iceberg); the copy-on-write version directories here are the
+    plain-parquet rendition, final version = the table. State lives in
+    the stream's agg store; the target's exactly-once is the sink's
+    transactionality (file-sink variant tested in
+    tests/test_streaming_checkpoint.py).
+
+    Totals ride as integer cents (round(value·100), exact in int64), so
+    the final double division matches the decimal oracle bit-for-bit.
+    """
+    import shutil
+    import tempfile
+
+    events = read_events_stream(spark, sf_dir)
+    images = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    workdir = tempfile.mkdtemp(prefix="st_upsert_")
+    versions: list[str] = []
+
+    def upsert(batch_df, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        delta = batch_df.select("user_id", "n_events", "cents")
+        if versions:
+            prev = spark_b.read.parquet(versions[-1]).alias("t")
+            d = delta.alias("d")
+            # upsert: the delta row image replaces the target row
+            merged = prev.join(d, F.col("t.user_id") == F.col("d.user_id"), "full_outer").select(
+                F.coalesce(F.col("d.user_id"), F.col("t.user_id")).alias("user_id"),
+                F.coalesce(F.col("d.n_events"), F.col("t.n_events")).alias("n_events"),
+                F.coalesce(F.col("d.cents"), F.col("t.cents")).alias("cents"),
+            )
+        else:
+            merged = delta
+        out = f"{workdir}/v{batch_id}"
+        merged.write.mode("overwrite").parquet(out)
+        versions.append(out)
+
+    q = (
+        images.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not versions:
+        return spark.createDataFrame([], "user_id long, n_events long, total_value double")
+    final = spark.read.parquet(versions[-1]).select(
+        "user_id",
+        "n_events",
+        (F.col("cents").cast("double") / 100.0).alias("total_value"),
+    )
+    # detach from the temp dir before cleanup; the target is driver-sized
+    # here (distinct keys at test SFs) — at scale it stays a real table
+    rows = final.collect()
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.createDataFrame(rows, "user_id long, n_events long, total_value double")
