@@ -763,28 +763,36 @@ def q_paginate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-column stable string rendering for min/max: NULL-double cells hash
 # differently across comparator implementations, so the profile emits one
 # always-populated VARCHAR min/max pair per column instead, rendered through
-# casts that are bit-identical in Spark and DuckDB (bigint→str, double→
-# decimal(18,2)→str, timestamp→date→str, str passthrough).
-_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_totalprice",
-                 "o_orderstatus", "o_orderpriority", "o_orderdate")
-_PROFILE_ORACLE_RENDER = {
-    "o_orderkey": "CAST({v} AS VARCHAR)",
-    "o_custkey": "CAST({v} AS VARCHAR)",
-    "o_totalprice": "CAST(CAST({v} AS DECIMAL(18,2)) AS VARCHAR)",
-    "o_orderstatus": "{v}",
-    "o_orderpriority": "{v}",
-    "o_orderdate": "CAST(CAST({v} AS DATE) AS VARCHAR)",
+# casts that are bit-identical in Spark and DuckDB. ONE kind table drives
+# BOTH engines' rendering, so adding/retyping a profiled column cannot
+# silently diverge the two sides.
+_PROFILE_COLS = {
+    "o_orderkey": "int",
+    "o_custkey": "int",
+    "o_totalprice": "money",
+    "o_orderstatus": "str",
+    "o_orderpriority": "str",
+    "o_orderdate": "date",
+}
+_KIND_ORACLE = {
+    "int": "CAST({v} AS VARCHAR)",
+    "money": "CAST(CAST({v} AS DECIMAL(18,2)) AS VARCHAR)",
+    "date": "CAST(CAST({v} AS DATE) AS VARCHAR)",
+    "str": "{v}",
 }
 
 
+def _profile_oracle_render(c: str, v: str) -> str:
+    return _KIND_ORACLE[_PROFILE_COLS[c]].format(v=v)
+
+
 def _profile_spark_render(c: str, agg):  # min/max Column -> stable string
-    if c in ("o_orderkey", "o_custkey"):
-        return agg.cast("string")
-    if c == "o_totalprice":
+    kind = _PROFILE_COLS[c]
+    if kind == "money":
         return agg.cast("decimal(18,2)").cast("string")
-    if c == "o_orderdate":
+    if kind == "date":
         return agg.cast("date").cast("string")
-    return agg.cast("string")
+    return agg.cast("string")  # int / str: plain string cast
 
 
 @query(
@@ -795,8 +803,8 @@ def _profile_spark_render(c: str, agg):  # min/max Column -> stable string
            count(*) AS n_rows,
            count(*) FILTER (WHERE {c} IS NULL) AS n_nulls,
            count(DISTINCT {c}) AS n_distinct,
-           {_PROFILE_ORACLE_RENDER[c].format(v=f"min({c})")} AS min_val,
-           {_PROFILE_ORACLE_RENDER[c].format(v=f"max({c})")} AS max_val
+           {_profile_oracle_render(c, f"min({c})")} AS min_val,
+           {_profile_oracle_render(c, f"max({c})")} AS max_val
     FROM orders
     """
         for c in _PROFILE_COLS
@@ -990,7 +998,7 @@ def q_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_status_set_per_priority",
     oracle="""
     SELECT o_orderpriority,
-           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), chr(31)) AS statuses,
            count(DISTINCT o_orderstatus) AS n_statuses
     FROM orders
     GROUP BY o_orderpriority
@@ -1006,7 +1014,8 @@ def q_status_set_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     list() the same way."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
-        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        # unit-separator join: unambiguous even if a value ever contains ','
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), "\x1f").alias("statuses"),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
     )
 
