@@ -55,7 +55,7 @@ _CHECK_FIRST = (
     "st_enriched_stream", "st_interval_join_stream", "st_dedup_stream",
     # round-3 additions, never covered before
     "t_stratified_sample", "t_pack_sequences", "t_pack_emit",
-    "st_upsert_stream",
+    "st_upsert_stream", "e_dau_hll_sketch",
 )
 
 
