@@ -30,32 +30,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# The correctness harness walks queries() in dict order and has covered
-# exactly the first 50 entries per round (CORRECTNESS_r01/r02). Entries
-# the r02 run did NOT reach are listed first so that, combined with the
-# r02 record, every registry entry has a green driver row. Names absent
-# from the registry are ignored; registry entries not listed keep their
-# registration order after these.
+# The correctness harness walks queries() in dict order and records
+# exactly the first 50 entries per round (CORRECTNESS_r01/r02/r03 all
+# cut at 50). The r03 window covered everything r02 had missed; for r4
+# the window is: q_profile_orders first (fixed in r3 but absent from
+# the r3 window, so it has no green driver row yet), then the round-4
+# additions (never checked), then the 44 entries whose last green row
+# is r02, to refresh them. Names absent from the registry are ignored;
+# registry entries not listed keep their registration order after
+# these.
 _CHECK_FIRST = (
-    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q19_disjunctive_predicates",
-    "q_customer_value_percentile", "q_salted_join_supplier_volume",
-    "s_knn_bruteforce", "s_knn_lsh_bucketed", "s_label_centroid_distance",
-    "s_knn_ivf",
-    "t_token_stats", "t_token_bpe", "t_quality_score", "t_langid_naive",
-    "t_fingerprint", "t_rolling_fingerprint", "t_lang_profile",
-    "t_top_bigrams", "t_tfidf_top_terms",
-    "e_sessionize", "e_hourly_rollup", "e_asof_purchase_attribution",
-    "e_json_props_stats", "e_user_activity_pivot", "e_purchase_gap_stats",
-    "e_daily_active_users", "e_funnel_conversion", "e_retention_cohorts",
-    "e_rolling_7d_revenue", "e_resample_daily_fill",
-    "e_sliding_window_traffic", "e_forecast_daily_by_type",
-    "e_anomaly_events",
-    "st_hourly_stream", "st_session_stream", "st_user_totals_stateful",
-    "st_enriched_stream", "st_interval_join_stream", "st_dedup_stream",
-    # round-3 additions, never covered before
-    "t_stratified_sample", "t_pack_sequences", "t_pack_emit",
-    "st_upsert_stream", "e_dau_hll_sketch",
+    "q_profile_orders",
+    # round-4 additions, never covered before
+    "q_histogram_totalprice", "q_corr_stats_by_flag",
+    "q_range_join_price_band", "q_mad_outlier_orders",
+    "d_containment_pairs",
+    # last green in r02 — refresh
+    "q01_pricing_summary", "q02_min_cost_part_supplier",
+    "q03_topk_order_revenue", "q04_late_shipment_priority",
+    "q05_region_nation_revenue", "q06_filtered_revenue",
+    "q07_volume_shipping", "q08_market_share", "q09_product_profit",
+    "q10_returned_items", "q13_order_count_distribution",
+    "q16_parts_not_recently_shipped", "q22_lapsed_rich_customers",
+    "q_cube_status_priority", "q_customer_order_stats",
+    "q_customer_running_total", "q_customer_value_deciles",
+    "q_date_filter_projection", "q_first_last_order_value",
+    "q_generic_tests", "q_grouping_sets_revenue",
+    "q_lapsed_customers_except", "q_order_date_parts",
+    "q_orders_daily_pivot", "q_paginate_orders", "q_part_string_funcs",
+    "q_pivot_priority_by_status", "q_priority_distinct_customers",
+    "q_quantity_quartiles", "q_region_rollup_revenue",
+    "q_repeat_customers_intersect", "q_revenue_trend_by_priority",
+    "q_status_set_per_priority", "q_topk_orders_per_segment",
+    "d_decontaminate", "d_embedding_neardup_pairs", "d_keep_best_per_key",
+    "d_neardup_components", "d_neardup_triangles", "d_simhash",
+    "m_binary_metadata", "m_decode_pipeline", "m_frame_sample",
+    "p_flow_run_customer_stats",
 )
 
 

@@ -886,20 +886,9 @@ class _HookTask(_ScriptTask):
         super().__init__(fal, model, path, arguments)
 
 
-def _process_ipynb(raw: str) -> str:
-    """Strip magics and join code cells (reference: fal_script.py:391-416)."""
-    nb = json.loads(raw)
-    cells = []
-    for cell in nb.get("cells", []):
-        if cell.get("cell_type") != "code":
-            continue
-        lines = [
-            ln
-            for ln in cell.get("source", [])
-            if not ln.lstrip().startswith("%") and "faldbt.magics" not in ln
-        ]
-        cells.append("".join(lines))
-    return "\n#cell\n".join(cells)
+# moved to project/loader.py (model discovery needs it too); re-bound
+# here so script execution keeps one import site
+from dbt_fal_spark.project.loader import process_ipynb as _process_ipynb  # noqa: E402
 
 
 _ = FAILURE  # re-exported for task implementations

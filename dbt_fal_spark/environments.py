@@ -120,6 +120,16 @@ class VirtualEnvironment:
                     f"isolated script {script_path} failed in environment "
                     f"{self.name!r}:\n{proc.stderr[-2000:]}"
                 )
+            if not rf.exists():
+                # A script that calls sys.exit(0)/os._exit(0) skips the
+                # runner's handoff dump; surface that instead of a bare
+                # FileNotFoundError.
+                raise RuntimeError(
+                    f"isolated script {script_path} exited 0 in environment "
+                    f"{self.name!r} without producing a result (did it call "
+                    f"sys.exit()?)\nstdout: {proc.stdout[-1000:]}\n"
+                    f"stderr: {proc.stderr[-1000:]}"
+                )
             return json.loads(rf.read_text())
 
 

@@ -260,6 +260,26 @@ def snapshot_scd2(
     else:
         raise ValueError(f"unknown snapshot strategy {strategy!r}")
 
+    # dbt's snapshot contract assumes one staged row per unique_key;
+    # duplicates would insert multiple open rows and fan out the
+    # live-row-closing join. Timestamp strategy keeps the latest row per
+    # key; check strategy has no ordering column, so duplicates error.
+    from pyspark.sql import Window
+
+    if strategy == "timestamp":
+        rn = F.row_number().over(
+            Window.partitionBy(unique_key).orderBy(F.col(updated_at).desc())
+        )
+        staged = staged.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
+    else:
+        dup = staged.groupBy(unique_key).count().filter(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise ValueError(
+                f"snapshot {identifier}: staged select has duplicate "
+                f"unique_key {unique_key}={dup[0][0]!r} (check strategy "
+                f"requires one row per key)"
+            )
+
     def _with_meta(df: DataFrame, vf) -> DataFrame:
         return (
             df.withColumn("dbt_valid_from", vf)

@@ -995,3 +995,98 @@ def d_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_nodes, n_edges, n_tri)], "n_nodes long, n_edges long, n_triangles long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment (subset/quote detection)
+# ---------------------------------------------------------------------------
+
+@query(
+    "d_containment_pairs",
+    oracle=f"""
+    WITH {_ORACLE_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {SHINGLE_DOC_CAP}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      JOIN rare r ON r.sh = a.sh
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared,
+           sa.n AS size_a, sb.n AS size_b,
+           CAST(n_shared AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.8
+    """,
+    tags=("dedup", "containment"),
+)
+def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shingle CONTAINMENT >= 0.8: |A∩B| / min(|A|,|B|).
+
+    Jaccard misses subset relations (a doc quoted inside a much larger
+    one scores ~|A|/|B| → 0), which is exactly the contamination shape
+    that matters for training-data dedup; containment normalizes by the
+    SMALLER set so a full quote scores 1.0 regardless of host size.
+    Same plan as d_ngram_jaccard_pairs — one Arrow-batched shingle+hash
+    stage, doc-frequency cap, 8-byte-key self-join, integer counts with
+    one final double division — only the score expression differs."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def gen(batches):
+        # nested + self-contained: executors cannot import dbt_fal_spark
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ns, shs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = text.split(" ")
+                if len(w) < 3:
+                    continue
+                uniq = {" ".join(t) for t in zip(w, w[1:], w[2:])}
+                ids.extend([doc_id] * len(uniq))
+                ns.extend([len(uniq)] * len(uniq))
+                shs.extend(uniq)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n": pd.Series(ns, dtype="int64"),
+                }
+            )
+            out["sh"] = pd.util.hash_array(
+                pd.Index(shs).to_numpy(dtype=object)
+            ).astype("int64")
+            yield out
+
+    sh = (
+        spread(docs.select("doc_id", "text"))
+        .mapInPandas(gen, schema="doc_id long, n long, sh long")
+        .repartition(16, "sh")
+        .persist()
+    )
+    rare = sh.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("sh"))
+    ).filter(F.col("df") <= SHINGLE_DOC_CAP).drop("df")
+    a = rare.alias("a")
+    b = rare.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("size_a"),
+            F.col("b.n").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    containment = F.col("n_shared").cast("double") / F.least("size_a", "size_b")
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        "size_a",
+        "size_b",
+        containment.alias("containment"),
+    ).filter(F.col("containment") >= 0.8)

@@ -1,0 +1,228 @@
+"""Statistical / non-equi relational operators (round-4 additions).
+
+Fills the remaining analytics shapes a warehouse user of the reference
+would reach for (the reference delegates all of these to its target
+warehouse — SURVEY.md §2.G): fixed-width histograms, closed-form Pearson
+correlation, non-equi (range/band) joins, and robust outlier detection
+via median absolute deviation.
+
+Determinism across engines (the oracle gate): every aggregate follows
+the repo-wide rule — integer/decimal math for all order-dependent sums,
+with double arithmetic only in a final, textually-identical expression
+tree evaluated once per output row (IEEE ops on identical inputs are
+bit-equal in Spark and DuckDB).
+
+Scale notes (100 TB design):
+- Histogram/corr are single hash-aggregates with map-side partials; the
+  bucket/group key is tiny, so the shuffle carries only partial sums.
+- The band join broadcasts the 4-row band table (BroadcastNestedLoopJoin
+  — the only sane plan for a non-equi join against a small dim; the fact
+  side never shuffles).
+- MAD needs exact per-group medians: two passes over orders with a
+  broadcast join of the tiny per-group median table between them. At
+  100 TB swap `percentile` for `approx_percentile` (t-digest, mergeable
+  sketch, one pass) and the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_fal_spark.functions.numeric import dsum, o_dsum
+from dbt_fal_spark.registry import query
+from dbt_fal_spark.sources.readers import load_table
+
+
+@query(
+    "q_histogram_totalprice",
+    oracle=f"""
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {o_dsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("aggregate", "histogram"),
+)
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value: bucket = floor(x / 50k),
+    top-capped at 9. The bucket id is computed per row (one IEEE divide +
+    floor — identical in both engines), so the whole query is a single
+    hash aggregate with map-side partials; at 100 TB only 10 partial rows
+    per task shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / F.lit(50000.0)), F.lit(9)).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q_corr_stats_by_flag",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+             AS corr_qty_price
+    FROM s
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "statistics"),
+)
+def q_corr_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group from exact closed-form sums.
+
+    Built-in `corr()` keeps double running sums, which are shuffle-order-
+    dependent — the distributed-safe version aggregates Σx Σy Σxx Σyy Σxy
+    exactly in DECIMAL (order-independent, map-side combinable), casts
+    each once to double, and evaluates one textually-identical IEEE
+    expression per group. The decimal→double casts themselves can differ
+    by 1 ulp between engines (DuckDB divides by 10^scale, the JVM rounds
+    the exact value), so the final score is rounded to 9 digits — far
+    above the ulp noise, far below the statistic's meaningful precision.
+    Same construction as q_revenue_trend_by_priority (relational.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        F.round(corr, 9).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q_range_join_price_band",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (VALUES
+      ('1_small',  0.0,      100000.0),
+      ('2_medium', 100000.0, 250000.0),
+      ('3_large',  250000.0, 400000.0),
+      ('4_jumbo',  400000.0, 1000000000.0))
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {o_dsum('o_totalprice')} AS revenue
+    FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    ORDER BY band
+    """,
+    tags=("join", "range-join"),
+)
+def q_range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/band) join: orders land in a value band via
+    `lo <= x < hi`. The band table is broadcast, so Catalyst picks
+    BroadcastNestedLoopJoin — with 4 band rows that is 4 comparisons per
+    fact row, no shuffle of the fact side, and the aggregate's map-side
+    partials reduce the output to 4 rows per task. This is the pattern
+    for any small-dim interval lookup (tax brackets, SLA tiers, time
+    buckets) at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("1_small", 0.0, 100000.0),
+            ("2_medium", 100000.0, 250000.0),
+            ("3_large", 250000.0, 400000.0),
+            ("4_jumbo", 400000.0, 1000000000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    joined = orders.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
+    "q_mad_outlier_orders",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY o_orderpriority
+    ),
+    mad AS (
+      SELECT o.o_orderpriority,
+             quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad
+      FROM orders o JOIN med m USING (o_orderpriority)
+      GROUP BY o.o_orderpriority
+    )
+    SELECT o.o_orderpriority, m.med, d.mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE abs(o.o_totalprice - m.med) > 3 * d.mad)
+                AS BIGINT) AS n_outliers
+    FROM orders o
+    JOIN med m USING (o_orderpriority)
+    JOIN mad d USING (o_orderpriority)
+    GROUP BY o.o_orderpriority, m.med, d.mad
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("aggregate", "percentile", "outlier"),
+)
+def q_mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counts via median absolute deviation: per priority,
+    med = median(x), mad = median(|x - med|), outlier ⇔ |x - med| > 3·mad.
+
+    Two exact-percentile passes over orders; the tiny per-group median
+    (then MAD) tables are broadcast back, so the fact table never
+    shuffles — each pass is scan + broadcast-hash-join + hash-agg. Spark
+    `percentile` and DuckDB `quantile_cont` share linear-interpolation
+    semantics, and |x − med| is one IEEE subtract, so both engines see
+    identical deviation values. At 100 TB: approx_percentile for the
+    medians (mergeable t-digest, one pass each)."""
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    dev = orders.join(F.broadcast(med), "o_orderpriority")
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("percentile(abs(o_totalprice - med), 0.5)").alias("mad")
+    )
+    adev = F.abs(F.col("o_totalprice") - F.col("med"))
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(adev > 3 * F.col("mad"), 1)).alias("n_outliers"),
+        )
+        .orderBy("o_orderpriority")
+    )

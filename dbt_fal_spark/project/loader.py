@@ -30,6 +30,24 @@ from dbt_fal_spark.project.jinja import extract_dependencies
 from dbt_fal_spark.project.manifest import DbtModel, DbtSnapshot, DbtSource, DbtTest, Manifest
 
 
+def process_ipynb(raw: str) -> str:
+    """Strip magics and join code cells (reference: fal_script.py:391-416)."""
+    import json
+
+    nb = json.loads(raw)
+    cells = []
+    for cell in nb.get("cells", []):
+        if cell.get("cell_type") != "code":
+            continue
+        lines = [
+            ln
+            for ln in cell.get("source", [])
+            if not ln.lstrip().startswith("%") and "faldbt.magics" not in ln
+        ]
+        cells.append("".join(lines))
+    return "\n#cell\n".join(cells)
+
+
 def _load_yaml(path: Path) -> dict:
     with open(path) as f:
         return yaml.safe_load(f) or {}
@@ -127,7 +145,7 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
         for ypath in sorted(sndir.rglob("*.yml")):
             for sn in _load_yaml(ypath).get("snapshots", []):
                 snap_cfg[sn["name"]] = sn.get("config", {})
-        for sql in sorted(sndir.glob("*.sql")):
+        for sql in sorted(sndir.rglob("*.sql")):
             cfg_s = snap_cfg.get(sql.stem, {})
             uid = f"snapshot.{name}.{sql.stem}"
             manifest.snapshots[uid] = DbtSnapshot(
@@ -275,6 +293,11 @@ def load_profile(
     doc = _load_yaml(path)
     profile = doc.get(profile_name)
     if profile is None:
+        # A home-dir profiles.yml belonging to some unrelated dbt setup
+        # must not break a profile-less project; only a project-local
+        # file is authoritative enough to hard-error on.
+        if path.parent == Path.home() / ".dbt":
+            return None
         raise ValueError(
             f"profiles.yml at {path} has no profile {profile_name!r} "
             f"(available: {', '.join(sorted(doc))})"

@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QuerySpec]:
         relational,
         relational_tpch2,
         sampling,
+        stats,
         similarity,
         text,
         timeseries,

@@ -55,7 +55,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     ts_physical = str(pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type)
-    nanos = ts_physical == "timestamp[ns]" or ts_physical == "int64"
+    # tz-adjusted nanos stringify as "timestamp[ns, tz=UTC]" — prefix
+    # match so they also take the legacy nanos-as-long path.
+    nanos = ts_physical.startswith("timestamp[ns") or ts_physical == "int64"
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = _events_schema(T.LongType() if nanos else T.TimestampType())
