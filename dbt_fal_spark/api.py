@@ -763,6 +763,8 @@ class _ModelTask:
         (reference: D3 — py_write wrapper, table.sql:34-46; dbt-style)."""
         fal = self.fal
         code = model.python_model.read_text()
+        if model.python_model.suffix == ".ipynb":
+            code = _process_ipynb(code)
         namespace: dict = {}
         exec(compile(code, str(model.python_model), "exec"), namespace)
         fn = namespace.get("model")

@@ -8,16 +8,100 @@ unique, so results are independent of partitioning and execution order.
 
 Scale notes: each round is one edge⋈labels shuffle join + one
 min-aggregate — O(|E|) per round, rounds = graph diameter. Near-dup
-graphs are shallow (a handful of rounds even at 100 TB); for adversarial
-diameters swap the round body for large-star/small-star (Kiveris et al.,
-"Connected Components in MapReduce and Beyond"), which converges in
-O(log²) rounds on the same skeleton.
+graphs are shallow (a handful of rounds even at 100 TB); when the
+diameter is adversarial, the kernel escalates (after ``escalate_after``
+non-converged rounds) to ``star_contraction_components`` —
+large-star/small-star alternation (Kiveris et al., "Connected Components
+in MapReduce and Beyond"), which converges in O(log²) rounds because
+each large-star halves every long path instead of shortening it by one.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def star_contraction_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    ``edges`` are undirected pairs (src, dst), orientation irrelevant.
+    Returns (id, label) with label = min node id of the component — the
+    same unique fixpoint as min-label propagation, reached in O(log²)
+    rounds on ANY diameter:
+
+    - large-star: each node u links every LARGER neighbor to the minimum
+      of its neighborhood (incl. u) — halves long paths,
+    - small-star: each node links its smaller neighbors (and itself) to
+      that minimum — contracts the stars large-star built.
+
+    Each round is two grouped-min joins over the current edge list —
+    O(|E|) shuffle per round, same skeleton as one min-label round.
+    Convergence = edge-set fixpoint, detected by (count, hash-sum): both
+    are order-independent and the edge set is distinct-canonicalized, so
+    an unchanged pair IS set equality (up to a 2⁻⁶⁴ hash collision — and
+    one extra round on a converged set is idempotent anyway).
+    """
+    # localCheckpoint per round: persist() caches DATA but the logical
+    # plan still accretes every prior round's operators — by round ~10
+    # the tree is exponential and Catalyst itself becomes the bottleneck.
+    # Checkpointing truncates lineage so each round plans against a flat
+    # scan. (On a cluster, swap for reliable checkpoint() — localCheckpoint
+    # trades executor-loss recovery for speed, fine for a bounded kernel.)
+    cur = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    while True:
+        # large-star: u's full neighborhood (both orientations)
+        nbr = cur.unionByName(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = (
+            nbr.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("mn", "src").alias("m"))
+        )
+        large = (
+            nbr.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # small-star: orient (bigger, smaller); link smaller nbrs + self to min
+        sm = large.select(
+            F.greatest("src", "dst").alias("c"), F.least("src", "dst").alias("d")
+        )
+        smins = sm.groupBy("c").agg(F.min("d").alias("m"))
+        joined = sm.join(smins, "c")
+        nxt = (
+            joined.select(F.col("d").alias("src"), F.col("m").alias("dst"))
+            .unionByName(joined.select(F.col("c").alias("src"), F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: int64 hash sums overflow long under ANSI
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        cur = nxt
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # fixpoint: every edge is (member, component-min). Isolated/root nodes
+    # label themselves.
+    labels = cur.groupBy(F.col("src").alias("id")).agg(F.min("dst").alias("label"))
+    # the returned lazy plan reads the final checkpoint's blocks; the
+    # ContextCleaner reaps them once the result is dereferenced
+    return nodes.join(labels, "id", "left").select(
+        "id", F.coalesce("label", "id").alias("label")
+    )
 
 
 def min_label_components(
@@ -28,6 +112,7 @@ def min_label_components(
     literal_threshold: int = 20_000,
     symmetrize: bool = False,
     with_sizes: bool = False,
+    escalate_after: int = 5,
 ) -> DataFrame:
     """Label every node with min reachable node id.
 
@@ -133,7 +218,16 @@ def min_label_components(
         ).select("e.src", "e.dst")
     labels = nodes.select(F.col("id"), F.col("id").alias("label")).persist()
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    rounds = 0
     while True:
+        if rounds >= escalate_after:
+            # diameter exceeds the cheap path's budget (a long-chain /
+            # adversarial graph): restart on the O(log²)-round star
+            # contraction. Partial min-label progress is discarded — it
+            # cost `escalate_after` rounds, bounded by construction.
+            labels.unpersist()
+            labels = star_contraction_components(nodes, edges).persist()
+            break
         neighbor = edges.join(labels, edges.dst == labels.id).select(
             F.col("src").alias("id"), "label"
         )
@@ -143,6 +237,7 @@ def min_label_components(
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
+        rounds += 1
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

@@ -356,44 +356,66 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    raw = emb.select("vec_id", "label", "embedding")
-    q = emb.select("vec_id", "label", F.expr(_SPARK_QVEC).alias("qv"))
-    # Codebook build: exact integer (sum-vector, count) per cell, collected to
-    # the driver (k cells × DIM ints — driver-sized BY DESIGN: an IVF coarse
+    # ONE cached scan feeds both passes (codebook build, then scoring):
+    # the parquet decode happens once and the second pass reads executor-
+    # memory blocks. At real corpus sizes this cache is the IVF *index
+    # build* — you'd persist the quantized/assigned corpus anyway; here it
+    # is the raw batch, released with the session (bench clears per query).
+    base = spread(emb.select("vec_id", "label", "embedding")).persist()
+    # Codebook build + query extraction fused into ONE pass: exact integer
+    # (sum-vector, count) per cell, and the N_QUERIES query rows ride the
+    # same output (kind=1) — collected to the driver together (k cells ×
+    # DIM ints + nq vectors: driver-sized BY DESIGN, an IVF coarse
     # quantizer is always tiny relative to the corpus) and shipped in the
-    # assignment closure, so cell assignment below is pure map-side compute —
-    # no per-vector shuffle, no recomputation across the assign/probe branches.
-    # The partial sums are map-side numpy (k×DIM int64 per batch) merged on
-    # the driver — no 64×-row posexplode shuffle, which at 100 TB would be
-    # the single biggest data movement in the query.
+    # scoring closure, so cell assignment below is pure map-side compute —
+    # no per-vector shuffle, no separate query-collection job. The partial
+    # sums are map-side numpy (k×DIM int64 per batch) merged on the driver
+    # — no 64×-row posexplode shuffle, which at 100 TB would be the single
+    # biggest data movement in the query.
+    n_queries = N_QUERIES
 
-    def partial_sums(batches):
+    def partials_and_queries(batches):
         import pandas as pd
 
         acc: dict = {}
+        qids: list = []
+        qlbl: list = []
+        qvec: list = []
         for pdf in batches:
             if not len(pdf):
                 continue
             e = np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
             m = (np.sign(e) * np.floor(np.abs(e) + 0.5)).astype(np.int64)
             labels = pdf["label"].to_numpy(dtype=np.int64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            for i in np.nonzero(ids < n_queries)[0]:
+                qids.append(int(ids[i]))
+                qlbl.append(int(labels[i]))
+                qvec.append(m[i])
             for lbl in np.unique(labels):
                 sel = m[labels == lbl]
                 cnt, vec = acc.get(int(lbl), (0, 0))
                 acc[int(lbl)] = (cnt + len(sel), vec + sel.sum(axis=0, dtype=np.int64))
-        if acc:
+        if acc or qids:
             yield pd.DataFrame(
                 {
-                    "label": list(acc),
-                    "cnt": [c for c, _ in acc.values()],
-                    "sv": [v for _, v in acc.values()],
+                    "kind": [0] * len(acc) + [1] * len(qids),
+                    "label": list(acc) + qlbl,
+                    "cnt": [c for c, _ in acc.values()] + [0] * len(qids),
+                    "sv": [v for _, v in acc.values()] + qvec,
+                    "vec_id": [0] * len(acc) + qids,
                 }
             )
 
     merged: dict = {}
-    for r in raw.mapInPandas(
-        partial_sums, schema="label long, cnt long, sv array<long>"
+    qrow_map: dict = {}
+    for r in base.mapInPandas(
+        partials_and_queries,
+        schema="kind int, label long, cnt long, sv array<long>, vec_id long",
     ).collect():
+        if r["kind"] == 1:
+            qrow_map[r["vec_id"]] = r["sv"]
+            continue
         cnt, vec = merged.get(r["label"], (0, None))
         sv = np.array(r["sv"], dtype=np.int64)
         merged[r["label"]] = (cnt + r["cnt"], sv if vec is None else vec + sv)
@@ -427,19 +449,17 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2 = nrm[:, None] - 2.0 * (m @ c_sv.T) / c_cnt[None, :] + (c_ssv / (c_cnt * c_cnt))[None, :]
         return np.argsort(d2, axis=1, kind="stable")
 
-    # Query side: N_QUERIES rows by contract — driver-sized, same collect
-    # s_knn_bruteforce does. Probed cells are computed once here.
-    qrows = sorted(
-        q.filter(F.col("vec_id") < N_QUERIES).collect(), key=lambda r: r["vec_id"]
-    )
+    # Query side: N_QUERIES rows by contract — driver-sized, already
+    # extracted by the fused pass above. Probed cells are computed once.
+    qrows = sorted(qrow_map.items())
     empty_schema = (
         "query_id long, neighbor_id long, neighbor_label long, "
         "cell long, cosine double, rank int"
     )
     if not qrows:
         return spark.createDataFrame([], empty_schema)
-    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    q_mat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    q_ids = np.array([vid for vid, _ in qrows], dtype=np.int64)
+    q_mat = np.array([qv for _, qv in qrows], dtype=np.float64)
     q_nrm = (q_mat * q_mat).sum(axis=1)
     # (nq, k) bool: does query qi probe cell index ci?
     probe_mask = np.zeros((len(q_ids), len(c_labels)), dtype=bool)
@@ -482,7 +502,7 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    scored = spread(emb.select("vec_id", "label", "embedding")).mapInPandas(
+    scored = base.mapInPandas(
         local_topk,
         schema="query_id long, neighbor_id long, neighbor_label long, cell long, cosine double",
     )

@@ -189,8 +189,14 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
             ]
             manifest.models[uid] = model
             _collect_tests(manifest, name, props, model_id=uid, source_id=None)
-        for ppath in sorted(mdir.rglob("*.py")):
+        # .py and .ipynb models share the contract (reference scans both:
+        # model_generator.py:18-103); notebooks are stripped to their code
+        # cells for dependency extraction and execution
+        py_models = sorted(mdir.rglob("*.py")) + sorted(mdir.rglob("*.ipynb"))
+        for ppath in py_models:
             code = ppath.read_text()
+            if ppath.suffix == ".ipynb":
+                code = process_ipynb(code)
             refs, sources = extract_python_deps(code)
             mname = ppath.stem
             props = model_props.get(mname, {})

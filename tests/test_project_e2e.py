@@ -318,3 +318,15 @@ def test_bucket_by_model_config_gives_zero_shuffle_join(spark, tmp_path):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_notebook_model_ran(jaffle):
+    # segment_peak.ipynb: magic lines stripped, code cells joined, same
+    # model(dbt, session) contract as .py models (reference scans both)
+    fal, statuses, _ = jaffle
+    assert statuses.get("model.jaffle_spark.segment_peak") == "success"
+    peak = {r["segment"]: r["max_value"] for r in fal.ref("segment_peak").collect()}
+    seg = fal.ref("customers").groupBy("segment").agg(
+        F.max("customer_lifetime_value").alias("mx")
+    )
+    assert peak == {r["segment"]: r["mx"] for r in seg.collect()}

@@ -107,3 +107,70 @@ def test_greedy_pack_fold_properties(tokens, budget):
         assert sum(members) <= budget or len(members) == 1
         if b + 1 in fills:  # greedy maximality
             assert sum(members) + fills[b + 1][0] > budget
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edge_lists)
+def test_star_contraction_matches_networkx(spark, edges):
+    from dbt_fal_spark.functions.graph import star_contraction_components
+
+    g = nx.Graph()
+    g.add_nodes_from(range(N_NODES))
+    g.add_edges_from(edges)
+    expected = {n: min(comp) for comp in nx.connected_components(g) for n in comp}
+
+    nodes = spark.createDataFrame([(i,) for i in range(N_NODES)], "id long")
+    pairs = [(a, b) for a, b in edges if a != b]
+    if pairs:
+        edf = spark.createDataFrame(pairs, "src long, dst long")
+    else:
+        edf = spark.createDataFrame([], "src long, dst long")
+    got = {
+        r["id"]: r["label"]
+        for r in star_contraction_components(nodes, edf).collect()
+    }
+    assert got == expected
+
+
+def test_adversarial_chain_escalates_to_star_contraction(spark):
+    """A path graph's diameter defeats per-round min-label propagation;
+    after escalate_after rounds the kernel must hand off to
+    large-star/small-star and still reach the exact fixpoint."""
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    chain = [(i, i + 1) for i in range(n - 1)]
+    sym = chain + [(b, a) for a, b in chain]
+    edf = spark.createDataFrame(sym, "src long, dst long").persist()
+    got = {
+        r["id"]: r["label"]
+        for r in min_label_components(
+            nodes, edf, local_threshold=0, escalate_after=3
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    edf.unpersist()
+
+
+def test_star_contraction_round_growth_is_logarithmic(spark):
+    """O(log²) convergence: a 64-node chain must finish in far fewer
+    star rounds than its 63-edge diameter (min-label would need ~63)."""
+    from dbt_fal_spark.functions import graph as G
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+
+    rounds = {"n": 0}
+    orig = G.F.count
+
+    def counting(*a, **kw):  # each star round calls F.count exactly once (the sig agg)
+        rounds["n"] += 1
+        return orig(*a, **kw)
+
+    G.F.count = counting
+    try:
+        got = {r["id"]: r["label"] for r in G.star_contraction_components(nodes, edf).collect()}
+    finally:
+        G.F.count = orig
+    assert got == {i: 0 for i in range(n)}
+    assert rounds["n"] <= 12, f"{rounds['n']} rounds for diameter 63 — not O(log²)"
