@@ -1,0 +1,233 @@
+"""Training-data curation filters over the ``documents`` table.
+
+The repetition / quality-rule family that large-scale pretraining
+pipelines (C4, Gopher, RefinedWeb) run between raw crawl and training:
+per-document repetition signals, heuristic quality gates, and
+corpus-level duplicated-n-gram fractions. The reference (dbt-fal) only
+offers whole-table pandas scripts for this kind of work (reference:
+projects/adapter/examples/sentiment-analysis/README.md,
+projects/adapter/README.md "run ML workloads on your dbt models"); here
+every per-document signal is a codegen'd Spark expression and the one
+corpus-level signal shuffles 16-byte digests only.
+
+Scale notes (100 TB design):
+- ``t_repetition_stats`` / ``t_gopher_quality`` are map-only: all
+  signals are higher-order array expressions over ``split(text)`` —
+  no shuffle, no Python, so they run at scan speed and the filter
+  columns are droppable predicates for downstream pruning.
+- ``d_dup_ngram_fraction`` is the RefinedWeb "fraction of my shingles
+  seen elsewhere" signal. Shingles never leave the executor as text:
+  each doc emits the md5 digest of each distinct word 5-gram, the
+  doc-frequency pass aggregates digests (map-side combined), and the
+  join back to documents is digest⋈digest. Shuffle volume is
+  16 bytes × distinct-shingles — independent of document size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_fal_spark.registry import query
+from dbt_fal_spark.sources.readers import load_table
+
+# Word-shingle width for the corpus-level duplicate-n-gram signal.
+SHINGLE_K = 5
+
+# Gopher-style gate bounds, scaled to the synthetic corpus (docs are
+# 48-553 chars ≈ 10-110 words) so both outcomes occur in testdata.
+MIN_WORDS, MAX_WORDS = 20, 10_000
+MIN_MEAN_LEN, MAX_MEAN_LEN = 3.0, 10.0
+MIN_STOPWORD_HITS = 2
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+@query(
+    "t_repetition_stats",
+    oracle="""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+           CAST(list_max(list_transform(list_distinct(w),
+                  x -> len(list_filter(w, t -> t = x)))) AS DOUBLE)
+             / len(w) AS top_token_frac,
+           CASE WHEN len(w) < 2 THEN 0.0 ELSE
+             1.0 - CAST(len(list_distinct(list_transform(
+                       generate_series(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i + 1]))) AS DOUBLE)
+                   / (len(w) - 1)
+           END AS dup_bigram_frac
+    FROM ws
+    """,
+    tags=("curation", "text"),
+)
+def t_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: type-token ratio, most-frequent-
+    token share, duplicate-bigram fraction (the Gopher repetition rules).
+
+    Map-only: every signal is a higher-order function over the token
+    array, so the whole query is one codegen'd projection — the shape
+    that runs at scan speed over 100 TB. All ratios divide two exact
+    integers, so the doubles are bit-identical across engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("n_tokens"),
+        F.expr(
+            "cast(size(array_distinct(split(text, ' '))) as double)"
+            " / size(split(text, ' '))"
+        ).alias("ttr"),
+        F.expr(
+            "cast(array_max(transform(array_distinct(split(text, ' ')),"
+            " x -> size(filter(split(text, ' '), t -> t = x)))) as double)"
+            " / size(split(text, ' '))"
+        ).alias("top_token_frac"),
+        F.expr(
+            "CASE WHEN size(split(text, ' ')) < 2 THEN 0.0D ELSE"
+            " 1.0D - cast(size(array_distinct(transform("
+            "   sequence(1, size(split(text, ' ')) - 1),"
+            "   i -> concat(element_at(split(text, ' '), i), ' ',"
+            "               element_at(split(text, ' '), i + 1))))) as double)"
+            "   / (size(split(text, ' ')) - 1) END"
+        ).alias("dup_bigram_frac"),
+    )
+
+
+def _oracle_stop_in() -> str:
+    return "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+@query(
+    "t_gopher_quality",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sig AS (
+      SELECT doc_id,
+             len(w) AS n_tokens,
+             CAST(len(list_filter(w, t -> length(t) > 0)) AS BIGINT) AS n_nonempty,
+             CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+               / len(w) AS mean_token_len,
+             CAST(len(list_filter(w, t -> t IN {_oracle_stop_in()})) AS BIGINT)
+               AS n_stopword_hits
+      FROM ws
+    )
+    SELECT doc_id, n_tokens, mean_token_len, n_stopword_hits,
+           (n_tokens BETWEEN {MIN_WORDS} AND {MAX_WORDS}) AS flag_n_tokens,
+           (mean_token_len BETWEEN {MIN_MEAN_LEN} AND {MAX_MEAN_LEN})
+             AS flag_mean_len,
+           (n_stopword_hits >= {MIN_STOPWORD_HITS}) AS flag_stopwords,
+           ((n_tokens BETWEEN {MIN_WORDS} AND {MAX_WORDS})
+            AND (mean_token_len BETWEEN {MIN_MEAN_LEN} AND {MAX_MEAN_LEN})
+            AND n_stopword_hits >= {MIN_STOPWORD_HITS}) AS passes
+    FROM sig
+    """,
+    tags=("curation", "text"),
+)
+def t_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality gate: token-count bounds, mean
+    token length bounds, minimum stopword hits, and the conjunction.
+
+    Map-only codegen'd projection (same scale shape as
+    t_repetition_stats). mean_token_len divides two exact integers
+    (sum of token lengths / token count), so the double is
+    bit-identical across engines; every flag is integer/boolean logic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stop_in = ", ".join(f"'{w}'" for w in STOPWORDS)
+    sig = docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("n_tokens"),
+        F.expr(
+            "cast(aggregate(split(text, ' '), 0L, (acc, t) -> acc + length(t))"
+            " as double) / size(split(text, ' '))"
+        ).alias("mean_token_len"),
+        F.expr(
+            f"cast(size(filter(split(text, ' '), t -> t IN ({stop_in}))) as bigint)"
+        ).alias("n_stopword_hits"),
+    )
+    flag_tokens = F.col("n_tokens").between(MIN_WORDS, MAX_WORDS)
+    flag_len = F.col("mean_token_len").between(MIN_MEAN_LEN, MAX_MEAN_LEN)
+    flag_stop = F.col("n_stopword_hits") >= MIN_STOPWORD_HITS
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        "mean_token_len",
+        "n_stopword_hits",
+        flag_tokens.alias("flag_n_tokens"),
+        flag_len.alias("flag_mean_len"),
+        flag_stop.alias("flag_stopwords"),
+        (flag_tokens & flag_len & flag_stop).alias("passes"),
+    )
+
+
+@query(
+    "d_dup_ngram_fraction",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - {SHINGLE_K - 1}, 0)),
+               i -> md5(array_to_string(list_slice(w, i, i + {SHINGLE_K - 1}), ' '))
+             )) AS digs
+      FROM ws
+    ),
+    ex AS (SELECT doc_id, unnest(digs) AS dig FROM sh),
+    df AS (SELECT dig, count(*) AS dfc FROM ex GROUP BY dig)
+    SELECT e.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN d.dfc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_shingles,
+           CAST(sum(CASE WHEN d.dfc >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS dup_frac
+    FROM ex e JOIN df d USING (dig)
+    GROUP BY e.doc_id
+    """,
+    tags=("curation", "dedup"),
+)
+def d_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each document's word 5-gram shingles that occur in at
+    least one other place in the corpus (RefinedWeb's duplicated-n-gram
+    filter signal).
+
+    Plan: each doc emits md5 digests of its distinct shingles (map-only
+    HOF — text never shuffles), one digest-keyed aggregation computes
+    corpus doc-frequency with map-side combine, and a digest⋈digest
+    join folds the dfc>=2 flag back per document. Shuffle volume is
+    16 bytes per distinct shingle regardless of document size — the
+    same digest-only-shuffle contract as d_exact_dedup
+    (dedup.py). Docs shorter than {SHINGLE_K} words emit no shingles
+    and drop out (mirrored by the oracle's inner join).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = docs.select(
+        "doc_id",
+        # Spark's sequence(1, 0) yields a DESCENDING [1, 0], not [] like
+        # DuckDB's generate_series — short docs must be guarded explicitly.
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split(text, ' ')) < {SHINGLE_K}"
+                " THEN array() ELSE array_distinct(transform("
+                f" sequence(1, size(split(text, ' ')) - {SHINGLE_K - 1}),"
+                f" i -> md5(concat_ws(' ', slice(split(text, ' '), i, {SHINGLE_K})))"
+                ")) END"
+            )
+        ).alias("dig"),
+    )
+    doc_freq = shingles.groupBy("dig").agg(F.count("*").alias("dfc"))
+    return (
+        shingles.join(doc_freq, "dig")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("dfc") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_shingles"),
+            (
+                F.sum(F.when(F.col("dfc") >= 2, 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("dup_frac"),
+        )
+    )

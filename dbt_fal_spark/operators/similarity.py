@@ -508,3 +508,143 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+@query(
+    "s_knn_int8",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings
+    ), stats AS (
+      SELECT list_value({', '.join(f'min(qv[{i + 1}])' for i in range(DIM))}) AS mn,
+             list_value({', '.join(f'max(qv[{i + 1}])' for i in range(DIM))}) AS mx
+      FROM q
+    ), codes AS (
+      SELECT vec_id, label,
+             list_transform(generate_series(1, {DIM}),
+               i -> ((qv[i] - mn[i]) * 255) // greatest(mx[i] - mn[i], 1)) AS code
+      FROM q, stats
+    ), scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             b.label AS neighbor_label,
+             CAST(list_dot_product(a.code, b.code) AS BIGINT) AS qscore
+      FROM codes a JOIN codes b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, neighbor_label, qscore, rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY qscore DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    ) t
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "knn", "quantization"),
+)
+def s_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) top-k: each dimension is linearly mapped
+    to an 8-bit code using the corpus-wide per-dim min/max, and ranking
+    uses the exact integer dot product of the codes — the FAISS
+    ``SQ8``-style compression path that cuts vector bytes 4× (and at
+    100 TB of embeddings, 4× less shuffle/scan is the difference
+    between fitting in cluster memory or not).
+
+    Plan (3 bounded jobs): (1) an Arrow pass emits per-batch per-dim
+    min/max partials (64 tiny rows per batch — dim-keyed, so the global
+    reduce is a 64-group aggregation, never a full-corpus collect);
+    (2) the N_QUERIES query vectors are fetched under a pushed
+    ``vec_id < {N_QUERIES}`` filter and encoded driver-side; (3) the
+    scoring pass re-quantizes each batch with the broadcast stats,
+    matmuls int codes against the broadcast query codes, and keeps a
+    local top-k, leaving one narrow global rank window.
+
+    Exactness: quantization is pure integer math — ``(qv - mn) * 255
+    // max(mx - mn, 1)`` with a non-negative numerator, so numpy int64
+    floor-division, DuckDB ``//`` and Spark ``div`` all agree; code
+    dot products are ≤ 255²·64 < 2^22, exact everywhere."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    raw = emb.select("vec_id", "label", "embedding")
+    out_schema = "query_id long, neighbor_id long, neighbor_label long, qscore long, rank int"
+
+    def dim_partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e = np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
+            m = np.sign(e) * np.floor(np.abs(e) + 0.5)  # == round() HALF_UP
+            yield pd.DataFrame(
+                {
+                    "d": np.arange(m.shape[1], dtype=np.int64),
+                    "mn": m.min(axis=0).astype(np.int64),
+                    "mx": m.max(axis=0).astype(np.int64),
+                }
+            )
+
+    stats_rows = (
+        spread(raw.select("embedding"))
+        .mapInPandas(dim_partials, schema="d long, mn long, mx long")
+        .groupBy("d")
+        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+        .collect()
+    )
+    if not stats_rows:
+        return spark.createDataFrame([], out_schema)
+    mn = np.zeros(DIM, dtype=np.int64)
+    mx = np.zeros(DIM, dtype=np.int64)
+    for r in stats_rows:
+        mn[r["d"]], mx[r["d"]] = r["mn"], r["mx"]
+    span = np.maximum(mx - mn, 1)
+
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", F.expr(_SPARK_QVEC).alias("qv"))
+        .collect()
+    )
+    qrows.sort(key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_codes = (np.array([r["qv"] for r in qrows], dtype=np.int64) - mn) * 255 // span
+    b_q = spark.sparkContext.broadcast((q_ids, q_codes, mn, span))
+    top_k = TOP_K
+
+    def local_topk(batches):
+        import pandas as pd
+
+        qids, qcodes, bmn, bspan = b_q.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            n_labels = pdf["label"].to_numpy(dtype=np.int64)
+            e = np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
+            m = (np.sign(e) * np.floor(np.abs(e) + 0.5)).astype(np.int64)
+            codes = (m - bmn) * 255 // bspan
+            score = qcodes @ codes.T  # exact int64
+            out = []
+            for qi in range(len(qids)):
+                cand = np.nonzero(n_ids != qids[qi])[0]
+                row = score[qi]
+                if len(cand) > top_k:
+                    cand = cand[np.lexsort((n_ids[cand], -row[cand]))[:top_k]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(cand), qids[qi]),
+                            "neighbor_id": n_ids[cand],
+                            "neighbor_label": n_labels[cand],
+                            "qscore": row[cand],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scored = spread(raw).mapInPandas(
+        local_topk, schema="query_id long, neighbor_id long, neighbor_label long, qscore long"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)

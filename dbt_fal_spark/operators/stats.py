@@ -226,3 +226,47 @@ def q_mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_unpivot_segment_metrics",
+    oracle=f"""
+    WITH wide AS (
+      SELECT c_mktsegment,
+             CAST(count(*) AS DOUBLE) AS n_customers,
+             {o_dsum('c_acctbal')} AS total_acctbal,
+             CAST(max(c_acctbal) AS DOUBLE) AS max_acctbal,
+             CAST(min(c_acctbal) AS DOUBLE) AS min_acctbal
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, metric, value
+    FROM (UNPIVOT wide
+          ON n_customers, total_acctbal, max_acctbal, min_acctbal
+          INTO NAME metric VALUE value)
+    """,
+    tags=("relational", "unpivot"),
+)
+def q_unpivot_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (melt): a per-segment metric block flips
+    into (segment, metric, value) rows — the reshape feeding metric
+    stores and long-format BI tools.
+
+    Plan: one partial-aggregated groupBy builds the wide block (5 rows),
+    then ``DataFrame.unpivot`` expands it metric-wise — the expansion is
+    a zero-shuffle projection (Spark's Expand node), so at scale the
+    cost stays that of the aggregation. max/min double casts are exact
+    (values are parquet doubles); the sum goes through DECIMAL(18,4)
+    per the engine-wide determinism contract (functions/numeric.py)."""
+    cust = load_table(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        dsum("c_acctbal", "total_acctbal"),
+        F.max("c_acctbal").cast("double").alias("max_acctbal"),
+        F.min("c_acctbal").cast("double").alias("min_acctbal"),
+    )
+    return wide.unpivot(
+        ids=["c_mktsegment"],
+        values=["n_customers", "total_acctbal", "max_acctbal", "min_acctbal"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -48,6 +48,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imports are inside the function so a syntax error in one module can't
     # break `import dbt_fal_spark` for unrelated users.
     from dbt_fal_spark.operators import (  # noqa: F401
+        curation,
         dedup,
         multimodal,
         project_ops,

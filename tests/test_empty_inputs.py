@@ -52,6 +52,10 @@ _REPRESENTATIVES = [
     "t_pack_sequences",
     "t_pack_emit",
     "e_dau_hll_sketch",
+    "d_dup_ngram_fraction",
+    "t_repetition_stats",
+    "s_knn_int8",
+    "q_unpivot_segment_metrics",
 ]
 
 
