@@ -1,6 +1,7 @@
 """Per-model environment isolation (reference: A/src/fal/dbt/packages/
 environments/base.py:104-232 BaseEnvironment/setup-teardown protocol,
-virtual_env.py:26-92 venv creation + requirements install).
+virtual_env.py:26-92 venv creation + requirements install,
+conda.py:32-121 conda prefix creation + executable discovery).
 
 The reference ran fal scripts in named virtual environments so that
 models with conflicting Python dependencies (Prophet vs torch pins)
@@ -29,8 +30,11 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
+import shutil
 import subprocess
 import sys
+import sysconfig
 import tempfile
 import venv
 from dataclasses import dataclass, field
@@ -39,50 +43,16 @@ from pathlib import Path
 import yaml
 
 
-@dataclass
-class VirtualEnvironment:
-    """A named venv keyed by its requirement set; created lazily, reused
-    across runs (same requirements → same directory, like the reference's
-    cache key — virtual_env.py:26-40)."""
+class _ScriptRunner:
+    """Shared isolated-script protocol: subclasses provide ``ensure()``
+    (returning the environment's interpreter) and ``name``; the JSON
+    handoff runner is identical for every backend, as in the reference
+    (base.py's shared run protocol over per-backend connections)."""
 
     name: str
-    requirements: list[str] = field(default_factory=list)
-    base_dir: Path = Path(".fal_envs")
 
-    @property
-    def env_dir(self) -> Path:
-        key = hashlib.md5("\n".join(sorted(self.requirements)).encode()).hexdigest()[:12]
-        return self.base_dir / f"{self.name}-{key}"
-
-    @property
-    def python(self) -> Path:
-        return self.env_dir / "bin" / "python"
-
-    def ensure(self) -> Path:
-        """Create the venv (and install requirements) if absent; returns
-        the interpreter path. system-site-packages keeps the base stack
-        (pandas/pyarrow) visible — requirements only ADD or PIN on top,
-        matching how the reference seeded environments."""
-        if self.python.exists():
-            return self.python
-        self.env_dir.parent.mkdir(parents=True, exist_ok=True)
-        venv.create(
-            self.env_dir,
-            with_pip=bool(self.requirements),
-            system_site_packages=True,
-        )
-        if self.requirements:
-            proc = subprocess.run(
-                [str(self.python), "-m", "pip", "install", "--quiet", *self.requirements],
-                capture_output=True,
-                text=True,
-            )
-            if proc.returncode != 0:
-                raise RuntimeError(
-                    f"environment {self.name!r}: pip install failed "
-                    f"(offline container or bad pin?):\n{proc.stderr[-2000:]}"
-                )
-        return self.python
+    def ensure(self) -> Path:  # pragma: no cover - abstract
+        raise NotImplementedError
 
     def run_script(self, script_path: Path, payload: dict) -> dict:
         """Execute a fal script inside this environment. The child gets a
@@ -133,7 +103,142 @@ class VirtualEnvironment:
             return json.loads(rf.read_text())
 
 
-def load_environments(project_dir: str | Path) -> dict[str, VirtualEnvironment]:
+@dataclass
+class VirtualEnvironment(_ScriptRunner):
+    """A named venv keyed by its requirement set; created lazily, reused
+    across runs (same requirements → same directory, like the reference's
+    cache key — virtual_env.py:26-40)."""
+
+    name: str
+    requirements: list[str] = field(default_factory=list)
+    base_dir: Path = Path(".fal_envs")
+
+    @property
+    def env_dir(self) -> Path:
+        key = hashlib.md5("\n".join(sorted(self.requirements)).encode()).hexdigest()[:12]
+        return self.base_dir / f"{self.name}-{key}"
+
+    @property
+    def python(self) -> Path:
+        return self.env_dir / "bin" / "python"
+
+    def ensure(self) -> Path:
+        """Create the venv (and install requirements) if absent; returns
+        the interpreter path. system-site-packages keeps the base stack
+        (pandas/pyarrow) visible — requirements only ADD or PIN on top,
+        matching how the reference seeded environments."""
+        if self.python.exists():
+            return self.python
+        self.env_dir.parent.mkdir(parents=True, exist_ok=True)
+        venv.create(
+            self.env_dir,
+            with_pip=bool(self.requirements),
+            system_site_packages=True,
+        )
+        if self.requirements:
+            proc = subprocess.run(
+                [str(self.python), "-m", "pip", "install", "--quiet", *self.requirements],
+                capture_output=True,
+                text=True,
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"environment {self.name!r}: pip install failed "
+                    f"(offline container or bad pin?):\n{proc.stderr[-2000:]}"
+                )
+        return self.python
+
+
+def find_conda_executable() -> Path:
+    """Locate conda (or mamba) like the reference does (conda.py:110-121):
+    honor $CONDA_EXE, then $FAL_CONDA_HOME as a search dir, then PATH."""
+    cmd = os.environ.get("CONDA_EXE", "conda")
+    for search_path in (os.getenv("FAL_CONDA_HOME"), None):
+        found = shutil.which(cmd, path=search_path)
+        if found:
+            return Path(found)
+    raise RuntimeError(
+        "Could not find a conda executable. Install conda/mamba, or point "
+        "CONDA_EXE / FAL_CONDA_HOME at one."
+    )
+
+
+@dataclass
+class CondaEnvironment(_ScriptRunner):
+    """A named conda environment (reference: conda.py:32-107). Semantics
+    mirrored: the package list is augmented with a pin to the CURRENT
+    Python version (cross-version pickling of the handoff is not
+    supported — reference conda.py:60-64), user pins of a different
+    Python are rejected, and the environment directory is keyed by the
+    package set so identical declarations share one prefix.
+
+    Cluster note: driver-side isolation covers fal scripts; to ship a
+    conda env to executors, ``archive_for_spark()`` packs the prefix
+    with conda-pack for ``spark.archives`` (the standard PySpark
+    dependency-shipping path); it degrades to a clear error where
+    conda-pack is absent (this sandbox)."""
+
+    name: str
+    packages: list[str] = field(default_factory=list)
+    base_dir: Path = Path(".fal_envs")
+
+    def __post_init__(self) -> None:
+        for raw in self.packages:
+            spec = raw.replace(" ", "")
+            if spec.startswith("python") and spec[len("python"):][:1] in ("=", "<", ">", "!"):
+                raise RuntimeError(
+                    "Conda environments cannot customize their Python version."
+                )
+
+    @property
+    def _final_packages(self) -> list[str]:
+        return [*self.packages, f"python={sysconfig.get_python_version()}"]
+
+    @property
+    def env_dir(self) -> Path:
+        key = hashlib.sha256(" ".join(self._final_packages).encode()).hexdigest()[:12]
+        return self.base_dir / f"{self.name}-conda-{key}"
+
+    @property
+    def python(self) -> Path:
+        return self.env_dir / "bin" / "python"
+
+    def ensure(self) -> Path:
+        if self.python.exists():
+            return self.python
+        conda = find_conda_executable()
+        self.env_dir.parent.mkdir(parents=True, exist_ok=True)
+        proc = subprocess.run(
+            [str(conda), "create", "--yes", "--prefix", str(self.env_dir), *self._final_packages],
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0 or not self.python.exists():
+            shutil.rmtree(self.env_dir, ignore_errors=True)
+            raise RuntimeError(
+                f"environment {self.name!r}: conda create failed "
+                f"(offline container or bad spec?):\n{proc.stderr[-2000:]}"
+            )
+        return self.python
+
+    def archive_for_spark(self) -> Path:
+        """Pack the env into a relocatable .tar.gz for ``spark.archives``
+        (executors then run ``./environment/bin/python``)."""
+        self.ensure()
+        try:
+            import conda_pack  # type: ignore[import-not-found]
+        except ImportError as exc:
+            raise RuntimeError(
+                "conda-pack is required to ship a conda environment to "
+                "executors via spark.archives; pip install conda-pack"
+            ) from exc
+        out = self.env_dir.with_suffix(".tar.gz")
+        if not out.exists():
+            conda_pack.pack(prefix=str(self.env_dir), output=str(out))
+        return out
+
+
+def load_environments(project_dir: str | Path) -> dict[str, _ScriptRunner]:
     """Parse fal_project.yml's ``environments:`` list → name → env. An
     absent file (the common case) yields no environments; every script
     then runs in-process exactly as before."""
@@ -141,20 +246,29 @@ def load_environments(project_dir: str | Path) -> dict[str, VirtualEnvironment]:
     if not path.exists():
         return {}
     doc = yaml.safe_load(path.read_text()) or {}
-    out: dict[str, VirtualEnvironment] = {}
+    out: dict[str, _ScriptRunner] = {}
     for env in doc.get("environments", []):
         etype = env.get("type", "venv")
-        if etype != "venv":
+        if etype == "venv":
+            out[env["name"]] = VirtualEnvironment(
+                name=env["name"],
+                requirements=list(env.get("requirements", [])),
+                base_dir=Path(project_dir) / ".fal_envs",
+            )
+        elif etype == "conda":
+            out[env["name"]] = CondaEnvironment(
+                name=env["name"],
+                # the reference's conda config key is `packages`; accept
+                # `requirements` too for symmetry with venv declarations
+                packages=list(env.get("packages", env.get("requirements", []))),
+                base_dir=Path(project_dir) / ".fal_envs",
+            )
+        else:
             raise ValueError(
                 f"environment {env.get('name')!r}: type {etype!r} not supported "
-                "(only 'venv'; the reference's conda/cloud backends are out of "
-                "scope — SURVEY §2 D8-D10)"
+                "(supported: 'venv', 'conda'; the reference's cloud backends "
+                "are out of scope — SURVEY §2 D9-D10)"
             )
-        out[env["name"]] = VirtualEnvironment(
-            name=env["name"],
-            requirements=list(env.get("requirements", [])),
-            base_dir=Path(project_dir) / ".fal_envs",
-        )
     return out
 
 

@@ -21,7 +21,7 @@ def test_load_environments_absent_file(tmp_path):
 
 def test_load_environments_rejects_unknown_type(tmp_path):
     (tmp_path / "fal_project.yml").write_text(
-        "environments:\n  - name: x\n    type: conda\n"
+        "environments:\n  - name: x\n    type: docker\n"
     )
     with pytest.raises(ValueError, match="not supported"):
         load_environments(tmp_path)
@@ -127,3 +127,98 @@ def test_missing_environment_fails_clearly(spark, tmp_path):
     errors = json.loads((proj / "target" / "run_results.json").read_text())["errors"]
     assert any("ghost" in e for e in errors)
     spark.sql("DROP DATABASE IF EXISTS isoproj2 CASCADE")
+
+
+# ---------------- conda backend (reference: conda.py:32-121) ----------------
+
+FAKE_CONDA = """#!/bin/sh
+# fake conda: understands `conda create --yes --prefix <dir> pkg...`
+# records its argv and builds a minimal env whose bin/python is the
+# host interpreter (enough for the shared script-runner protocol).
+shift  # drop `create`
+shift  # drop `--yes`
+shift  # drop `--prefix`
+PREFIX="$1"; shift
+mkdir -p "$PREFIX/bin"
+ln -s "{python}" "$PREFIX/bin/python"
+echo "$@" > "$PREFIX/packages.txt"
+"""
+
+
+@pytest.fixture()
+def fake_conda(tmp_path, monkeypatch):
+    exe = tmp_path / "bin" / "conda"
+    exe.parent.mkdir(parents=True)
+    exe.write_text(FAKE_CONDA.format(python=sys.executable))
+    exe.chmod(0o755)
+    monkeypatch.setenv("CONDA_EXE", str(exe))
+    monkeypatch.delenv("FAL_CONDA_HOME", raising=False)
+    return exe
+
+
+def test_conda_env_created_with_python_pin_and_runs_script(tmp_path, fake_conda):
+    import sysconfig
+
+    from dbt_fal_spark.environments import CondaEnvironment
+
+    env = CondaEnvironment(name="sci", packages=["numpy", "pandas=2"], base_dir=tmp_path / "envs")
+    script = tmp_path / "probe.py"
+    script.write_text("context.result = context.arguments['k'] * 2\n")
+    res = env.run_script(
+        script,
+        {
+            "current_model": {"name": "m1", "alias": "m1", "status": "success", "meta": {}},
+            "arguments": {"k": 21},
+            "target": "dev",
+        },
+    )
+    assert res["status"] == "success" and res["result"] == 42
+    # the create call pinned the CURRENT python version (reference
+    # conda.py:60-64 — cross-version handoff is unsupported)
+    pkgs = (env.env_dir / "packages.txt").read_text().split()
+    assert pkgs == ["numpy", "pandas=2", f"python={sysconfig.get_python_version()}"]
+    # reused on second ensure: same prefix, no re-create
+    assert env.ensure() == env.python
+
+
+def test_conda_rejects_custom_python_version(tmp_path):
+    from dbt_fal_spark.environments import CondaEnvironment
+
+    with pytest.raises(RuntimeError, match="cannot customize their Python version"):
+        CondaEnvironment(name="bad", packages=["python=3.7"], base_dir=tmp_path)
+
+
+def test_conda_missing_executable_is_descriptive(tmp_path, monkeypatch):
+    from dbt_fal_spark.environments import CondaEnvironment
+
+    monkeypatch.setenv("CONDA_EXE", "definitely-not-a-real-conda")
+    monkeypatch.delenv("FAL_CONDA_HOME", raising=False)
+    env = CondaEnvironment(name="x", packages=[], base_dir=tmp_path / "envs")
+    with pytest.raises(RuntimeError, match="conda executable"):
+        env.ensure()
+
+
+def test_conda_archive_requires_conda_pack(tmp_path, fake_conda):
+    from dbt_fal_spark.environments import CondaEnvironment
+
+    env = CondaEnvironment(name="ship", packages=[], base_dir=tmp_path / "envs")
+    with pytest.raises(RuntimeError, match="conda-pack"):
+        env.archive_for_spark()
+
+
+def test_load_environments_dispatches_conda(tmp_path):
+    from dbt_fal_spark.environments import CondaEnvironment
+
+    (tmp_path / "fal_project.yml").write_text(
+        "environments:\n"
+        "  - name: clean\n"
+        "    type: venv\n"
+        "    requirements: [pyyaml]\n"
+        "  - name: sci\n"
+        "    type: conda\n"
+        "    packages: [numpy]\n"
+    )
+    envs = load_environments(tmp_path)
+    assert isinstance(envs["clean"], VirtualEnvironment)
+    assert isinstance(envs["sci"], CondaEnvironment)
+    assert envs["sci"].packages == ["numpy"]
