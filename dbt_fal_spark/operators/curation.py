@@ -231,3 +231,64 @@ def d_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+@query(
+    "t_unk_replace",
+    oracle="""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(w) AS tok,
+             unnest(generate_series(1, len(w))) AS pos
+      FROM ws
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+    SELECT t.doc_id,
+           string_agg(CASE WHEN f.c = 1 THEN '<unk>' ELSE t.tok END,
+                      ' ' ORDER BY t.pos) AS text_clean,
+           CAST(sum(CASE WHEN f.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_replaced
+    FROM toks t JOIN freq f USING (tok)
+    GROUP BY t.doc_id
+    """,
+    tags=("curation", "text"),
+)
+def t_unk_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary truncation: rewrite every corpus-frequency-1 token to
+    ``<unk>`` — the classic LM-preprocessing step that bounds embedding
+    tables before training.
+
+    Plan: posexplode tokens (position is carried so the rewrite can
+    reassemble losslessly), one token-keyed count with map-side combine,
+    join the frequency back, and re-assemble per document with an
+    order-restoring ``array_sort(collect_list(struct(pos, tok)))`` —
+    deterministic regardless of shuffle order. Two shuffles (token,
+    doc_id), each moving the text exactly once — the floor for any
+    full-rewrite pass. At 100 TB you would invert the test: broadcast a
+    bounded keep-vocabulary (top-V tokens) and replace anything absent,
+    turning the rewrite map-only; the frequency join here IS the
+    keep-vocab builder.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    rare = F.col("c") == 1
+    return (
+        toks.join(freq, "tok")
+        .select(
+            "doc_id",
+            "pos",
+            F.when(rare, F.lit("<unk>")).otherwise(F.col("tok")).alias("tok2"),
+            rare.cast("int").alias("is_rare"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list(struct(pos, tok2))), s -> s.tok2)"),
+            ).alias("text_clean"),
+            F.sum("is_rare").cast("bigint").alias("n_replaced"),
+        )
+    )

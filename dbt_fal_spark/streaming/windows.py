@@ -502,3 +502,123 @@ def st_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = final.collect()
     shutil.rmtree(workdir, ignore_errors=True)
     return spark.createDataFrame(rows, "user_id long, n_events long, total_value double")
+
+
+@query(
+    "st_left_outer_interval_stream",
+    oracle="""
+    WITH cut AS (
+      SELECT least(
+               max(CASE WHEN event_type = 'purchase' THEN ts END),
+               max(CASE WHEN event_type = 'click' THEN ts END)
+             ) - INTERVAL 3 HOUR AS c
+      FROM events
+    )
+    SELECT p.user_id,
+           count(DISTINCT p.event_id) AS n_purchases,
+           count(DISTINCT CASE WHEN c.event_id IS NOT NULL
+                               THEN p.event_id END) AS n_matched_purchases,
+           CAST(count(DISTINCT p.event_id)
+                - count(DISTINCT CASE WHEN c.event_id IS NOT NULL
+                                      THEN p.event_id END) AS BIGINT)
+             AS n_unmatched_purchases
+    FROM events p
+    LEFT JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts <= p.ts
+    CROSS JOIN cut
+    WHERE p.event_type = 'purchase' AND p.ts <= cut.c
+    GROUP BY p.user_id
+    """,
+    tags=("streaming", "join", "interval", "outer"),
+)
+def st_left_outer_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER interval join: every purchase emits,
+    matched to preceding-30-minute clicks where they exist, with NULLs
+    where they don't. The outer side is the part plain inner interval
+    joins can't express: a purchase row may only produce its null-match
+    once the click watermark has passed its window (no later click can
+    ever match), so the emission itself IS the state-eviction proof —
+    at 100 TB/day the buffered state stays bounded by the
+    watermark + 30-minute range exactly as in the inner join.
+
+    Determinism at the drain boundary: a purchase emits its null-match
+    only once the GLOBAL watermark — min over both sides of (that
+    side's max event time − 2 h delay), because each stream tracks its
+    own watermark column — passes its timestamp; later rows never emit
+    in a finite run. BOTH engines therefore restrict to purchases at
+    least 3 h before least(max purchase ts, max click ts) — strictly
+    inside the evicted region, making boundary semantics irrelevant.
+    """
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    pairs = purchases.join(
+        clicks,
+        F.expr(
+            "p_user_id = c_user_id"
+            " AND c_ts >= p_ts - INTERVAL 30 minutes"
+            " AND c_ts <= p_ts"
+        ),
+        "leftOuter",
+    )
+    name = f"loj_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table(name)
+    from dbt_fal_spark.sources.readers import load_table
+
+    cut = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            (
+                F.least(
+                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                )
+                - F.expr("INTERVAL 3 hours")
+            ).alias("c")
+        )
+        .collect()[0]["c"]
+    )
+    return (
+        drained.filter(F.col("p_ts") <= F.lit(cut))
+        .groupBy(F.col("p_user_id").alias("user_id"))
+        .agg(
+            F.countDistinct("p_event_id").alias("n_purchases"),
+            F.countDistinct(
+                F.when(F.col("c_event_id").isNotNull(), F.col("p_event_id"))
+            ).alias("n_matched_purchases"),
+            (
+                F.countDistinct("p_event_id")
+                - F.countDistinct(
+                    F.when(F.col("c_event_id").isNotNull(), F.col("p_event_id"))
+                )
+            ).cast("bigint").alias("n_unmatched_purchases"),
+        )
+    )
