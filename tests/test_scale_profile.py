@@ -24,6 +24,13 @@ _QUERIES = [
     "q13_order_count_distribution",
     "q_topk_orders_per_segment",
     "d_ngram_jaccard_pairs",
+    # round-4 additions with shuffle-bearing plans: digest df join,
+    # bucket-level pair expansion, token-frequency rewrite, SQ8 stats
+    # reduce — each re-planned by AQE at stage boundaries
+    "d_dup_ngram_fraction",
+    "d_containment_pairs",
+    "t_unk_replace",
+    "s_knn_int8",
 ]
 
 
