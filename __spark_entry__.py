@@ -39,6 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # is r02, to refresh them. Names absent from the registry are ignored;
 # registry entries not listed keep their registration order after
 # these.
+#
+# r5 PLAN: r3 ∪ r4 windows cover the first 100 registry entries; the
+# late-round-4 additions (t_repetition_stats, t_gopher_quality,
+# d_dup_ngram_fraction, s_knn_int8, q_unpivot_segment_metrics,
+# t_unk_replace, st_left_outer_interval_stream, + anything newer) have
+# local-gate greens only — lead the r5 window with them, then rotate
+# the oldest driver rows.
 _CHECK_FIRST = (
     "q_profile_orders",
     # round-4 additions, never covered before

@@ -270,3 +270,39 @@ def q_unpivot_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "q_conditional_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_open,
+           bool_and(o_totalprice > 1000) AS all_above_1k,
+           bool_or(o_orderstatus = 'F') AS any_fulfilled,
+           median(o_totalprice) AS median_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "aggregate"),
+)
+def q_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / boolean / positional aggregate shapes in one pass:
+    count_if, bool_and, bool_or, and exact median per group.
+
+    One hash aggregation; count_if/bool_and/bool_or partial-aggregate
+    map-side (each carries a counter or a bit). median is the one
+    full-sort member — exact by contract here; at 100 TB swap in
+    approx_percentile's mergeable t-digest (documented trade: ±ε error
+    for a one-pass mergeable sketch). Median determinism: an exact
+    median is order-insensitive (sorted multiset), and the even-count
+    midpoint average is a single double op in both engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_fulfilled"),
+        F.median("o_totalprice").alias("median_price"),
+    )

@@ -781,3 +781,107 @@ def e_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.filter((F.col("n") >= 2) & (dev * dev > 9 * m2))
         .select("event_id", "user_id", "event_type", "ts")
     )
+
+
+@query(
+    "e_interpolate_daily_user",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
+    ), users AS (
+      SELECT DISTINCT user_id FROM events
+    ), grid AS (
+      SELECT user_id, day FROM users CROSS JOIN spine
+    ), daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, {o_dsum('value')} AS v
+      FROM events GROUP BY 1, 2
+    ), filled AS (
+      SELECT g.user_id, g.day, d.v,
+             last_value(d.v IGNORE NULLS) OVER w_past AS prev_v,
+             last_value(CASE WHEN d.v IS NOT NULL THEN g.day END IGNORE NULLS)
+               OVER w_past AS prev_day,
+             first_value(d.v IGNORE NULLS) OVER w_future AS next_v,
+             first_value(CASE WHEN d.v IS NOT NULL THEN g.day END IGNORE NULLS)
+               OVER w_future AS next_day
+      FROM grid g LEFT JOIN daily d USING (user_id, day)
+      WINDOW
+        w_past AS (PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_future AS (PARTITION BY g.user_id ORDER BY g.day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day, (v IS NOT NULL) AS observed,
+           CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v)
+                  * (CAST(day - prev_day AS DOUBLE)
+                     / CAST(next_day - prev_day AS DOUBLE))
+           END AS v_interp
+    FROM filled
+    """,
+    tags=("timeseries", "interpolate"),
+)
+def e_interpolate_daily_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of per-user daily value over a dense date
+    spine: observed days keep their exact daily sum, interior gaps get
+    the lerp between the nearest observed neighbors, and edge gaps
+    extend the nearest value — the gap-repair step feeding per-entity
+    models, one notch past e_resample_daily_fill's forward-fill.
+
+    Plan: generated spine × distinct users (never collected), left join
+    the daily rollup, then TWO bounded windows per user (past for
+    prev/prev-day, future for next/next-day) — the window key is
+    user_id, so state per partition is one user's days and the shape
+    scales horizontally with entity count, never with corpus length.
+
+    Determinism: daily sums are exact decimal→double; the lerp is the
+    identical single-op sequence in both engines — (next−prev) double
+    subtraction, int-day ratio divided as double, one multiply, one
+    add — so results are bit-identical.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"))
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(spine))
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(dsum("value", "v"))
+    joined = grid.join(daily, ["user_id", "day"], "left_outer")
+    w_past = (
+        W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_future = (
+        W.partitionBy("user_id").orderBy("day").rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    filled = joined.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_past).alias("prev_v"),
+        F.last(obs_day, ignorenulls=True).over(w_past).alias("prev_day"),
+        F.first("v", ignorenulls=True).over(w_future).alias("next_v"),
+        F.first(obs_day, ignorenulls=True).over(w_future).alias("next_day"),
+    )
+    lerp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        F.datediff("day", "prev_day").cast("double")
+        / F.datediff("next_day", "prev_day").cast("double")
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        F.col("v").isNotNull().alias("observed"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(lerp)
+        .alias("v_interp"),
+    )
