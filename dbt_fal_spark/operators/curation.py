@@ -192,29 +192,48 @@ def d_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     least one other place in the corpus (RefinedWeb's duplicated-n-gram
     filter signal).
 
-    Plan: each doc emits md5 digests of its distinct shingles (map-only
-    HOF — text never shuffles), one digest-keyed aggregation computes
-    corpus doc-frequency with map-side combine, and a digest⋈digest
-    join folds the dfc>=2 flag back per document. Shuffle volume is
-    16 bytes per distinct shingle regardless of document size — the
-    same digest-only-shuffle contract as d_exact_dedup
-    (dedup.py). Docs shorter than {SHINGLE_K} words emit no shingles
-    and drop out (mirrored by the oracle's inner join).
+    Plan: an Arrow-batched stage emits each doc's distinct shingles as
+    64-bit siphashes (the d_ngram_jaccard_pairs digest convention —
+    the interpreted md5-HOF formulation this replaced cost ~6× more
+    CPU and, unpersisted, ran twice as both join sides), persisted so
+    the digest relation materializes once; one digest-keyed
+    aggregation computes corpus doc-frequency with map-side combine,
+    and a digest⋈digest join folds the dfc>=2 flag back per document.
+    Shuffle volume is 8 bytes per distinct shingle regardless of
+    document size — the digest-only-shuffle contract of d_exact_dedup.
+    The oracle keys on md5 strings instead; only the fold-back counts
+    reach the output, so any collision-free digest is equivalent. Docs
+    shorter than {SHINGLE_K} words emit no shingles and drop out
+    (mirrored by the oracle's inner join).
     """
     docs = load_table(spark, sf_dir, "documents")
-    shingles = docs.select(
-        "doc_id",
-        # Spark's sequence(1, 0) yields a DESCENDING [1, 0], not [] like
-        # DuckDB's generate_series — short docs must be guarded explicitly.
-        F.explode(
-            F.expr(
-                f"CASE WHEN size(split(text, ' ')) < {SHINGLE_K}"
-                " THEN array() ELSE array_distinct(transform("
-                f" sequence(1, size(split(text, ' ')) - {SHINGLE_K - 1}),"
-                f" i -> md5(concat_ws(' ', slice(split(text, ' '), i, {SHINGLE_K})))"
-                ")) END"
-            )
-        ).alias("dig"),
+    k = SHINGLE_K
+
+    def gen(batches):
+        # nested + self-contained: executors cannot import dbt_fal_spark
+        import pandas as pd
+
+        for pdf in batches:
+            ids, shs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = text.split(" ")
+                if len(w) < k:
+                    continue
+                uniq = {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+                ids.extend([doc_id] * len(uniq))
+                shs.extend(uniq)
+            out = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+            out["dig"] = pd.util.hash_array(
+                pd.Index(shs).to_numpy(dtype=object)
+            ).astype("int64")
+            yield out
+
+    from dbt_fal_spark.sources.readers import spread
+
+    shingles = (
+        spread(docs.select("doc_id", "text"))
+        .mapInPandas(gen, schema="doc_id long, dig long")
+        .persist()
     )
     doc_freq = shingles.groupBy("dig").agg(F.count("*").alias("dfc"))
     return (
