@@ -550,12 +550,13 @@ def s_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB of embeddings, 4× less shuffle/scan is the difference
     between fitting in cluster memory or not).
 
-    Plan (3 bounded jobs): (1) an Arrow pass emits per-batch per-dim
-    min/max partials (64 tiny rows per batch — dim-keyed, so the global
-    reduce is a 64-group aggregation, never a full-corpus collect);
-    (2) the N_QUERIES query vectors are fetched under a pushed
-    ``vec_id < {N_QUERIES}`` filter and encoded driver-side; (3) the
-    scoring pass re-quantizes each batch with the broadcast stats,
+    Plan (2 bounded jobs, the s_knn_ivf fused shape): (1) ONE Arrow
+    pass over a persisted scan emits per-batch per-dim min/max partials
+    (64 tiny dim-keyed rows per batch — the global reduce is a
+    64-group aggregation, never a full-corpus collect) AND the
+    N_QUERIES query vectors riding the same output (kind=1), encoded
+    driver-side once the stats land; (2) the scoring pass re-reads the
+    cached scan, re-quantizes each batch with the broadcast stats,
     matmuls int codes against the broadcast query codes, and keeps a
     local top-k, leaving one narrow global rank window.
 
@@ -566,48 +567,50 @@ def s_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    raw = emb.select("vec_id", "label", "embedding")
+    raw = spread(emb.select("vec_id", "label", "embedding")).persist()
     out_schema = "query_id long, neighbor_id long, neighbor_label long, qscore long, rank int"
+    n_queries = N_QUERIES
 
-    def dim_partials(batches):
+    def partials_and_queries(batches):
         import pandas as pd
 
         for pdf in batches:
             if not len(pdf):
                 continue
             e = np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
-            m = np.sign(e) * np.floor(np.abs(e) + 0.5)  # == round() HALF_UP
+            m = (np.sign(e) * np.floor(np.abs(e) + 0.5)).astype(np.int64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            qsel = np.nonzero(ids < n_queries)[0]
             yield pd.DataFrame(
                 {
-                    "d": np.arange(m.shape[1], dtype=np.int64),
-                    "mn": m.min(axis=0).astype(np.int64),
-                    "mx": m.max(axis=0).astype(np.int64),
+                    "kind": [0] * m.shape[1] + [1] * len(qsel),
+                    "d": list(range(m.shape[1])) + ids[qsel].tolist(),
+                    "mn": m.min(axis=0).tolist() + [0] * len(qsel),
+                    "mx": m.max(axis=0).tolist() + [0] * len(qsel),
+                    "qv": [None] * m.shape[1] + list(m[qsel]),
                 }
             )
 
-    stats_rows = (
-        spread(raw.select("embedding"))
-        .mapInPandas(dim_partials, schema="d long, mn long, mx long")
-        .groupBy("d")
-        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+    fused = (
+        raw.mapInPandas(
+            partials_and_queries,
+            schema="kind int, d long, mn long, mx long, qv array<long>",
+        )
         .collect()
     )
+    stats_rows = [r for r in fused if r["kind"] == 0]
     if not stats_rows:
         return spark.createDataFrame([], out_schema)
-    mn = np.zeros(DIM, dtype=np.int64)
-    mx = np.zeros(DIM, dtype=np.int64)
+    mn = np.full(DIM, 2**62, dtype=np.int64)
+    mx = np.full(DIM, -(2**62), dtype=np.int64)
     for r in stats_rows:
-        mn[r["d"]], mx[r["d"]] = r["mn"], r["mx"]
+        mn[r["d"]] = min(mn[r["d"]], r["mn"])
+        mx[r["d"]] = max(mx[r["d"]], r["mx"])
     span = np.maximum(mx - mn, 1)
 
-    qrows = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", F.expr(_SPARK_QVEC).alias("qv"))
-        .collect()
-    )
-    qrows.sort(key=lambda r: r["vec_id"])
-    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
-    q_codes = (np.array([r["qv"] for r in qrows], dtype=np.int64) - mn) * 255 // span
+    qrows = sorted((r["d"], r["qv"]) for r in fused if r["kind"] == 1)
+    q_ids = np.array([vid for vid, _ in qrows], dtype=np.int64)
+    q_codes = (np.array([qv for _, qv in qrows], dtype=np.int64) - mn) * 255 // span
     b_q = spark.sparkContext.broadcast((q_ids, q_codes, mn, span))
     top_k = TOP_K
 
@@ -643,7 +646,7 @@ def s_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    scored = spread(raw).mapInPandas(
+    scored = raw.mapInPandas(
         local_topk, schema="query_id long, neighbor_id long, neighbor_label long, qscore long"
     )
     w = W.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
