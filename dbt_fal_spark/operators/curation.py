@@ -17,10 +17,10 @@ Scale notes (100 TB design):
   columns are droppable predicates for downstream pruning.
 - ``d_dup_ngram_fraction`` is the RefinedWeb "fraction of my shingles
   seen elsewhere" signal. Shingles never leave the executor as text:
-  each doc emits the md5 digest of each distinct word 5-gram, the
+  each doc emits a 64-bit siphash of each distinct word 5-gram, the
   doc-frequency pass aggregates digests (map-side combined), and the
   join back to documents is digest⋈digest. Shuffle volume is
-  16 bytes × distinct-shingles — independent of document size.
+  8 bytes × distinct-shingles — independent of document size.
 """
 
 from __future__ import annotations
@@ -309,5 +309,70 @@ def t_unk_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("transform(array_sort(collect_list(struct(pos, tok2))), s -> s.tok2)"),
             ).alias("text_clean"),
             F.sum("is_rare").cast("bigint").alias("n_replaced"),
+        )
+    )
+
+
+VOCAB_TOP_K = 100
+
+
+@query(
+    "t_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM freq),
+    ranked AS (
+      SELECT tok, c,
+             row_number() OVER (ORDER BY c DESC, tok) AS rnk,
+             sum(c) OVER (ORDER BY c DESC, tok
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM freq
+    )
+    SELECT tok, CAST(c AS BIGINT) AS n_occurrences, rnk AS rank,
+           CAST(cum AS DOUBLE) / t AS coverage
+    FROM ranked, tot
+    WHERE rnk <= {VOCAB_TOP_K}
+    """,
+    tags=("curation", "text", "vocab"),
+)
+def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget curve: the top-{VOCAB_TOP_K} tokens by corpus
+    frequency with the cumulative fraction of all token occurrences
+    they cover — the plot that decides a vocabulary size before
+    training a tokenizer.
+
+    Plan: one token-keyed count (map-side combined; the only shuffle
+    that sees corpus-sized data), then ranking and the running sum run
+    on the FREQUENCY table — vocabulary-sized, orders of magnitude
+    smaller than the corpus — so the global-order window is bounded by
+    |vocab|, not |tokens|. The total-token scalar broadcasts.
+    Determinism: counts are exact ints, the running sum is an int
+    cumsum over a total order (freq desc, token asc), and coverage is
+    one double division per row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = freq.agg(F.sum("c").cast("bigint").alias("t"))
+    w = W.orderBy(F.desc("c"), F.asc("tok"))
+    wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum", F.sum("c").over(wc))
+        .filter(F.col("rank") <= VOCAB_TOP_K)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.col("c").cast("bigint").alias("n_occurrences"),
+            "rank",
+            (F.col("cum").cast("double") / F.col("t")).alias("coverage"),
         )
     )
