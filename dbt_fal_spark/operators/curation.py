@@ -376,3 +376,54 @@ def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum").cast("double") / F.col("t")).alias("coverage"),
         )
     )
+
+
+@query(
+    "s_text_vector_join",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+      FROM embeddings
+    )
+    SELECT d.doc_id, d.lang,
+           len(string_split(d.text, ' ')) AS n_tokens,
+           q.label,
+           CAST(list_dot_product(q.qv, q.qv) AS BIGINT) AS sq_norm
+    FROM documents d JOIN q ON d.doc_id = q.vec_id
+    """,
+    tags=("curation", "multimodal", "join"),
+)
+def s_text_vector_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal equi-join: each document paired with its embedding
+    row (doc_id = vec_id), carrying a text-side signal (token count)
+    and a vector-side signal (exact integer squared norm) — the
+    retrieval-prep shape that stitches the text and vector tables
+    before filtering/packing.
+
+    Plan: one shuffle-keyed equi-join on the shared id (at scale both
+    tables bucket on it and the join is shuffle-free — see
+    tests/test_bucketing.py); the norm is a quantized integer dot
+    (< 2^33, exact in float64) and never leaves the executor
+    unaggregated. Embedding arrays are projected away after the norm —
+    the join output carries scalars only.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(transform(embedding,"
+            " x -> cast(round(cast(x as double) * 1024) as bigint)),"
+            " 0L, (acc, v) -> acc + v * v)"
+        ).alias("sq_norm"),
+    )
+    return docs.join(q, docs.doc_id == q.vec_id).select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        "label",
+        F.col("sq_norm").cast("bigint").alias("sq_norm"),
+    )
