@@ -609,6 +609,10 @@ def s_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = np.maximum(mx - mn, 1)
 
     qrows = sorted((r["d"], r["qv"]) for r in fused if r["kind"] == 1)
+    if not qrows:
+        # non-empty corpus, empty query set: nothing to rank (and the
+        # (0,)-shaped matrix would not broadcast against the stats)
+        return spark.createDataFrame([], out_schema)
     q_ids = np.array([vid for vid, _ in qrows], dtype=np.int64)
     q_codes = (np.array([qv for _, qv in qrows], dtype=np.int64) - mn) * 255 // span
     b_q = spark.sparkContext.broadcast((q_ids, q_codes, mn, span))

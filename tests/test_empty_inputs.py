@@ -75,3 +75,18 @@ def test_query_runs_on_empty_tables(spark, empty_sf_dir, name):
     specs = all_queries()
     df = specs[name].fn(spark, empty_sf_dir)
     assert df.count() == 0
+
+
+def test_knn_int8_nonempty_corpus_no_queries(spark, tmp_path):
+    """Non-empty corpus whose every vec_id >= N_QUERIES: the fused pass
+    yields stats but zero query rows — must return 0 rows, not a numpy
+    broadcast error against the (64,) stats vectors."""
+    from pyspark.sql import functions as F
+
+    from dbt_fal_spark.operators.similarity import s_knn_int8
+
+    emb = load_table(spark, SF_DIR, "embeddings").withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    emb.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    assert s_knn_int8(spark, str(tmp_path)).count() == 0
