@@ -885,3 +885,97 @@ def e_interpolate_daily_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(lerp)
         .alias("v_interp"),
     )
+
+
+@query(
+    "e_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS s
+      FROM daily GROUP BY event_type
+    ), cusum AS (
+      SELECT d.event_type, d.day, d.c,
+             CAST(sum(t.n_days * d.c) OVER w
+                  - row_number() OVER w * t.s AS BIGINT) AS cusum_scaled
+      FROM daily d JOIN tot t USING (event_type)
+      WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day AS change_day, CAST(c AS BIGINT) AS day_count,
+           cusum_scaled,
+           CAST(abs(cusum_scaled) AS DOUBLE) / (SELECT max(s * n_days)
+             FROM tot t2 WHERE t2.event_type = cusum.event_type)
+             AS cusum_norm
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type
+        ORDER BY abs(cusum_scaled) DESC, day
+      ) AS rnk
+      FROM cusum
+    ) cusum
+    WHERE rnk = 1
+    """,
+    tags=("timeseries", "changepoint"),
+)
+def e_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint detection over daily event counts: for
+    each event type, the day where the cumulative deviation from the
+    mean daily rate is largest — the classic level-shift detector.
+
+    Exactness trick: the textbook CUSUM_k = Σ_{i≤k}(c_i − S/N) needs a
+    float mean whose running float sum is summation-order-sensitive;
+    scaling by N gives CUSUM_k·N = Σ_{i≤k} N·c_i − k·S — ALL integer,
+    so the running sum is exact in any order and both engines agree
+    bit-for-bit. One normalizing double division at the end.
+
+    Plan: daily rollup (map-side combined), per-type totals joined back
+    broadcast-small, one bounded per-type ordered window for the
+    running sum, one rank window for the argmax — state per partition
+    is one type's days.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("c"))
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("s"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wo = W.partitionBy("event_type").orderBy("day")
+    cusum = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "cusum_scaled",
+            (
+                F.sum(F.col("n_days") * F.col("c")).over(w)
+                - F.row_number().over(wo).cast("bigint") * F.col("s")
+            ).cast("bigint"),
+        )
+    )
+    rank_w = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("day").asc()
+    )
+    return (
+        cusum.withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("c").cast("bigint").alias("day_count"),
+            "cusum_scaled",
+            (
+                F.abs(F.col("cusum_scaled")).cast("double")
+                / (F.col("s") * F.col("n_days"))
+            ).alias("cusum_norm"),
+        )
+    )
