@@ -306,3 +306,65 @@ def q_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_fulfilled"),
         F.median("o_totalprice").alias("median_price"),
     )
+
+
+@query(
+    "q_ab_test_proportions",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id % 2 AS variant,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+      FROM events
+    ), agg AS (
+      SELECT CAST(count_if(variant = 0) AS BIGINT) AS n0,
+             CAST(count_if(variant = 1) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+      FROM tagged
+    )
+    SELECT n0, n1, c0, c1,
+           CAST(c0 AS DOUBLE) / n0 AS p0,
+           CAST(c1 AS DOUBLE) / n1 AS p1,
+           (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)) AS z_score
+    FROM agg
+    """,
+    tags=("stats", "hypothesis-test"),
+)
+def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on event conversion (purchase share) with
+    users split into variants by ``user_id % 2`` — the A/B significance
+    readout every experimentation pipeline ends with.
+
+    One full-corpus pass: a single hash aggregation produces four exact
+    integer counters (map-side combined, no per-variant shuffle split),
+    and the z statistic is computed from them in one projection — the
+    identical closed-form single-op sequence in both engines, so the
+    doubles match bit-for-bit. At 100 TB: same plan, four counters.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    agg = tagged.agg(
+        F.count_if(F.col("variant") == 0).cast("bigint").alias("n0"),
+        F.count_if(F.col("variant") == 1).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    p_pool = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(
+        p_pool * (F.lit(1.0) - p_pool) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return agg.select(
+        "n0", "n1", "c0", "c1", p0.alias("p0"), p1.alias("p1"), z.alias("z_score")
+    )
