@@ -137,3 +137,39 @@ def test_components_exclude_capped_cluster(spark, capped_corpus_dir):
             assert comp[i] == (i, 1)
     # genuine small dup pairs still merge
     assert comp[4][0] == 3 and comp[3][1] == 2
+
+
+def _exact_containment_pairs(docs, threshold=0.8):
+    """Uncapped containment ground truth, independent Python."""
+    sets = {i: _shingles(t) for i, t in docs if len(t.split(" ")) >= 3}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if not inter:
+            continue
+        c = inter / min(len(sets[a]), len(sets[b]))
+        if c >= threshold:
+            out[(a, b)] = c
+    return out
+
+
+def test_capped_containment_is_subset_of_exact(spark, capped_corpus_dir):
+    """The bucket-emission plan (groupBy shingle -> capped doc list ->
+    ordered-pair HOF) must honor the same cap contract as the join
+    formulation it replaced: capping only removes pairs."""
+    from dbt_fal_spark.operators.dedup import d_containment_pairs
+
+    sf_dir, rows = capped_corpus_dir
+    exact = _exact_containment_pairs(rows)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in d_containment_pairs(spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+    for pair, c in got.items():
+        assert pair in exact
+        assert c <= exact[pair] + 1e-12
+    # clean duplicate pairs keep their exact (1.0) containment
+    assert got[(3, 4)] == pytest.approx(exact[(3, 4)])
+    # the giant identical cluster is capped out entirely
+    assert not any(2000 <= a < 3000 for a, b in got)
