@@ -591,50 +591,70 @@ def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the training-data step every serious
     pipeline runs: flag training documents sharing ≥ {threshold} word
     3-gram shingles with a held-out benchmark set (here: doc_id < 50
-    stands in for the eval suite). The benchmark side is tiny BY
-    DEFINITION, so it broadcasts: the training corpus streams once, the
-    join is map-side, and only flagged (train, bench) pairs shuffle into
-    the count — the shape that decontaminates 100 TB against a few
-    thousand eval documents in one pass. Shingles ride the same Arrow
-    stage + 64-bit siphash keys as d_ngram_jaccard_pairs; the oracle
-    joins exact strings."""
+    stands in for the eval suite).
 
-    def gen(batches):
+    The benchmark side is tiny BY DEFINITION, so the join is done
+    entirely map-side: a pushed-filter scan collects the bench docs, an
+    inverted shingle→bench-ids index is built on the driver and
+    broadcast, and ONE Arrow pass over the training corpus counts hits
+    per (train, bench) pair and emits only qualifying rows — ZERO
+    shuffles, the corpus streams exactly once. (The previous shape —
+    full-corpus shingle stage + broadcast hash join + count shuffle —
+    was correct but spent two extra stages re-deriving the bench side
+    from the corpus-wide shingle table.) At 100 TB the index for a few
+    thousand eval docs is a few MB of broadcast. The oracle joins
+    exact strings; the index keys are those same strings.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bench_rows = (
+        docs.filter(F.col("doc_id") < DECON_BENCH_MAX_ID)
+        .select("doc_id", "text")
+        .collect()
+    )
+    inv: dict = {}
+    for r in bench_rows:
+        w = r["text"].split(" ")
+        if len(w) < 3:
+            continue
+        for sh in {" ".join(t) for t in zip(w, w[1:], w[2:])}:
+            inv.setdefault(sh, []).append(r["doc_id"])
+    b_inv = spark.sparkContext.broadcast(inv)
+    min_shared = DECON_MIN_SHARED
+    bench_max = DECON_BENCH_MAX_ID
+
+    def scan(batches):
         # nested + self-contained: executors cannot import dbt_fal_spark
+        from collections import Counter
+
         import pandas as pd
 
+        inv_local = b_inv.value
         for pdf in batches:
-            ids, shs = [], []
+            t_ids, b_ids, counts = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 w = text.split(" ")
                 if len(w) < 3:
                     continue
-                uniq = {" ".join(t) for t in zip(w, w[1:], w[2:])}
-                ids.extend([doc_id] * len(uniq))
-                shs.extend(uniq)
-            out = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
-            out["sh"] = pd.util.hash_array(
-                pd.Index(shs).to_numpy(dtype=object)
-            ).astype("int64")
-            yield out
+                hits: Counter = Counter()
+                for sh in {" ".join(t) for t in zip(w, w[1:], w[2:])}:
+                    for b in inv_local.get(sh, ()):
+                        hits[b] += 1
+                for b, c in hits.items():
+                    if c >= min_shared:
+                        t_ids.append(doc_id)
+                        b_ids.append(b)
+                        counts.append(c)
+            yield pd.DataFrame(
+                {
+                    "train_doc_id": pd.Series(t_ids, dtype="int64"),
+                    "bench_doc_id": pd.Series(b_ids, dtype="int64"),
+                    "n_shared_shingles": pd.Series(counts, dtype="int64"),
+                }
+            )
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        spread(docs.select("doc_id", "text"))
-        .mapInPandas(gen, schema="doc_id long, sh long")
-        .persist()
-    )
-    bench = sh.filter(F.col("doc_id") < DECON_BENCH_MAX_ID).select(
-        F.col("doc_id").alias("bench_doc_id"), "sh"
-    )
-    train = sh.filter(F.col("doc_id") >= DECON_BENCH_MAX_ID).select(
-        F.col("doc_id").alias("train_doc_id"), "sh"
-    )
-    return (
-        train.join(F.broadcast(bench), "sh")
-        .groupBy("train_doc_id", "bench_doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
-        .filter(F.col("n_shared_shingles") >= DECON_MIN_SHARED)
+    train = docs.filter(F.col("doc_id") >= DECON_BENCH_MAX_ID).select("doc_id", "text")
+    return spread(train).mapInPandas(
+        scan, schema="train_doc_id long, bench_doc_id long, n_shared_shingles long"
     )
 
 

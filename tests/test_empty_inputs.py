@@ -31,6 +31,7 @@ _REPRESENTATIVES = [
     "q_grouping_sets_revenue",
     "q_first_last_order_value",
     "d_exact_dedup",
+    "d_decontaminate",
     "d_ngram_jaccard_pairs",
     "d_minhash_lsh_pairs",
     "d_neardup_components",
