@@ -179,6 +179,7 @@ class FalSpark:
                 resolve_source=self._resolve_source,
                 this_name=f"{self.schema}__{model_name}",
                 vars=self.manifest.vars,
+                macros=self.manifest.macros,
             )
             self.spark.sql(rendered).createOrReplaceTempView(f"{self.schema}__{model_name}")
             return f"{self.schema}__{model_name}"
@@ -284,6 +285,7 @@ class FalSpark:
             resolve_ref=self._resolve_ref,
             resolve_source=self._resolve_source,
             vars=self.manifest.vars,
+                macros=self.manifest.macros,
         )
         return self.spark.sql(rendered)
 
@@ -434,6 +436,7 @@ class FalSpark:
                     resolve_ref=self._resolve_ref,
                     resolve_source=self._resolve_source,
                     vars=self.manifest.vars,
+                macros=self.manifest.macros,
                 )
                 staged = self.spark.sql(rendered)
                 snapshot_scd2(
@@ -618,6 +621,7 @@ class FalSpark:
                         resolve_ref=self._resolve_ref,
                         resolve_source=self._resolve_source,
                         vars=self.manifest.vars,
+                macros=self.manifest.macros,
                     )
                     violations = self.spark.sql(rendered).count()
                 else:
@@ -722,6 +726,7 @@ class _ModelTask:
             resolve_source=fal._resolve_source,
             this_name=identifier,
             vars=fal.manifest.vars,
+            macros=fal.manifest.macros,
             is_incremental=model.is_incremental and exists and not full_refresh,
         )
         df = spark.sql(rendered)

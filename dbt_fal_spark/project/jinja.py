@@ -38,15 +38,23 @@ def render_model_sql(
     this_name: str | None = None,
     vars: dict[str, Any] | None = None,
     is_incremental: bool = False,
+    macros: list[str] | None = None,
 ) -> tuple[str, RenderContext]:
     """Render a model's Jinja-SQL to executable Spark SQL.
 
     ``resolve_ref(name) -> str`` and ``resolve_source(src, tbl) -> str``
     return the physical relation identifier to splice into the SQL.
+    ``macros`` are raw ``{% macro %}`` sources (from `macro-paths`);
+    they are PREPENDED to the template rather than loaded as a module so
+    macro bodies share the render context — a macro calling ``ref()`` or
+    ``var()`` resolves (and records dependencies) at its call site,
+    exactly like dbt. Definition blocks emit no output.
     """
     ctx = RenderContext()
     env = jinja2.Environment(undefined=jinja2.StrictUndefined)
     vars = vars or {}
+    if macros:
+        raw_sql = "\n".join([*macros, raw_sql])
 
     def _config(**kwargs: Any) -> str:
         ctx.config.update(kwargs)
@@ -85,7 +93,9 @@ def render_model_sql(
     return rendered, ctx
 
 
-def extract_dependencies(raw_sql: str) -> tuple[list[str], list[tuple[str, str]], dict[str, Any]]:
+def extract_dependencies(
+    raw_sql: str, macros: list[str] | None = None
+) -> tuple[list[str], list[tuple[str, str]], dict[str, Any]]:
     """Parse-phase dependency extraction: render with no-op resolvers and
     collect the ref()/source()/config() calls. Rendered under both
     is_incremental branches so deps inside ``{% if is_incremental() %}``
@@ -100,6 +110,7 @@ def extract_dependencies(raw_sql: str) -> tuple[list[str], list[tuple[str, str]]
             resolve_source=lambda s, t: f"__source__{s}__{t}",
             this_name="__this__",
             is_incremental=inc,
+            macros=macros,
         )
         for r in ctx.refs:
             if r not in refs:

@@ -88,6 +88,16 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
     seed_dirs = [project_dir / p for p in cfg.get("seed-paths", ["seeds"])]
     snapshot_dirs = [project_dir / p for p in cfg.get("snapshot-paths", ["snapshots"])]
 
+    # --- macros: {% macro %} sources become callable in every render
+    # (dbt `macro-paths`; reference dbt_project.yml "macro-paths":
+    # ["macros", "custom_macros"]). Loaded FIRST — dependency extraction
+    # below renders model SQL, which may call them. ---
+    for macdir in [project_dir / p for p in cfg.get("macro-paths", ["macros"])]:
+        if not macdir.exists():
+            continue
+        for mpath in sorted(macdir.rglob("*.sql")):
+            manifest.macros.append(mpath.read_text())
+
     # --- schema.yml files: sources + model configs/columns/tests ---
     model_props: dict[str, dict] = {}
     for mdir in model_dirs:
@@ -164,7 +174,7 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
             continue
         for spath in sorted(mdir.rglob("*.sql")):
             raw = spath.read_text()
-            refs, sources, config = extract_dependencies(raw)
+            refs, sources, config = extract_dependencies(raw, macros=manifest.macros)
             mname = spath.stem
             props = model_props.get(mname, {})
             meta = {**(props.get("meta", {}) or {}), **(config.get("meta", {}) or {})}
@@ -232,7 +242,7 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
     if tdir.exists():
         for spath in sorted(tdir.glob("*.sql")):
             raw = spath.read_text()
-            refs, srcs, _ = extract_dependencies(raw)
+            refs, srcs, _ = extract_dependencies(raw, macros=manifest.macros)
             uid = f"test.{name}.{spath.stem}"
             t = DbtTest(
                 name=spath.stem,

@@ -137,6 +137,10 @@ class Manifest:
     tests: dict[str, DbtTest] = field(default_factory=dict)
     snapshots: dict[str, "DbtSnapshot"] = field(default_factory=dict)
     vars: dict[str, Any] = field(default_factory=dict)
+    # raw {% macro %} sources from macro-paths dirs, prepended into every
+    # Jinja render so definitions are callable from models/execute_sql
+    # (reference: cli_tests/projects/009_execute_sql_function)
+    macros: list[str] = field(default_factory=list)
 
     def model_by_name(self, name: str) -> DbtModel:
         for m in self.models.values():

@@ -330,3 +330,53 @@ def test_notebook_model_ran(jaffle):
         F.max("customer_lifetime_value").alias("mx")
     )
     assert peak == {r["segment"]: r["mx"] for r in seg.collect()}
+
+
+def test_custom_macros_in_models_and_execute_sql(spark, tmp_path):
+    """dbt macro-paths parity (reference: cli_tests/projects/
+    009_execute_sql_function, custom_macros/multiply_by_ten.sql): {% macro %}
+    definitions from every listed dir are callable from model SQL AND from
+    execute_sql, and macro-internal ref() calls record dependencies."""
+    import textwrap
+
+    from dbt_fal_spark.api import FalSpark
+
+    proj = tmp_path / "macroproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "custom_macros").mkdir()
+    (proj / "dbt_project.yml").write_text(
+        'name: macroproj\nmacro-paths: ["macros", "custom_macros"]\n'
+    )
+    (proj / "custom_macros" / "multiply_by_ten.sql").write_text(
+        "{% macro multiply_by_ten(column_name) %}\n"
+        "    cast({{ column_name }} * 10 as INT)\n"
+        "{% endmacro %}\n"
+    )
+    (proj / "models" / "base.sql").write_text("SELECT 4 AS my_int")
+    # macro used inside a model; ref() INSIDE the macro must still
+    # register the dependency on base
+    (proj / "custom_macros" / "from_base.sql").write_text(
+        "{% macro base_rows() %}(SELECT my_int FROM {{ ref('base') }}){% endmacro %}\n"
+    )
+    (proj / "models" / "times_ten.sql").write_text(
+        textwrap.dedent(
+            """
+            SELECT {{ multiply_by_ten('my_int') }} AS my_int_times_ten
+            FROM {{ base_rows() }}
+            """
+        )
+    )
+    spark.sql("DROP DATABASE IF EXISTS macroproj CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    # dependency extracted through the macro body: times_ten depends on base
+    m = fal.manifest.model_by_name("times_ten")
+    assert any(d.endswith(".base") for d in m.depends_on)
+    statuses = fal.run()
+    assert all(s == "success" for s in statuses.values()), statuses
+    assert fal.ref("times_ten").collect()[0]["my_int_times_ten"] == 40
+    # the reference's run_macro.py shape: execute_sql with a macro call
+    df = fal.execute_sql(
+        "select {{ multiply_by_ten('my_int') }} as my_int_times_ten from {{ ref('base') }}"
+    )
+    assert df.collect()[0]["my_int_times_ten"] == 40
+    spark.sql("DROP DATABASE IF EXISTS macroproj CASCADE")
