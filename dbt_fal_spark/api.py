@@ -285,7 +285,7 @@ class FalSpark:
             resolve_ref=self._resolve_ref,
             resolve_source=self._resolve_source,
             vars=self.manifest.vars,
-                macros=self.manifest.macros,
+            macros=self.manifest.macros,
         )
         return self.spark.sql(rendered)
 
@@ -436,7 +436,7 @@ class FalSpark:
                     resolve_ref=self._resolve_ref,
                     resolve_source=self._resolve_source,
                     vars=self.manifest.vars,
-                macros=self.manifest.macros,
+                    macros=self.manifest.macros,
                 )
                 staged = self.spark.sql(rendered)
                 snapshot_scd2(
@@ -560,6 +560,7 @@ class FalSpark:
         use_last_run: bool = True,
         only_scripts: list[str] | None = None,
         before: bool | None = None,
+        include_globals: bool | None = None,
     ) -> list[str]:
         """Post-run scripts mode (reference: `fal run`, fal_runner.py:34-76 +
         model filter :144-174): run scripts and hooks around models selected
@@ -567,7 +568,26 @@ class FalSpark:
         ``use_last_run=False``, the reference's ``--all``). ``before``
         scopes which side runs — True = BEFORE scripts/pre-hooks only (the
         reference's `fal run --before`), False = AFTER/post only (the
-        reference's plain `fal run`), None = both (API convenience)."""
+        reference's plain `fal run`), None = both (API convenience).
+
+        GLOBAL scripts (schema.yml top-level ``fal:`` block) run once per
+        invocation — before everything on the BEFORE side, after
+        everything on the AFTER side — with the reference's gating
+        (fal_runner.py:66-77): they run when no selection and no script
+        filter was passed, or when forced with ``include_globals=True``
+        (the reference's ``--globals`` flag)."""
+        run_globals = (
+            include_globals
+            if include_globals is not None
+            else (not select and not only_scripts)
+        )
+        ran: list[str] = []
+        context: dict = {"errors": []}
+        sides = (True, False) if before is None else (before,)
+        if run_globals and True in sides:
+            for script in self.manifest.global_scripts["before"]:
+                _ScriptTask(self, None, script).execute(context)
+                ran.append(f"script.GLOBAL.BEFORE.{script}")
         selected = select_nodes(self.graph, select, exclude, state=self._load_state())
         if use_last_run:
             rr = self.target_dir / "run_results.json"
@@ -578,13 +598,10 @@ class FalSpark:
                     if r.get("status") == "success"
                 }
                 selected &= last
-        ran: list[str] = []
-        context: dict = {"errors": []}
         for node in self.graph.sort_nodes():
             if node not in selected or self.graph.node_kind(node) == NodeKind.FAL_SCRIPT:
                 continue
             model: DbtModel = self.graph.node_attr(node, "model")
-            sides = (True, False) if before is None else (before,)
             for side in sides:
                 for script in model.get_scripts(before=side):
                     if only_scripts and script not in only_scripts:
@@ -597,6 +614,10 @@ class FalSpark:
                         continue
                     _HookTask(self, model, h.path, h.arguments).execute(context)
                     ran.append(f"hook.{model.name}.{'PRE' if pre else 'POST'}.{h.path}")
+        if run_globals and False in sides:
+            for script in self.manifest.global_scripts["after"]:
+                _ScriptTask(self, None, script).execute(context)
+                ran.append(f"script.GLOBAL.AFTER.{script}")
         return ran
 
     def test(self, select: str | list[str] | None = None) -> list[dict]:
@@ -621,7 +642,7 @@ class FalSpark:
                         resolve_ref=self._resolve_ref,
                         resolve_source=self._resolve_source,
                         vars=self.manifest.vars,
-                macros=self.manifest.macros,
+                        macros=self.manifest.macros,
                     )
                     violations = self.spark.sql(rendered).count()
                 else:
@@ -813,9 +834,14 @@ class _ConfigCollector:
 
 class _ScriptTask:
     """Run a before/after script with injected globals
-    (reference: FalScript.exec, fal_script.py:258-299)."""
+    (reference: FalScript.exec, fal_script.py:258-299). ``model=None``
+    is the reference's GLOBAL script mode (fal_script.py:189 — a
+    FalScript whose model is None): ``context.current_model`` is None
+    and ``write_to_model`` takes an explicit target name."""
 
-    def __init__(self, fal: FalSpark, model: DbtModel, script: str, arguments: dict | None = None) -> None:
+    def __init__(
+        self, fal: FalSpark, model: DbtModel | None, script: str, arguments: dict | None = None
+    ) -> None:
         self.fal = fal
         self.model = model
         self.script = script
@@ -825,7 +851,7 @@ class _ScriptTask:
         fal = self.fal
         model = self.model
         path = fal.project_dir / self.script
-        env_name = model.environment
+        env_name = model.environment if model is not None else None
         if env_name:
             # isolated execution (reference: IsolatedHook → environments):
             # the script runs in the named venv's interpreter with the
@@ -863,7 +889,9 @@ class _ScriptTask:
                 columns=model.columns,
                 tests=[t for t in fal.manifest.tests.values() if t.model_id == model.unique_id],
                 meta=model.meta,
-            ),
+            )
+            if model is not None
+            else None,
             arguments=self.arguments,
             target=fal.target_name,
         )
@@ -874,7 +902,11 @@ class _ScriptTask:
             "source": fal.source,
             "execute_sql": fal.execute_sql,
             "write_to_source": fal.write_to_source,
-            "write_to_model": lambda df, *a, **kw: fal.write_to_model(df, model.name, **kw),
+            "write_to_model": (
+                (lambda df, *a, **kw: fal.write_to_model(df, model.name, **kw))
+                if model is not None
+                else fal.write_to_model
+            ),
             "list_models": fal.list_models,
             "list_sources": fal.list_sources,
             "list_tests": fal.list_tests,

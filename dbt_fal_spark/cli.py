@@ -60,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
     scope = run.add_mutually_exclusive_group()
     scope.add_argument("--before", action="store_true", help="run BEFORE scripts/pre-hooks instead of AFTER")
     scope.add_argument("--both", action="store_true", help="run both BEFORE and AFTER scripts")
+    run.add_argument("--globals", dest="globals_", action="store_true",
+                     help="run GLOBAL scripts even when --select/--scripts is passed")
 
     test = sub.add_parser("test", help="generic + singular tests")
     add_common(test)
@@ -117,6 +119,7 @@ def main(argv: list[str] | None = None) -> int:
             use_last_run=not args.all,
             only_scripts=args.scripts,
             before=None if args.both else args.before,
+            include_globals=True if args.globals_ else None,
         )
         for node in ran:
             print(f"ran      {node}")

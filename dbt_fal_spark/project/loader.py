@@ -133,6 +133,16 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
                     _collect_tests(manifest, name, tbl, model_id=None, source_id=uid)
             for mod in doc.get("models", []):
                 model_props[mod["name"]] = mod
+            # top-level `fal:` block = global scripts (reference:
+            # parse.py:196-218): a bare list is AFTER scripts, a dict
+            # splits before/after
+            fal_cfg = doc.get("fal") or {}
+            script_paths = fal_cfg.get("scripts") or []
+            if isinstance(script_paths, list):
+                manifest.global_scripts["after"] += script_paths
+            else:
+                manifest.global_scripts["before"] += script_paths.get("before") or []
+                manifest.global_scripts["after"] += script_paths.get("after") or []
 
     # --- seeds: CSV files become table-materialized models with no deps ---
     for sdir in seed_dirs:

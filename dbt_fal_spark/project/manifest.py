@@ -141,6 +141,12 @@ class Manifest:
     # Jinja render so definitions are callable from models/execute_sql
     # (reference: cli_tests/projects/009_execute_sql_function)
     macros: list[str] = field(default_factory=list)
+    # top-level `fal:` block in schema.yml: GLOBAL scripts, run once per
+    # invocation with no current_model (reference: parse.py:196-218
+    # get_global_script_configs; a bare list means AFTER scripts)
+    global_scripts: dict[str, list[str]] = field(
+        default_factory=lambda: {"before": [], "after": []}
+    )
 
     def model_by_name(self, name: str) -> DbtModel:
         for m in self.models.values():

@@ -380,3 +380,72 @@ def test_custom_macros_in_models_and_execute_sql(spark, tmp_path):
     )
     assert df.collect()[0]["my_int_times_ten"] == 40
     spark.sql("DROP DATABASE IF EXISTS macroproj CASCADE")
+
+
+def test_global_scripts_run_once_with_reference_gating(spark, tmp_path):
+    """Reference 004_globals parity: a top-level `fal:` block in
+    schema.yml defines GLOBAL scripts that run once per invocation with
+    context.current_model None — before pre-hooks on the BEFORE side,
+    after everything on the AFTER side — and are SKIPPED when a selector
+    or script filter is passed unless forced (reference
+    fal_runner.py:66-77, the --globals flag)."""
+    import textwrap
+
+    from dbt_fal_spark.api import FalSpark
+
+    proj = tmp_path / "globalsproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "fal_scripts").mkdir()
+    (proj / "dbt_project.yml").write_text("name: globalsproj")
+    (proj / "models" / "some_model.sql").write_text("SELECT 1 AS x")
+    (proj / "models" / "schema.yml").write_text(
+        textwrap.dedent(
+            """
+            version: 2
+            models:
+              - name: some_model
+                meta:
+                  fal:
+                    scripts:
+                      after:
+                        - fal_scripts/model_after.py
+            fal:
+              scripts:
+                before:
+                  - fal_scripts/global_before.py
+                after:
+                  - fal_scripts/global_after.py
+            """
+        )
+    )
+    (proj / "fal_scripts" / "model_after.py").write_text(
+        "open(__file__ + '.ran', 'w').write(context.current_model.name)\n"
+    )
+    for g in ("global_before", "global_after"):
+        (proj / "fal_scripts" / f"{g}.py").write_text(
+            "assert context.current_model is None\n"
+            "open(__file__ + '.ran', 'w').write('global')\n"
+        )
+    spark.sql("DROP DATABASE IF EXISTS globalsproj CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    assert fal.manifest.global_scripts == {
+        "before": ["fal_scripts/global_before.py"],
+        "after": ["fal_scripts/global_after.py"],
+    }
+    fal.run()
+    ran = fal.run_scripts(use_last_run=False)  # plain `fal run`: AFTER side + both? default before=None -> both
+    # globals ran once on each side, model script ran with its model
+    assert "script.GLOBAL.BEFORE.fal_scripts/global_before.py" in ran
+    assert "script.GLOBAL.AFTER.fal_scripts/global_after.py" in ran
+    assert (proj / "fal_scripts" / "global_before.py.ran").exists()
+    assert (proj / "fal_scripts" / "global_after.py.ran").read_text() == "global"
+    assert (proj / "fal_scripts" / "model_after.py.ran").read_text() == "some_model"
+    # a selection suppresses globals (reference gating)...
+    ran_sel = fal.run_scripts(select="some_model", use_last_run=False)
+    assert not any("GLOBAL" in r for r in ran_sel)
+    # ...unless forced with include_globals (the --globals flag)
+    ran_forced = fal.run_scripts(
+        select="some_model", use_last_run=False, include_globals=True
+    )
+    assert any("GLOBAL" in r for r in ran_forced)
+    spark.sql("DROP DATABASE IF EXISTS globalsproj CASCADE")
