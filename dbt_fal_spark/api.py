@@ -850,7 +850,14 @@ class _ScriptTask:
     def execute(self, context: dict) -> int:
         fal = self.fal
         model = self.model
+        # scripts resolve against `fal-scripts-path` when set (reference:
+        # parse.py:142-151 get_scripts_dir, default = project dir); paths
+        # that exist relative to the project root still win, so projects
+        # mixing both conventions keep working
+        base = fal.project_dir / str(fal.manifest.vars.get("fal-scripts-path", ""))
         path = fal.project_dir / self.script
+        if not path.exists() and (base / self.script).exists():
+            path = base / self.script
         env_name = model.environment if model is not None else None
         if env_name:
             # isolated execution (reference: IsolatedHook → environments):

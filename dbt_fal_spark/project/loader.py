@@ -76,6 +76,37 @@ def extract_python_deps(code: str) -> tuple[list[str], list[tuple[str, str]]]:
     return refs, sources
 
 
+def _scan_python_models(
+    manifest: Manifest, name: str, mdir: Path, model_props: dict[str, dict]
+) -> None:
+    """Register every .py/.ipynb model under ``mdir`` (shared by
+    model-paths and the reference's separate `fal-models-paths` dirs)."""
+    py_models = sorted(mdir.rglob("*.py")) + sorted(mdir.rglob("*.ipynb"))
+    for ppath in py_models:
+        code = ppath.read_text()
+        if ppath.suffix == ".ipynb":
+            code = process_ipynb(code)
+        refs, sources = extract_python_deps(code)
+        mname = ppath.stem
+        props = model_props.get(mname, {})
+        uid = f"model.{name}.{mname}"
+        model = DbtModel(
+            name=mname,
+            unique_id=uid,
+            path=ppath,
+            python_model=ppath,
+            materialization=props.get("config", {}).get("materialized", "table"),
+            tags=list(props.get("tags", [])),
+            meta=props.get("meta", {}) or {},
+            columns={c["name"]: c for c in props.get("columns", [])},
+        )
+        model.depends_on = [f"model.{name}.{r}" for r in refs] + [
+            f"source.{name}.{s}.{t}" for (s, t) in sources
+        ]
+        manifest.models[uid] = model
+        _collect_tests(manifest, name, props, model_id=uid, source_id=None)
+
+
 def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) -> Manifest:
     project_dir = Path(project_dir)
     cfg = _load_yaml(project_dir / "dbt_project.yml") if (project_dir / "dbt_project.yml").exists() else {}
@@ -212,30 +243,15 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
         # .py and .ipynb models share the contract (reference scans both:
         # model_generator.py:18-103); notebooks are stripped to their code
         # cells for dependency extraction and execution
-        py_models = sorted(mdir.rglob("*.py")) + sorted(mdir.rglob("*.ipynb"))
-        for ppath in py_models:
-            code = ppath.read_text()
-            if ppath.suffix == ".ipynb":
-                code = process_ipynb(code)
-            refs, sources = extract_python_deps(code)
-            mname = ppath.stem
-            props = model_props.get(mname, {})
-            uid = f"model.{name}.{mname}"
-            model = DbtModel(
-                name=mname,
-                unique_id=uid,
-                path=ppath,
-                python_model=ppath,
-                materialization=props.get("config", {}).get("materialized", "table"),
-                tags=list(props.get("tags", [])),
-                meta=props.get("meta", {}) or {},
-                columns={c["name"]: c for c in props.get("columns", [])},
-            )
-            model.depends_on = [f"model.{name}.{r}" for r in refs] + [
-                f"source.{name}.{s}.{t}" for (s, t) in sources
-            ]
-            manifest.models[uid] = model
-            _collect_tests(manifest, name, props, model_id=uid, source_id=None)
+        _scan_python_models(manifest, name, mdir, model_props)
+
+    # fal-format Python models may live OUTSIDE model-paths, in the dirs
+    # listed by the `fal-models-paths` var (reference: parse.py:120-140
+    # get_fal_models_dirs — projects/006_script_paths declares
+    # `fal-models-paths: ["fal_models"]`)
+    for fmdir in [project_dir / p for p in (merged_vars.get("fal-models-paths") or [])]:
+        if fmdir.exists():
+            _scan_python_models(manifest, name, fmdir, model_props)
 
     # seeds referenced by name: fix dangling model.X deps that are seeds
     seed_names = {m.name: uid for uid, m in manifest.models.items() if m.materialization == "seed"}

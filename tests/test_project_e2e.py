@@ -449,3 +449,61 @@ def test_global_scripts_run_once_with_reference_gating(spark, tmp_path):
     )
     assert any("GLOBAL" in r for r in ran_forced)
     spark.sql("DROP DATABASE IF EXISTS globalsproj CASCADE")
+
+
+def test_fal_scripts_path_and_models_paths_vars(spark, tmp_path):
+    """Reference 006_script_paths parity: `fal-scripts-path` resolves
+    meta.fal script names against a configured dir, and
+    `fal-models-paths` dirs contribute Python models outside
+    model-paths (reference parse.py:120-151)."""
+    import textwrap
+
+    from dbt_fal_spark.api import FalSpark
+
+    proj = tmp_path / "pathproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "scripts").mkdir()
+    (proj / "fal_models").mkdir()
+    (proj / "dbt_project.yml").write_text(
+        textwrap.dedent(
+            """
+            name: pathproj
+            vars:
+              fal-scripts-path: scripts
+              fal-models-paths: [fal_models]
+            """
+        )
+    )
+    (proj / "models" / "base.sql").write_text("SELECT 7 AS y")
+    (proj / "models" / "schema.yml").write_text(
+        textwrap.dedent(
+            """
+            version: 2
+            models:
+              - name: base
+                meta:
+                  fal:
+                    scripts:
+                      after:
+                        - marker.py
+            """
+        )
+    )
+    (proj / "scripts" / "marker.py").write_text(
+        "open(__file__ + '.ran', 'w').write(context.current_model.name)\n"
+    )
+    (proj / "fal_models" / "doubled.py").write_text(
+        "def model(dbt, session):\n"
+        "    return dbt.ref('base').selectExpr('y * 2 AS y2')\n"
+    )
+    spark.sql("DROP DATABASE IF EXISTS pathproj CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    # the fal_models dir contributed a model with the extracted dependency
+    m = fal.manifest.model_by_name("doubled")
+    assert any(d.endswith(".base") for d in m.depends_on)
+    statuses = fal.run()
+    assert all(s == "success" for s in statuses.values()), statuses
+    assert fal.ref("doubled").collect()[0]["y2"] == 14
+    # the after-script resolved through fal-scripts-path
+    assert (proj / "scripts" / "marker.py.ran").read_text() == "base"
+    spark.sql("DROP DATABASE IF EXISTS pathproj CASCADE")
