@@ -198,3 +198,88 @@ def t_pack_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         F.array_join(F.expr("transform(sort_array(collect_list(struct(doc_id, text))), x -> x.text)"), "\x1e").alias("packed_text"),
     ).select("shard", "bin_id", "n_docs", "n_tokens", "packed_text")
+
+
+# Target mixture weights per source domain (relative shares; sources not
+# listed get DEFAULT). Over-represented domains get down-sampled toward
+# their target share; under-represented ones are kept whole (no
+# upsampling — keep_pct caps at 100).
+MIX_WEIGHTS = {"src0": 5, "src1": 3}
+MIX_WEIGHT_DEFAULT = 1
+
+
+def _oracle_weight_case() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items())
+    )
+    return f"CASE {whens} ELSE {MIX_WEIGHT_DEFAULT} END"
+
+
+@query(
+    "t_domain_mix_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST({_oracle_weight_case()} AS BIGINT) AS w
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total_n, CAST(sum(w) AS BIGINT) AS total_w
+      FROM counts
+    ), probs AS (
+      SELECT source, n, w,
+             least(100, (100 * w * total_n) // (total_w * n)) AS keep_pct
+      FROM counts, tot
+    )
+    SELECT d.doc_id, d.source, p.keep_pct
+    FROM documents d JOIN probs p USING (source)
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < p.keep_pct
+    """,
+    tags=("sampling", "mixing"),
+)
+def t_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture resampling: re-weight source domains toward target
+    mixture shares (the Pile/RedPajama-style mixing step). Unlike
+    t_stratified_sample's FIXED rates, the keep probability here is
+    DERIVED from the data — target share w_s/Σw vs observed share
+    n_s/N — so the same spec rebalances any corpus.
+
+    Plan: one per-source count (map-side combined, source-keyed — at
+    most |domains| groups), a scalar total, and the per-source keep_pct
+    table broadcasts back onto the corpus scan; the gate itself is the
+    same stable md5 bucket as t_stratified_sample, so the decision is a
+    pure row function — reproducible across runs, engines and cluster
+    sizes. All probability math is integer (×100 scaling + floor
+    division on BIGINTs), exact in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w_col = F.lit(MIX_WEIGHT_DEFAULT)
+    for s, w in sorted(MIX_WEIGHTS.items()):
+        w_col = F.when(F.col("source") == s, w).otherwise(w_col)
+    counts = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+    ).withColumn("w", w_col.cast("bigint"))
+    tot = counts.agg(
+        F.sum("n").cast("bigint").alias("total_n"),
+        F.sum("w").cast("bigint").alias("total_w"),
+    )
+    probs = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "keep_pct",
+            F.least(
+                F.lit(100),
+                F.expr("(100 * w * total_n) div (total_w * n)"),
+            ),
+        )
+        .select("source", "keep_pct")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return (
+        docs.join(F.broadcast(probs), "source")
+        .filter(bucket < F.col("keep_pct"))
+        .select("doc_id", "source", "keep_pct")
+    )
