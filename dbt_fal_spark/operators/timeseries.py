@@ -979,3 +979,53 @@ def e_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cusum_norm"),
         )
     )
+
+
+@query(
+    "e_hll_register_state",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+      FROM events
+    ), rb AS (
+      SELECT day, hv % 256 AS bucket, hv // 256 AS rest FROM h
+    )
+    SELECT day, bucket,
+           CAST(max(CASE WHEN rest = 0 THEN 53
+                         ELSE 53 - length(bin(rest)) END) AS BIGINT) AS max_rho
+    FROM rb GROUP BY day, bucket
+    """,
+    tags=("distinct", "sketch", "events"),
+)
+def e_hll_register_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL sketch BUILD verified exactly: per-day register state
+    (bucket = low 8 hash bits, max_rho = leading-zero rank of the
+    remaining 52 bits) from an md5-derived 60-bit hash — pure integer
+    math both engines compute bit-identically, unlike the estimate
+    (which ``e_dau_hll_sketch`` keeps as the rows-only entry via
+    Datasketches' own hashing).
+
+    This is the mergeable-state core of the 100 TB distinct-count path:
+    registers partial-aggregate map-side (max is associative), merge
+    across days/partitions by element-wise max, and the final estimate
+    is a driver-sized fold over 256 values. The exact register check
+    here pins the build; the accuracy contract of the estimate is
+    pinned in tests/test_sketch.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    rb = h.select(
+        "day",
+        (F.col("hv") % 256).alias("bucket"),
+        F.expr("hv div 256").alias("rest"),
+    )
+    rho = F.when(F.col("rest") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.expr("bin(rest)"))
+    )
+    return rb.groupBy("day", "bucket").agg(F.max(rho).cast("bigint").alias("max_rho"))
