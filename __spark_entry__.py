@@ -41,11 +41,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # these.
 #
 # r5 PLAN: r3 ∪ r4 windows cover the first 100 registry entries; the
-# late-round-4 additions (t_repetition_stats, t_gopher_quality,
-# d_dup_ngram_fraction, s_knn_int8, q_unpivot_segment_metrics,
-# t_unk_replace, st_left_outer_interval_stream, + anything newer) have
-# local-gate greens only — lead the r5 window with them, then rotate
-# the oldest driver rows.
+# 15 late-round-4 additions have local-gate greens only — lead the r5
+# window with them, then rotate the oldest driver rows:
+#   t_repetition_stats, t_gopher_quality, d_dup_ngram_fraction,
+#   s_knn_int8, q_unpivot_segment_metrics, t_unk_replace,
+#   st_left_outer_interval_stream, e_interpolate_daily_user,
+#   q_conditional_aggs, t_vocab_coverage, s_text_vector_join,
+#   e_changepoint_cusum, q_ab_test_proportions, t_domain_mix_sample,
+#   e_hll_register_state
 _CHECK_FIRST = (
     "q_profile_orders",
     # round-4 additions, never covered before
