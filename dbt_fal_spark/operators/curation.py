@@ -427,3 +427,88 @@ def s_text_vector_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("sq_norm").cast("bigint").alias("sq_norm"),
     )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 128
+CMS_TOP_K = 10
+
+
+@query(
+    "t_cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_count FROM toks GROUP BY tok),
+    hashes AS (
+      SELECT tok, unnest(generate_series(0, {CMS_DEPTH - 1})) AS r FROM toks
+    ), cells AS (
+      SELECT r,
+             ('0x' || substr(md5(tok || '#' || r::VARCHAR), 1, 8))::BIGINT
+               % {CMS_WIDTH} AS c,
+             count(*) AS cnt
+      FROM hashes GROUP BY 1, 2
+    ), probes AS (
+      SELECT tok, true_count,
+             row_number() OVER (ORDER BY true_count DESC, tok) AS rnk
+      FROM freq
+    ), probe_cells AS (
+      SELECT p.tok, p.true_count, g.r,
+             ('0x' || substr(md5(p.tok || '#' || g.r::VARCHAR), 1, 8))::BIGINT
+               % {CMS_WIDTH} AS c
+      FROM probes p, generate_series(0, {CMS_DEPTH - 1}) AS g(r)
+      WHERE p.rnk <= {CMS_TOP_K}
+    )
+    SELECT pc.tok, pc.true_count, CAST(min(ce.cnt) AS BIGINT) AS cms_estimate
+    FROM probe_cells pc JOIN cells ce ON pc.r = ce.r AND pc.c = ce.c
+    GROUP BY pc.tok, pc.true_count
+    """,
+    tags=("curation", "sketch", "heavy-hitters"),
+)
+def t_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch verified EXACTLY (the companion to
+    e_hll_register_state): build a {CMS_DEPTH}×{CMS_WIDTH} counter table
+    from md5-derived row hashes, then answer the top-{CMS_TOP_K}
+    heavy-hitter queries as min-over-rows — every counter and every
+    estimate is an integer both engines compute bit-identically, with
+    the CMS guarantee (estimate ≥ true count) visible in the output.
+
+    Scale shape: the sketch build is one (row, cell)-keyed count with
+    map-side combine — {CMS_DEPTH}·{CMS_WIDTH} cells total regardless
+    of corpus size, the mergeable fixed-size state that lets a 100 TB
+    stream keep approximate counts in KBs. The probe side is
+    vocabulary-ranked (vocab-sized window) and broadcast against the
+    tiny cell table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    rs = F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})")).alias("r")
+    cell = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("tok"), F.lit("#"), F.col("r").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_WIDTH
+    )
+    cells = (
+        toks.select("tok", rs)
+        .select("r", cell.alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("true_count"))
+    probes = (
+        freq.withColumn(
+            "rnk", F.row_number().over(W.orderBy(F.desc("true_count"), F.asc("tok")))
+        )
+        .filter(F.col("rnk") <= CMS_TOP_K)
+        .select("tok", "true_count", rs)
+        .select("tok", "true_count", "r", cell.alias("c"))
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+    )
