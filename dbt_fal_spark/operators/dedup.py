@@ -1124,3 +1124,110 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size_b",
         containment.alias("containment"),
     ).filter(F.col("containment") >= 0.8)
+
+
+BLOOM_M = 65536  # bits
+BLOOM_K = 3  # hash functions
+
+
+@query(
+    "d_bloom_prefilter",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS s
+      FROM ws
+    ),
+    bench_bits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(s || '#' || r::VARCHAR), 1, 8))::BIGINT
+               % {BLOOM_M} AS bit
+      FROM sh, generate_series(0, {BLOOM_K - 1}) AS g(r)
+      WHERE doc_id < {DECON_BENCH_MAX_ID}
+    ),
+    probe AS (
+      SELECT doc_id, s, g.r,
+             ('0x' || substr(md5(s || '#' || g.r::VARCHAR), 1, 8))::BIGINT
+               % {BLOOM_M} AS bit
+      FROM sh, generate_series(0, {BLOOM_K - 1}) AS g(r)
+      WHERE doc_id >= {DECON_BENCH_MAX_ID}
+    ),
+    hits AS (
+      SELECT p.doc_id, p.s
+      FROM probe p JOIN bench_bits b ON p.bit = b.bit
+      GROUP BY p.doc_id, p.s HAVING count(*) = {BLOOM_K}
+    )
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           CAST(count(h.s) AS BIGINT) AS n_probable_hits
+    FROM sh LEFT JOIN hits h ON sh.doc_id = h.doc_id AND sh.s = h.s
+    WHERE sh.doc_id >= {DECON_BENCH_MAX_ID}
+    GROUP BY sh.doc_id
+    """,
+    tags=("dedup", "decontamination", "sketch", "bloom"),
+)
+def d_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination prefilter, verified EXACTLY — the
+    third classic sketch alongside e_hll_register_state and
+    t_cms_heavy_hitters: the benchmark set's word-3-gram shingles set
+    {BLOOM_K} md5-derived bits in a {BLOOM_M}-bit filter, and every
+    training doc counts how many of its shingles are *probably* in the
+    benchmark (all {BLOOM_K} bits set). The one-sided guarantee —
+    n_probable_hits ≥ the true shared count — is what makes this the
+    standard cheap FIRST pass before d_decontaminate's exact check.
+
+    Scale shape: the bit table is ≤ {BLOOM_M} rows (KBs) regardless of
+    corpus size — it broadcasts; the probe is a map-side join against
+    it plus one doc-keyed count. At 100 TB the bloom costs a constant
+    ~8 KB of executor memory where the exact inverted index costs the
+    benchmark's full shingle set.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shingle_arr = F.expr(
+        "CASE WHEN size(split(text, ' ')) < 3 THEN array()"
+        " ELSE array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))) END"
+    )
+    sh = docs.select("doc_id", F.explode(shingle_arr).alias("s"))
+    rs = F.explode(F.expr(f"sequence(0, {BLOOM_K - 1})")).alias("r")
+    bit = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("s"), F.lit("#"), F.col("r").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % BLOOM_M
+    )
+    bench_bits = (
+        sh.filter(F.col("doc_id") < DECON_BENCH_MAX_ID)
+        .select("s", rs)
+        .select(bit.alias("bit"))
+        .distinct()
+    )
+    probe = (
+        sh.filter(F.col("doc_id") >= DECON_BENCH_MAX_ID)
+        .select("doc_id", "s", rs)
+        .select("doc_id", "s", bit.alias("bit"))
+    )
+    hits = (
+        probe.join(F.broadcast(bench_bits), "bit")
+        .groupBy("doc_id", "s")
+        .agg(F.count("*").alias("n_set"))
+        .filter(F.col("n_set") == BLOOM_K)
+        .select("doc_id", F.col("s").alias("hs"))
+    )
+    train_sh = sh.filter(F.col("doc_id") >= DECON_BENCH_MAX_ID)
+    return (
+        train_sh.join(
+            hits,
+            (train_sh.doc_id == hits.doc_id) & (train_sh.s == hits.hs),
+            "left_outer",
+        )
+        .groupBy(train_sh.doc_id)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hs").cast("bigint").alias("n_probable_hits"),
+        )
+    )
