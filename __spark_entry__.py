@@ -48,7 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   st_left_outer_interval_stream, e_interpolate_daily_user,
 #   q_conditional_aggs, t_vocab_coverage, s_text_vector_join,
 #   e_changepoint_cusum, q_ab_test_proportions, t_domain_mix_sample,
-#   e_hll_register_state
+#   e_hll_register_state, t_cms_heavy_hitters, d_bloom_prefilter
 _CHECK_FIRST = (
     "q_profile_orders",
     # round-4 additions, never covered before
