@@ -57,6 +57,8 @@ _REPRESENTATIVES = [
     "t_repetition_stats",
     "s_knn_int8",
     "q_unpivot_segment_metrics",
+    "t_cms_heavy_hitters",
+    "d_bloom_prefilter",
 ]
 
 
