@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # these.
 #
 # r5 PLAN: r3 ∪ r4 windows cover the first 100 registry entries; the
-# 15 late-round-4 additions have local-gate greens only — lead the r5
+# 17 late-round-4 additions have local-gate greens only — lead the r5
 # window with them, then rotate the oldest driver rows:
 #   t_repetition_stats, t_gopher_quality, d_dup_ngram_fraction,
 #   s_knn_int8, q_unpivot_segment_metrics, t_unk_replace,

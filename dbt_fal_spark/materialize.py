@@ -267,8 +267,13 @@ def snapshot_scd2(
     from pyspark.sql import Window
 
     if strategy == "timestamp":
+        # tie-break equal timestamps on a content hash so the surviving
+        # row is a pure function of the data, not of shuffle order
         rn = F.row_number().over(
-            Window.partitionBy(unique_key).orderBy(F.col(updated_at).desc())
+            Window.partitionBy(unique_key).orderBy(
+                F.col(updated_at).desc(),
+                F.md5(F.to_json(F.struct(*staged.columns))).asc(),
+            )
         )
         staged = staged.withColumn("__rn", rn).filter(F.col("__rn") == 1).drop("__rn")
     else:

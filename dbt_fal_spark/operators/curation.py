@@ -356,10 +356,14 @@ def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
+    # persist the vocab-sized frequency table: the total, the ranking
+    # window and the final projection all read it — without the cache
+    # the corpus-wide explode+count would plan twice
     freq = (
         docs.select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c"))
+        .persist()
     )
     tot = freq.agg(F.sum("c").cast("bigint").alias("t"))
     w = W.orderBy(F.desc("c"), F.asc("tok"))
@@ -482,7 +486,9 @@ def t_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
-    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    # one corpus-wide token explode feeds both the cell counts and the
+    # true-frequency table
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).persist()
     rs = F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})")).alias("r")
     cell = (
         F.conv(

@@ -620,7 +620,6 @@ def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             inv.setdefault(sh, []).append(r["doc_id"])
     b_inv = spark.sparkContext.broadcast(inv)
     min_shared = DECON_MIN_SHARED
-    bench_max = DECON_BENCH_MAX_ID
 
     def scan(batches):
         # nested + self-contained: executors cannot import dbt_fal_spark
@@ -1190,7 +1189,9 @@ def d_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),"
         " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))) END"
     )
-    sh = docs.select("doc_id", F.explode(shingle_arr).alias("s"))
+    # one evaluation of the corpus-wide shingle explode feeds all three
+    # consumers (bench bits, probe side, per-doc totals)
+    sh = docs.select("doc_id", F.explode(shingle_arr).alias("s")).persist()
     rs = F.explode(F.expr(f"sequence(0, {BLOOM_K - 1})")).alias("r")
     bit = (
         F.conv(

@@ -81,7 +81,12 @@ def _scan_python_models(
 ) -> None:
     """Register every .py/.ipynb model under ``mdir`` (shared by
     model-paths and the reference's separate `fal-models-paths` dirs)."""
-    py_models = sorted(mdir.rglob("*.py")) + sorted(mdir.rglob("*.ipynb"))
+    py_models = sorted(mdir.rglob("*.py")) + sorted(
+        p for p in mdir.rglob("*.ipynb")
+        # Jupyter autosaves live copies under .ipynb_checkpoints — stale
+        # duplicates, never models
+        if ".ipynb_checkpoints" not in p.parts
+    )
     for ppath in py_models:
         code = ppath.read_text()
         if ppath.suffix == ".ipynb":

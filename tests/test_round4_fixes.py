@@ -163,3 +163,23 @@ def test_isolated_script_sys_exit_before_handoff(tmp_path):
                 "target": "dev",
             },
         )
+
+
+def test_snapshot_timestamp_equal_ts_tiebreak_is_deterministic(spark):
+    """Equal updated_at duplicates must keep the SAME row every run —
+    the tie-break is a content hash, a pure function of the data, so
+    the survivor cannot depend on shuffle order."""
+    spark.sql("DROP TABLE IF EXISTS snap_tie_a")
+    spark.sql("DROP TABLE IF EXISTS snap_tie_b")
+    rows = [(1, "open", "2024-01-01"), (1, "done", "2024-01-01")]
+    survivors = []
+    for tbl, n_parts in (("snap_tie_a", 1), ("snap_tie_b", 7)):
+        staged = _staged(spark, rows).repartition(n_parts)
+        snapshot_scd2(
+            spark, staged, tbl, "id", strategy="timestamp", updated_at="updated_ts"
+        )
+        live = spark.table(tbl).filter(F.col("dbt_valid_to").isNull()).collect()
+        assert len(live) == 1
+        survivors.append(live[0]["status"])
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    assert survivors[0] == survivors[1]

@@ -35,7 +35,12 @@ def main() -> int:
     names = args.only.split(",") if args.only else sorted(specs)
     failures = []
     for name in names:
-        fn = specs[name].fn
+        spec = specs.get(name)
+        if spec is None:
+            failures.append((name, "unknown query name"))
+            print(f"ERR   {name}: not in registry", flush=True)
+            continue
+        fn = spec.fn
         try:
             spark.conf.set("spark.sql.shuffle.partitions", "8")
             a = canon(fn(spark, args.sf))
