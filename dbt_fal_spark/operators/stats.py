@@ -368,3 +368,104 @@ def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n0", "n1", "c0", "c1", p0.alias("p0"), p1.alias("p1"), z.alias("z_score")
     )
+
+
+@query(
+    "q_latest_order_per_customer",
+    oracle="""
+    SELECT c_custkey, o_orderkey AS latest_orderkey,
+           o_orderdate AS latest_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS latest_totalprice
+    FROM (
+      SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             row_number() OVER (
+               PARTITION BY c_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC
+             ) AS rn
+      FROM customer JOIN orders ON c_custkey = o_custkey
+    ) t WHERE rn = 1
+    """,
+    tags=("relational", "dedup", "cdc"),
+)
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key (the CDC compaction / QUALIFY rn=1 shape):
+    each customer's most recent order, deterministic under the
+    (orderdate desc, orderkey desc) total order.
+
+    One key-partitioned window after the join — the exact plan a MERGE
+    compaction runs at scale; with both tables bucketed on the customer
+    key the join and the window share one exchange.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").alias("latest_orderdate"),
+            F.col("o_totalprice").cast("double").alias("latest_totalprice"),
+        )
+    )
+
+
+@query(
+    "q_revenue_share_by_nation",
+    oracle=f"""
+    WITH per_nation AS (
+      SELECT n_name, {o_dsum('o_totalprice')} AS revenue
+      FROM nation
+      JOIN customer ON n_nationkey = c_nationkey
+      JOIN orders ON c_custkey = o_custkey
+      GROUP BY n_name
+    )
+    , tot AS (
+      SELECT {o_dsum('o_totalprice')} AS total
+      FROM customer JOIN orders ON c_custkey = o_custkey
+    )
+    SELECT n_name, revenue,
+           revenue / total AS revenue_share,
+           rank() OVER (ORDER BY revenue DESC, n_name) AS revenue_rank
+    FROM per_nation, tot
+    """,
+    tags=("relational", "window", "share"),
+)
+def q_revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total with rank (the BI share-of-business readout):
+    each nation's revenue as a fraction of the whole, plus its rank.
+
+    The corpus-sized work is one aggregation; the rank window runs on
+    the |nations|-sized result, bounded by dimension cardinality, never
+    the fact table. Share determinism: a windowed sum-of-doubles total
+    proved order-sensitive in the last ulp (hash-mismatch), so the
+    total is instead ONE exact decimal scalar over the fact join,
+    broadcast back — each share is then a single double division.
+    """
+    nat = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    per_nation = (
+        F.broadcast(nat)
+        .join(cust, nat.n_nationkey == cust.c_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("n_name")
+        .agg(dsum("o_totalprice", "revenue"))
+    )
+    tot = cust.join(orders, cust.c_custkey == orders.o_custkey).agg(
+        dsum("o_totalprice", "total")
+    )
+    return per_nation.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "revenue",
+        (F.col("revenue") / F.col("total")).alias("revenue_share"),
+        F.rank().over(W.orderBy(F.desc("revenue"), F.asc("n_name"))).alias("revenue_rank"),
+    )
