@@ -233,3 +233,64 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("frame_md5"),
     )
     return with_frames
+
+
+CHUNK_BYTES = 64
+
+
+@query(
+    "m_chunk_dedup",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id, md5(substring(text, i, {CHUNK_BYTES})) AS dig
+      FROM documents,
+           unnest(generate_series(1, length(text), {CHUNK_BYTES})) AS t(i)
+    ), df AS (SELECT dig, count(*) AS c FROM chunks GROUP BY dig)
+    SELECT ch.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(sum(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS dedup_ratio
+    FROM chunks ch JOIN df USING (dig)
+    GROUP BY ch.doc_id
+    """,
+    tags=("multimodal", "binary", "dedup"),
+)
+def m_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed-storage chunk dedup over the blob column: each
+    payload splits into fixed {CHUNK_BYTES}-byte chunks, chunks are
+    content-addressed by digest, and each doc reports how many of its
+    chunks exist elsewhere — the restic/CDC-storage dedup-ratio readout,
+    and the binary sibling of d_dup_ngram_fraction's token shingles.
+
+    Plan: the chunk digests come from one codegen'd HOF (sequence with
+    explicit +{CHUNK_BYTES} step — no descending-sequence hazard), so
+    blobs never shuffle; the digest df aggregation map-side combines
+    and the fold-back join is digest⋈digest. The chunk relation
+    persists once for its two consumers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text), {CHUNK_BYTES}),"
+                    f" i -> md5(substring(text, i, {CHUNK_BYTES})))"
+                )
+            ).alias("dig"),
+        )
+        .persist()
+    )
+    df = chunks.groupBy("dig").agg(F.count("*").alias("c"))
+    dup = F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+    return (
+        chunks.join(df, "dig")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            dup.cast("bigint").alias("n_dup_chunks"),
+            (dup.cast("double") / F.count("*")).alias("dedup_ratio"),
+        )
+    )

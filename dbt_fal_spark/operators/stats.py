@@ -469,3 +469,61 @@ def q_revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("revenue") / F.col("total")).alias("revenue_share"),
         F.rank().over(W.orderBy(F.desc("revenue"), F.asc("n_name"))).alias("revenue_rank"),
     )
+
+
+@query(
+    "q_gini_customer_value",
+    oracle="""
+    WITH v AS (
+      SELECT c_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS x
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ), r AS (
+      SELECT x, row_number() OVER (ORDER BY x, c_custkey) AS i FROM v
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(x) AS DOUBLE) AS total_value,
+           (2.0 * CAST(sum(i * x) AS DOUBLE))
+             / (count(*) * CAST(sum(x) AS DOUBLE))
+             - (count(*) + 1.0) / count(*) AS gini
+    FROM r
+    """,
+    tags=("stats", "inequality"),
+)
+def q_gini_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime value — the inequality
+    metric behind whale-concentration dashboards, computed with the
+    rank-weighted identity G = 2·Σ(i·x₍ᵢ₎)/(n·Σx) − (n+1)/n over
+    ascending-sorted values.
+
+    Determinism: per-customer values stay DECIMAL through both sums
+    (Σx and the rank-weighted Σi·x are exact in any order); the rank
+    is a total order (value, key); the final formula is the identical
+    single-op double sequence in both engines. The sort is
+    |customers|-sized — entity-, not fact-scaled.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    from dbt_fal_spark.functions.numeric import DEC, dec
+
+    v = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey")
+        .agg(F.sum(dec("o_totalprice")).cast(DEC).alias("x"))
+    )
+    r = v.withColumn(
+        "i", F.row_number().over(W.orderBy(F.asc("x"), F.asc("c_custkey")))
+    )
+    n = F.count("*")
+    total_d = F.sum("x").cast("double")
+    sum_ix_d = F.sum(F.col("i") * F.col("x")).cast("double")
+    return r.agg(
+        n.cast("bigint").alias("n_customers"),
+        total_d.alias("total_value"),
+        (
+            (F.lit(2.0) * sum_ix_d) / (n * total_d) - (n + F.lit(1.0)) / n
+        ).alias("gini"),
+    )
