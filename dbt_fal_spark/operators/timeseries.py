@@ -1029,3 +1029,45 @@ def e_hll_register_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(53) - F.length(F.expr("bin(rest)"))
     )
     return rb.groupBy("day", "bucket").agg(F.max(rho).cast("bigint").alias("max_rho"))
+
+
+@query(
+    "e_rolling_median_7d",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, {o_dsum('value')} AS day_value
+      FROM events GROUP BY 1
+    )
+    SELECT day, day_value,
+           median(day_value) OVER (
+             ORDER BY CAST(day AS TIMESTAMP)
+             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+           ) AS med_7d
+    FROM daily
+    """,
+    tags=("timeseries", "rolling", "median"),
+)
+def e_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling MEDIAN of daily revenue — the robust
+    sibling of e_rolling_7d_revenue's rolling sum: an ordered statistic
+    over a calendar RANGE frame, insensitive to single-day spikes.
+
+    Determinism: daily values are exact decimal sums cast once to
+    double; an exact median over a ≤7-value frame is order-insensitive
+    (sorted multiset, midpoint average is one double op). Frame state
+    is 7 values per partition — at scale, partition the window by
+    entity/type and the state stays constant-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        dsum("value", "day_value")
+    )
+    w = (
+        W.orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "day",
+        "day_value",
+        F.expr("percentile(day_value, 0.5)").over(w).alias("med_7d"),
+    )
