@@ -259,13 +259,13 @@ CHUNK_BYTES = 64
 )
 def m_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressed-storage chunk dedup over the blob column: each
-    payload splits into fixed {CHUNK_BYTES}-byte chunks, chunks are
+    payload splits into fixed 64-byte chunks, chunks are
     content-addressed by digest, and each doc reports how many of its
     chunks exist elsewhere — the restic/CDC-storage dedup-ratio readout,
     and the binary sibling of d_dup_ngram_fraction's token shingles.
 
     Plan: the chunk digests come from one codegen'd HOF (sequence with
-    explicit +{CHUNK_BYTES} step — no descending-sequence hazard), so
+    explicit +64 step — no descending-sequence hazard), so
     blobs never shuffle; the digest df aggregation map-side combines
     and the fold-back join is digest⋈digest. The chunk relation
     persists once for its two consumers.
@@ -274,10 +274,13 @@ def m_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = (
         docs.select(
             "doc_id",
+            # Spark's sequence(1, 0, 64) THROWS (illegal boundaries) where
+            # DuckDB's generate_series yields nothing — guard empty blobs
             F.explode(
                 F.expr(
+                    "CASE WHEN length(text) < 1 THEN array() ELSE "
                     f"transform(sequence(1, length(text), {CHUNK_BYTES}),"
-                    f" i -> md5(substring(text, i, {CHUNK_BYTES})))"
+                    f" i -> md5(substring(text, i, {CHUNK_BYTES}))) END"
                 )
             ).alias("dig"),
         )

@@ -26,7 +26,7 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from dbt_fal_spark.functions.numeric import dsum, o_dsum
@@ -398,8 +398,6 @@ def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     orders = load_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window as W
-
     w = W.partitionBy("c_custkey").orderBy(
         F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
     )
@@ -428,7 +426,7 @@ def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     , tot AS (
       SELECT {o_dsum('o_totalprice')} AS total
-      FROM customer JOIN orders ON c_custkey = o_custkey
+      FROM orders
     )
     SELECT n_name, revenue,
            revenue / total AS revenue_share,
@@ -451,8 +449,6 @@ def q_revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window as W
-
     per_nation = (
         F.broadcast(nat)
         .join(cust, nat.n_nationkey == cust.c_nationkey)
@@ -460,9 +456,9 @@ def q_revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum("o_totalprice", "revenue"))
     )
-    tot = cust.join(orders, cust.c_custkey == orders.o_custkey).agg(
-        dsum("o_totalprice", "total")
-    )
+    # o_custkey is FK-complete, so the customer join neither filters nor
+    # duplicates — the grand total comes straight off the fact table
+    tot = orders.agg(dsum("o_totalprice", "total"))
     return per_nation.crossJoin(F.broadcast(tot)).select(
         "n_name",
         "revenue",
@@ -505,8 +501,6 @@ def q_gini_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     orders = load_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window as W
-
     from dbt_fal_spark.functions.numeric import DEC, dec
 
     v = (

@@ -1040,8 +1040,8 @@ def e_hll_register_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT day, day_value,
            median(day_value) OVER (
-             ORDER BY CAST(day AS TIMESTAMP)
-             RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+             ORDER BY datediff('day', DATE '2024-01-01', day)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
            ) AS med_7d
     FROM daily
     """,
@@ -1054,18 +1054,22 @@ def e_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: daily values are exact decimal sums cast once to
     double; an exact median over a ≤7-value frame is order-insensitive
-    (sorted multiset, midpoint average is one double op). Frame state
-    is 7 values per partition — at scale, partition the window by
-    entity/type and the state stays constant-sized.
+    (sorted multiset, midpoint average is one double op); the frame is
+    keyed on an integer day index (timezone-independent, no
+    86400-second-day assumption). Frame state is 7 values per
+    partition — at scale, partition the window by entity/type and the
+    state stays constant-sized.
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
         dsum("value", "day_value")
     )
-    w = (
-        W.orderBy(F.col("day").cast("timestamp").cast("long"))
-        .rangeBetween(-6 * 86400, 0)
-    )
+    # integer day index, not epoch seconds: the epoch cast runs through
+    # the session timezone and assumes 86400-second days (DST hazard);
+    # the day_idx pattern (e_rolling_7d_revenue) is tz-independent
+    w = W.orderBy(
+        F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+    ).rangeBetween(-6, 0)
     return daily.select(
         "day",
         "day_value",

@@ -110,3 +110,27 @@ def test_gopher_quality_semantics(spark, corpus_dir):
     # every fixture doc lacks 2 stopword hits -> stopword gate fails,
     # which must veto passes even where other gates hold
     assert all(not r["passes"] for r in rows.values())
+
+
+def test_chunk_dedup_handles_empty_text(spark, tmp_path):
+    """Zero-length blobs must yield no chunks (DuckDB semantics), not a
+    Spark sequence(1, 0, 64) IllegalArgumentException."""
+    import pandas as pd
+
+    from dbt_fal_spark.operators.multimodal import m_chunk_dedup
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["", "alpha beta " * 20],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [0, 220],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {r["doc_id"]: r for r in m_chunk_dedup(spark, str(tmp_path)).collect()}
+    assert 0 not in rows  # empty doc emits no chunks
+    assert rows[1]["n_chunks"] >= 1
