@@ -519,16 +519,26 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT list_value({', '.join(f'min(qv[{i + 1}])' for i in range(DIM))}) AS mn,
              list_value({', '.join(f'max(qv[{i + 1}])' for i in range(DIM))}) AS mx
       FROM q
+    ), spans AS (
+      SELECT list_transform(generate_series(1, {DIM}),
+               i -> greatest(mx[i] - mn[i], 1)) AS sp
+      FROM stats
     ), codes AS (
-      SELECT vec_id, label,
+      SELECT vec_id, label, qv,
              list_transform(generate_series(1, {DIM}),
                i -> ((qv[i] - mn[i]) * 255) // greatest(mx[i] - mn[i], 1)) AS code
       FROM q, stats
     ), scored AS (
+      -- ADC ranking: q·x̂ up to a query-constant — raw query ints against
+      -- span-rescaled neighbor codes (decoded dot minus Σ qv·mn, which is
+      -- identical for every neighbor of a given query)
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              b.label AS neighbor_label,
-             CAST(list_dot_product(a.code, b.code) AS BIGINT) AS qscore
+             CAST(list_dot_product(a.qv,
+               list_transform(generate_series(1, {DIM}),
+                 i -> b.code[i] * sp[i])) AS BIGINT) AS qscore
       FROM codes a JOIN codes b ON b.vec_id <> a.vec_id
+      CROSS JOIN spans
       WHERE a.vec_id < {N_QUERIES}
     )
     SELECT query_id, neighbor_id, neighbor_label, qscore, rank
@@ -543,12 +553,18 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "knn", "quantization"),
 )
 def s_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-quantized (SQ8) top-k: each dimension is linearly mapped
-    to an 8-bit code using the corpus-wide per-dim min/max, and ranking
-    uses the exact integer dot product of the codes — the FAISS
-    ``SQ8``-style compression path that cuts vector bytes 4× (and at
-    100 TB of embeddings, 4× less shuffle/scan is the difference
-    between fitting in cluster memory or not).
+    """Scalar-quantized (SQ8) top-k with ADC ranking: each dimension is
+    linearly mapped to an 8-bit code using the corpus-wide per-dim
+    min/max — the FAISS ``SQ8``-style compression path that cuts vector
+    bytes 4× (at 100 TB of embeddings, 4× less shuffle/scan is the
+    difference between fitting in cluster memory or not). Ranking is
+    asymmetric-distance style: the RAW integer query against the
+    span-rescaled neighbor codes, i.e. the reconstructed dot q·x̂ minus
+    a per-query constant (Σ qv·mn) that cannot change the order —
+    reconstruction error is then the ONLY ranking distortion (a
+    shifted-code·code dot, the naive alternative, adds an affine
+    per-dim rescale that measurably hurt recall:
+    tests/test_ann_recall.py).
 
     Plan (2 bounded jobs, the s_knn_ivf fused shape): (1) ONE Arrow
     pass over a persisted scan emits per-batch per-dim min/max partials
@@ -614,7 +630,9 @@ def s_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (0,)-shaped matrix would not broadcast against the stats)
         return spark.createDataFrame([], out_schema)
     q_ids = np.array([vid for vid, _ in qrows], dtype=np.int64)
-    q_codes = (np.array([qv for _, qv in qrows], dtype=np.int64) - mn) * 255 // span
+    # ADC: the query stays raw; neighbors decode as code*span (+ mn, a
+    # per-query additive constant dropped from the ranking)
+    q_codes = np.array([qv for _, qv in qrows], dtype=np.int64)
     b_q = spark.sparkContext.broadcast((q_ids, q_codes, mn, span))
     top_k = TOP_K
 
@@ -630,7 +648,8 @@ def s_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             e = np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
             m = (np.sign(e) * np.floor(np.abs(e) + 0.5)).astype(np.int64)
             codes = (m - bmn) * 255 // bspan
-            score = qcodes @ codes.T  # exact int64
+            # |qv| ≤ 2^13, code·span ≤ 255·2^14 < 2^22 → 64-term dot < 2^41
+            score = qcodes @ (codes * bspan).T  # exact int64
             out = []
             for qi in range(len(qids)):
                 cand = np.nonzero(n_ids != qids[qi])[0]

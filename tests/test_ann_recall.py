@@ -89,10 +89,9 @@ def test_lsh_finds_near_duplicates(spark, clustered_dir, exact_topk):
 
 
 def test_sq8_finds_near_duplicates(spark, clustered_dir, exact_topk):
-    """SQ8 ranks by the dot of SHIFTED codes ((x−mn)·255/span per dim),
-    which is an affine, per-dim-rescaled proxy for the true dot — close
-    in rank, not equal (measured 0.44 vs the exact-cosine top-k here;
-    FAISS-style ADC correction terms are the upgrade path). The floor
-    pins far-above-chance retrieval (random ≈ 0.018) and catches
-    quantization regressions."""
-    assert _recall(_topk(spark, s_knn_int8, clustered_dir), exact_topk) >= 0.35
+    """SQ8 ranks ADC-style — raw query ints against span-rescaled
+    neighbor codes, the reconstructed dot minus a per-query constant —
+    so reconstruction error is the only distortion. This test drove
+    the upgrade: the naive shifted-code·code dot measured 0.44 recall
+    here; ADC measures 0.98."""
+    assert _recall(_topk(spark, s_knn_int8, clustered_dir), exact_topk) >= 0.9
