@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # these.
 #
 # r5 PLAN: r3 ∪ r4 windows cover the first 100 registry entries; the
-# 22 late-round-4 additions have local-gate greens only — lead the r5
+# 23 late-round-4 additions have local-gate greens only — lead the r5
 # window with them, then rotate the oldest driver rows:
 #   t_repetition_stats, t_gopher_quality, d_dup_ngram_fraction,
 #   s_knn_int8, q_unpivot_segment_metrics, t_unk_replace,
@@ -50,7 +50,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #   e_changepoint_cusum, q_ab_test_proportions, t_domain_mix_sample,
 #   e_hll_register_state, t_cms_heavy_hitters, d_bloom_prefilter,
 #   q_latest_order_per_customer, q_revenue_share_by_nation,
-#   m_chunk_dedup, q_gini_customer_value, e_rolling_median_7d
+#   m_chunk_dedup, q_gini_customer_value, e_rolling_median_7d,
+#   s_knn_lsh_multitable
 _CHECK_FIRST = (
     "q_profile_orders",
     # round-4 additions, never covered before

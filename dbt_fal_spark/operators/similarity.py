@@ -674,3 +674,144 @@ def s_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+N_TABLES = 4
+
+
+def _table_planes(t: int) -> list[list[int]]:
+    """Independent hyperplane set per table, md5-derived like PLANES."""
+    return [
+        [_plane_weight(t * 1000 + p, d) for d in range(DIM)]
+        for p in range(N_PLANES)
+    ]
+
+
+TABLE_PLANES = [_table_planes(t) for t in range(N_TABLES)]
+
+
+def _oracle_table_bucket(t: int) -> str:
+    terms = []
+    for p, w in enumerate(TABLE_PLANES[t]):
+        arr = ", ".join(str(x) for x in w)
+        dot = f"list_dot_product(qv, [{arr}]::BIGINT[])"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@query(
+    "s_knn_lsh_multitable",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nrm FROM q
+    ), buckets AS (
+      {" UNION ALL ".join(
+          f"SELECT vec_id, {t} AS tbl, {_oracle_table_bucket(t)} AS bucket FROM q"
+          for t in range(N_TABLES)
+      )}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM buckets a
+      JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                     AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT c.query_id, c.neighbor_id, nb.label AS neighbor_label,
+             CAST(list_dot_product(nq.qv, nb.qv) AS DOUBLE)
+               / (sqrt(nq.nrm) * sqrt(nb.nrm)) AS cosine
+      FROM cand c
+      JOIN n nq ON nq.vec_id = c.query_id
+      JOIN n nb ON nb.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine, rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    ) t
+    WHERE rank <= {TOP_K}
+    """,
+    tags=("similarity", "knn", "lsh", "multitable"),
+)
+def s_knn_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table SRP-LSH — the recall knob turned: {N_TABLES}
+    independent 8-plane tables, a candidate is any pair sharing a
+    bucket in ANY table (union), then exact cosine ranks the deduped
+    candidate set. tests/test_ann_recall.py measures the single-table
+    variant at 0.41 recall on tight near-dup clusters; the union of
+    {N_TABLES} independent tables recovers most of what any one table
+    splits (P[all tables split a pair] ≈ 0.59^{N_TABLES}).
+
+    Scale shape: each vector emits {N_TABLES} (table, bucket) keys —
+    the join stays an equi-join on the composite key, candidates per
+    query grow ~linearly in table count, and the dedup is one distinct
+    on (query, neighbor) pairs. All bucket bits come from one Arrow
+    matmul per batch against the (8·{N_TABLES} × 64) plane matrix.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    raw = emb.select("vec_id", "label", "embedding")
+    planes = np.array(
+        [w for t in range(N_TABLES) for w in TABLE_PLANES[t]], dtype=np.float64
+    )  # (N_TABLES*8, 64)
+    bits = np.array([1 << p for p in range(N_PLANES)], dtype=np.int64)
+
+    def add_buckets(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e = np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
+            m = np.sign(e) * np.floor(np.abs(e) + 0.5)  # == round() HALF_UP
+            sig = (m @ planes.T) > 0  # (N, N_TABLES*8)
+            out = {
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), N_TABLES),
+                "label": np.repeat(pdf["label"].to_numpy(np.int64), N_TABLES),
+                "qv": [v for v in m.astype(np.int64) for _ in range(N_TABLES)],
+                "nrm": np.repeat((m * m).sum(axis=1).astype(np.int64), N_TABLES),
+                "tbl": np.tile(np.arange(N_TABLES, dtype=np.int64), len(pdf)),
+                "bucket": np.stack(
+                    [sig[:, t * N_PLANES : (t + 1) * N_PLANES] @ bits
+                     for t in range(N_TABLES)],
+                    axis=1,
+                ).reshape(-1),
+            }
+            yield pd.DataFrame(out)
+
+    n = spread(raw).mapInPandas(
+        add_buckets,
+        schema="vec_id long, label long, qv array<long>, nrm long, tbl long, bucket long",
+    ).persist()
+    queries = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("tbl").alias("q_tbl"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = (
+        F.broadcast(queries)
+        .join(
+            n,
+            (F.col("tbl") == F.col("q_tbl"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "q_qv", "q_nrm", "vec_id", "label", "qv", "nrm")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    dot = F.expr("aggregate(zip_with(q_qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+    cosine = dot.cast("double") / (F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("nrm")))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        cosine.alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
