@@ -173,3 +173,28 @@ def test_capped_containment_is_subset_of_exact(spark, capped_corpus_dir):
     assert got[(3, 4)] == pytest.approx(exact[(3, 4)])
     # the giant identical cluster is capped out entirely
     assert not any(2000 <= a < 3000 for a, b in got)
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, capped_corpus_dir):
+    """Estimator accuracy (the MinHash analogue of test_sketch's HLL
+    accuracy contract): for every emitted pair, the 16-permutation
+    agreement estimate must sit within 3σ of the exact Jaccard
+    (σ = sqrt(j(1−j)/16) ≈ 0.125 at j=0.5) — a hash-mixing or
+    permutation bug would blow this immediately, while staying
+    invisible to the engine-vs-oracle equivalence check (both engines
+    would compute the same wrong estimate)."""
+    sf_dir, rows = capped_corpus_dir
+    sets = {i: _shingles(t) for i, t in rows if len(t.split(" ")) >= 3}
+    got = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in d_minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+    assert got, "no pairs emitted"
+    for (a, b), est in got.items():
+        inter = len(sets[a] & sets[b])
+        exact = inter / (len(sets[a]) + len(sets[b]) - inter)
+        sigma = max((exact * (1 - exact) / 16) ** 0.5, 1e-9)
+        assert abs(est - exact) <= 3 * sigma + 1e-9, (a, b, est, exact)
+    # identical docs estimate exactly 1.0 (all 16 minima agree)
+    assert got[(3, 4)] == 1.0
