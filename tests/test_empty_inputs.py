@@ -56,6 +56,7 @@ _REPRESENTATIVES = [
     "d_dup_ngram_fraction",
     "t_repetition_stats",
     "s_knn_int8",
+    "s_knn_lsh_multitable",
     "q_unpivot_segment_metrics",
     "t_cms_heavy_hitters",
     "d_bloom_prefilter",

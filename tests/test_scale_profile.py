@@ -31,6 +31,7 @@ _QUERIES = [
     "d_containment_pairs",
     "t_unk_replace",
     "s_knn_int8",
+    "s_knn_lsh_multitable",
 ]
 
 
