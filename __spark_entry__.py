@@ -40,45 +40,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry entries not listed keep their registration order after
 # these.
 #
-# r5 PLAN: r3 ∪ r4 windows cover the first 100 registry entries; the
-# 23 late-round-4 additions have local-gate greens only — lead the r5
-# window with them, then rotate the oldest driver rows:
-#   t_repetition_stats, t_gopher_quality, d_dup_ngram_fraction,
-#   s_knn_int8, q_unpivot_segment_metrics, t_unk_replace,
-#   st_left_outer_interval_stream, e_interpolate_daily_user,
-#   q_conditional_aggs, t_vocab_coverage, s_text_vector_join,
-#   e_changepoint_cusum, q_ab_test_proportions, t_domain_mix_sample,
-#   e_hll_register_state, t_cms_heavy_hitters, d_bloom_prefilter,
-#   q_latest_order_per_customer, q_revenue_share_by_nation,
-#   m_chunk_dedup, q_gini_customer_value, e_rolling_median_7d,
-#   s_knn_lsh_multitable
+# r5 WINDOW (this round): the 23 late-round-4 additions had only
+# local-gate greens after r4 — lead with them so every registry entry
+# gets at least one driver row (123/123 driver coverage). Then the
+# two entries whose plans changed this round (d_embedding_neardup_pairs
+# SRP-LSH prefilter, t_tfidf_top_terms exchange cut), then refresh the
+# oldest remaining driver rows (last green in r03).
+#
+# r6 PLAN: refresh the 24 r3-stale entries not rotated here
+# (e_* events family, st_* streaming family, q14-q19, remaining t_*),
+# then the oldest r4 rows.
 _CHECK_FIRST = (
-    "q_profile_orders",
-    # round-4 additions, never covered before
-    "q_histogram_totalprice", "q_corr_stats_by_flag",
-    "q_range_join_price_band", "q_mad_outlier_orders",
-    "d_containment_pairs",
-    # last green in r02 — refresh
-    "q01_pricing_summary", "q02_min_cost_part_supplier",
-    "q03_topk_order_revenue", "q04_late_shipment_priority",
-    "q05_region_nation_revenue", "q06_filtered_revenue",
-    "q07_volume_shipping", "q08_market_share", "q09_product_profit",
-    "q10_returned_items", "q13_order_count_distribution",
-    "q16_parts_not_recently_shipped", "q22_lapsed_rich_customers",
-    "q_cube_status_priority", "q_customer_order_stats",
-    "q_customer_running_total", "q_customer_value_deciles",
-    "q_date_filter_projection", "q_first_last_order_value",
-    "q_generic_tests", "q_grouping_sets_revenue",
-    "q_lapsed_customers_except", "q_order_date_parts",
-    "q_orders_daily_pivot", "q_paginate_orders", "q_part_string_funcs",
-    "q_pivot_priority_by_status", "q_priority_distinct_customers",
-    "q_quantity_quartiles", "q_region_rollup_revenue",
-    "q_repeat_customers_intersect", "q_revenue_trend_by_priority",
-    "q_status_set_per_priority", "q_topk_orders_per_segment",
-    "d_decontaminate", "d_embedding_neardup_pairs", "d_keep_best_per_key",
-    "d_neardup_components", "d_neardup_triangles", "d_simhash",
-    "m_binary_metadata", "m_decode_pipeline", "m_frame_sample",
-    "p_flow_run_customer_stats",
+    # never driver-checked (local-green only) — completes 123/123
+    "t_repetition_stats", "t_gopher_quality", "d_dup_ngram_fraction",
+    "t_unk_replace", "t_vocab_coverage", "s_text_vector_join",
+    "t_cms_heavy_hitters", "d_bloom_prefilter", "m_chunk_dedup",
+    "t_domain_mix_sample", "q_unpivot_segment_metrics",
+    "q_conditional_aggs", "q_ab_test_proportions",
+    "q_latest_order_per_customer", "q_revenue_share_by_nation",
+    "q_gini_customer_value", "s_knn_int8", "s_knn_lsh_multitable",
+    "e_interpolate_daily_user", "e_changepoint_cusum",
+    "e_hll_register_state", "e_rolling_median_7d",
+    "st_left_outer_interval_stream",
+    # plans changed in r5 — re-verify
+    "d_embedding_neardup_pairs", "t_tfidf_top_terms",
+    # last green in r03 — refresh oldest rows
+    "d_exact_dedup", "d_lsh_levenshtein_refine", "d_minhash_lsh_pairs",
+    "d_ngram_jaccard_pairs", "d_winnow_neardup",
+    "t_fingerprint", "t_lang_profile", "t_langid_naive",
+    "t_pack_emit", "t_pack_sequences", "t_quality_score",
+    "t_rolling_fingerprint", "t_stratified_sample", "t_token_bpe",
+    "t_token_stats", "t_top_bigrams",
+    "s_knn_bruteforce", "s_knn_ivf", "s_knn_lsh_bucketed",
+    "s_label_centroid_distance",
+    "q_customer_value_percentile", "q_salted_join_supplier_volume",
+    "e_asof_purchase_attribution", "e_daily_active_users",
+    "e_dau_hll_sketch",
 )
 
 

@@ -116,6 +116,24 @@ def main() -> None:
             }
         )
     )
+    # The driver records only the LAST 2000 chars of output; the full
+    # line above outgrew that window in r4 and its head (the total) was
+    # cut off. Emit a compact self-sufficient summary LAST so the tail
+    # always parses to the totals.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "n_failures": len(failures),
+                "slowest": slowest,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

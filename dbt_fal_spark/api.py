@@ -15,6 +15,7 @@ into RAM on every ``ref`` (project.py:696-715).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import re
@@ -46,6 +47,16 @@ from dbt_fal_spark.session import get_spark
 # --- script/hook context (reference: fal_script.py:86-153 Context) ---
 
 @dataclass
+class CurrentAdapterResponse:
+    """Reference: fal_script.py:87-91 — what the warehouse adapter
+    reported for the model's materialization."""
+
+    message: str
+    code: str | None
+    rows_affected: int | None
+
+
+@dataclass
 class CurrentModel:
     name: str
     alias: str
@@ -53,6 +64,10 @@ class CurrentModel:
     columns: dict
     tests: list
     meta: dict
+    # reference fal_script.py:94-102: incremental-aware post-hooks read
+    # these two off context.current_model
+    is_incremental: bool = False
+    adapter_response: CurrentAdapterResponse | None = None
 
 
 @dataclass
@@ -125,6 +140,9 @@ class FalSpark:
         else:
             self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{self.schema}`")
         self._view_models: set[str] = set()  # model names materialized as views
+        # per-model adapter response from the LAST materialization
+        # (reference: model.adapter_response → Context.current_model)
+        self._adapter_responses: dict[str, CurrentAdapterResponse] = {}
         self.target_dir = self.project_dir / "target"
         self.environments = load_environments(self.project_dir)
         self._reattach_catalog()
@@ -584,8 +602,18 @@ class FalSpark:
         ran: list[str] = []
         context: dict = {"errors": []}
         sides = (True, False) if before is None else (before,)
+        # reference fal_runner.py:129-137: a --scripts filter applies to
+        # global scripts too — `fal run --scripts x.py --globals` runs
+        # only global scripts named in the filter
+        def _global_scripts(side: str) -> list[str]:
+            return [
+                s
+                for s in self.manifest.global_scripts[side]
+                if not only_scripts or s in only_scripts
+            ]
+
         if run_globals and True in sides:
-            for script in self.manifest.global_scripts["before"]:
+            for script in _global_scripts("before"):
                 _ScriptTask(self, None, script).execute(context)
                 ran.append(f"script.GLOBAL.BEFORE.{script}")
         selected = select_nodes(self.graph, select, exclude, state=self._load_state())
@@ -615,7 +643,7 @@ class FalSpark:
                     _HookTask(self, model, h.path, h.arguments).execute(context)
                     ran.append(f"hook.{model.name}.{'PRE' if pre else 'POST'}.{h.path}")
         if run_globals and False in sides:
-            for script in self.manifest.global_scripts["after"]:
+            for script in _global_scripts("after"):
                 _ScriptTask(self, None, script).execute(context)
                 ran.append(f"script.GLOBAL.AFTER.{script}")
         return ran
@@ -755,7 +783,11 @@ class _ModelTask:
         if mat in ("view", "ephemeral"):
             fal._view_models.add(model.name)
             df.createOrReplaceTempView(fal._identifier(model.name))
-        elif mat == "incremental" and full_refresh:
+            fal._adapter_responses[model.name] = CurrentAdapterResponse(
+                message="CREATE VIEW", code="CREATE VIEW", rows_affected=None
+            )
+            return SUCCESS
+        if mat == "incremental" and full_refresh:
             # rebuild: atomic swap (the table may feed the model's own SQL)
             if exists:
                 replace_relation_atomic(spark, df, identifier)
@@ -782,6 +814,12 @@ class _ModelTask:
                     partition_by=model.partition_by,
                     bucket_by=model.bucket_by,
                 )
+        code = "INSERT" if mat == "incremental" else "CREATE TABLE"
+        # parquet footer count — metadata-only, no data scan
+        n = spark.table(identifier).count()
+        fal._adapter_responses[model.name] = CurrentAdapterResponse(
+            message=f"{code} {n}", code=code, rows_affected=n
+        )
         return SUCCESS
 
     def _run_python_model(self, model: DbtModel) -> int:
@@ -805,6 +843,10 @@ class _ModelTask:
             replace_relation_atomic(fal.spark, df, identifier)
         else:
             write_table(df, identifier, mode="overwrite")
+        n = fal.spark.table(identifier).count()
+        fal._adapter_responses[model.name] = CurrentAdapterResponse(
+            message=f"CREATE TABLE {n}", code="CREATE TABLE", rows_affected=n
+        )
         return SUCCESS
 
 
@@ -850,14 +892,15 @@ class _ScriptTask:
     def execute(self, context: dict) -> int:
         fal = self.fal
         model = self.model
-        # scripts resolve against `fal-scripts-path` when set (reference:
-        # parse.py:142-151 get_scripts_dir, default = project dir); paths
-        # that exist relative to the project root still win, so projects
-        # mixing both conventions keep working
+        # scripts resolve against `fal-scripts-path` FIRST when set
+        # (reference: parse.py:142-151 get_scripts_dir makes it the base
+        # dir), falling back to the project root so projects mixing both
+        # conventions keep working — a name existing at both locations
+        # runs the fal-scripts-path copy, matching reference precedence
         base = fal.project_dir / str(fal.manifest.vars.get("fal-scripts-path", ""))
-        path = fal.project_dir / self.script
-        if not path.exists() and (base / self.script).exists():
-            path = base / self.script
+        path = base / self.script
+        if not path.exists() and (fal.project_dir / self.script).exists():
+            path = fal.project_dir / self.script
         env_name = model.environment if model is not None else None
         if env_name:
             # isolated execution (reference: IsolatedHook → environments):
@@ -879,6 +922,12 @@ class _ScriptTask:
                         "alias": model.name,
                         "status": model.status,
                         "meta": model.meta,
+                        "is_incremental": model.is_incremental,
+                        "adapter_response": (
+                            dataclasses.asdict(fal._adapter_responses[model.name])
+                            if model.name in fal._adapter_responses
+                            else None
+                        ),
                     },
                     "arguments": self.arguments,
                     "target": fal.target_name,
@@ -896,6 +945,8 @@ class _ScriptTask:
                 columns=model.columns,
                 tests=[t for t in fal.manifest.tests.values() if t.model_id == model.unique_id],
                 meta=model.meta,
+                is_incremental=model.is_incremental,
+                adapter_response=fal._adapter_responses.get(model.name),
             )
             if model is not None
             else None,

@@ -160,6 +160,7 @@ def incremental_merge(
     - merge (default when unique_key is set) → upsert: keep old rows whose
       key is absent from the new batch, union, swap atomically (the
       no-Delta MERGE)
+    - delete+insert     → same mechanics on immutable parquet (see below)
     - insert_overwrite  → dynamic partition overwrite: ONLY the partitions
       present in the new batch are replaced — the strategy that scales,
       since a daily 100 TB backfill rewrites one day's partitions, never
@@ -187,10 +188,15 @@ def incremental_merge(
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         return
-    if strategy != "merge":
+    if strategy not in ("merge", "delete+insert"):
         raise ValueError(f"{identifier}: unknown incremental strategy {strategy!r}")
     if unique_key is None:
-        raise ValueError(f"{identifier}: merge strategy requires unique_key")
+        raise ValueError(f"{identifier}: {strategy} strategy requires unique_key")
+    # merge and delete+insert (reference declares both, python/impl.py:
+    # 256-291) are distinct in a mutable warehouse — UPDATE-matching vs
+    # DELETE-then-INSERT — but converge on immutable parquet: both keep
+    # old rows whose key is absent from the new batch, append the batch,
+    # and swap atomically. The config name a dbt user writes must work.
     old = spark.table(identifier)
     keys = [k.strip() for k in unique_key.split(",")]
     merged = old.join(new_rows.select(*keys).distinct(), on=keys, how="left_anti").unionByName(

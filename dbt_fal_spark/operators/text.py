@@ -428,9 +428,26 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the join — they can't reach any top-k.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    # persist: tf feeds BOTH the df aggregate and the scored join — without
-    # it the explode + first groupBy runs twice (measured ~20% slower)
+    # ONE doc_id repartition up front: hash(doc_id) satisfies the
+    # clustering needs of BOTH the (doc_id, term) tf aggregation AND
+    # the per-doc top-3 window, so neither adds an exchange — the whole
+    # tf → join → window chain is a single shuffle-free pipeline. The
+    # df branch shares the same exchange (ReusedExchange) and ships
+    # only vocab-sized map-side partials; df then broadcasts back on.
+    base = docs.select("doc_id", "text")
+    # spread()-style width guard, but keyed on doc_id (round-robin would
+    # break the clustering the window reuses): at small-file sizes 8 wide
+    # partitions beat 32 slivers; at real scan sizes the conf-sized
+    # repartition applies.
+    if base.rdd.getNumPartitions() < 8:
+        base = base.repartition(8, F.col("doc_id"))
+    else:
+        base = base.repartition(F.col("doc_id"))
+    toks = base.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    # persist: tf feeds BOTH the df aggregate and the scored join —
+    # without it the explode + tf aggregation runs twice (the doc_id
+    # exchange itself is deduped via ReusedExchange, the agg above is
+    # not); the runner's post-query cache clear handles the unpersist
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))

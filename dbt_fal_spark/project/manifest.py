@@ -33,7 +33,7 @@ class DbtModel:
     python_model: Path | None = None  # .py model (exclusive with raw_sql)
     materialization: str = "table"  # table | view | ephemeral | incremental
     unique_key: str | None = None  # for incremental merge
-    incremental_strategy: str | None = None  # append | merge | insert_overwrite
+    incremental_strategy: str | None = None  # append | merge | delete+insert | insert_overwrite
     partition_by: str | None = None  # hive partition column(s)
     on_schema_change: str = "ignore"  # ignore | fail | append_new_columns
     bucket_by: dict | None = None  # {"cols": "k1,k2", "n": 32} — co-located joins

@@ -6,6 +6,14 @@ Every implemented operator from SURVEY.md §2 registers here with:
   non-SQL-expressible ops, which get a weaker rows-only check).
 
 ``__spark_entry__.py`` re-exports this registry to the driver.
+
+Cache contract: several operators ``persist()`` an intermediate that
+feeds multiple consumers within ONE query (e.g. t_tfidf_top_terms's tf
+table). The query functions themselves cannot unpersist (they return a
+lazy DataFrame; the caller decides when the final action runs), so a
+long-lived session running many registry queries should call
+``spark.catalog.clearCache()`` between queries — bench.py and
+tools/check.py both do.
 """
 
 from __future__ import annotations

@@ -1,0 +1,289 @@
+"""Regression tests for the round-5 VERDICT/ADVICE fixes:
+
+- d_bloom_prefilter: real broadcast bitmap probe — no SortMergeJoin, no
+  (doc_id, shingle)-keyed join of the full shingle set
+- t_tfidf_top_terms: doc_id-clustered plan with a partial WindowGroupLimit
+  before the window shuffle, bounded exchange count
+- d_embedding_neardup_pairs: tiled cogroup self-join matches brute-force
+  exact pairs with no full-corpus broadcast
+- d_embedding_neardup_lsh: oracle-mirrored SUBSET of the exact pairs
+- CurrentModel.is_incremental / adapter_response (reference
+  fal_script.py:94-102) populated for post-hook scripts
+- delete+insert incremental strategy accepted (reference
+  python/impl.py:256-291)
+- `fal run --scripts x.py --globals` filters GLOBAL scripts too
+  (reference fal_runner.py:129-137)
+- fal-scripts-path takes precedence over project root (reference
+  parse.py get_scripts_dir)
+"""
+
+from __future__ import annotations
+
+import re
+import textwrap
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from dbt_fal_spark.api import FalSpark
+from dbt_fal_spark.materialize import incremental_merge
+from dbt_fal_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+SCHEMA = "r5_tests"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(plan: str) -> int:
+    return len(re.findall(r"\bExchange (hash|Round|Single|range)", plan))
+
+
+# --- plan-shape regressions -------------------------------------------------
+
+
+def test_bloom_prefilter_plan_is_mapside_bitmap(spark):
+    df = all_queries()["d_bloom_prefilter"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    # the probe must NOT re-join train shingles on a (doc_id, string) key:
+    # the only joins allowed are the single-row bitmap broadcast
+    assert "BroadcastNestedLoopJoin" in plan
+    assert _exchanges(plan) <= 5
+    assert df.count() > 0
+    spark.catalog.clearCache()
+
+
+def test_tfidf_plan_prelimits_window_input(spark):
+    df = all_queries()["t_tfidf_top_terms"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    # partial top-k before the window shuffle: only ≤3 rows/doc/partition move
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    assert _exchanges(plan) <= 5
+    assert df.count() > 0
+    spark.catalog.clearCache()
+
+
+# --- embedding pair entries -------------------------------------------------
+
+
+def _exact_pairs(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1024) AS BIGINT))"
+        f" FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    nrm = (m * m).sum(1)
+    cos = (m @ m.T) / (np.sqrt(nrm)[:, None] * np.sqrt(nrm)[None, :])
+    iu = np.triu_indices(len(ids), 1)
+    keep = cos[iu] >= 0.4
+    return {
+        (int(ids[a]), int(ids[b])): cos[a, b]
+        for a, b in zip(iu[0][keep], iu[1][keep])
+    }
+
+
+def test_embedding_tiled_matches_bruteforce(spark):
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in all_queries()["d_embedding_neardup_pairs"].fn(spark, SF_DIR).collect()
+    }
+    expect = _exact_pairs(SF_DIR)
+    assert got.keys() == expect.keys()
+    for k, v in got.items():
+        assert v == pytest.approx(expect[k], abs=0)  # bit-exact
+
+
+def test_embedding_tiled_no_full_corpus_broadcast(spark):
+    # the r4 plan collected the whole matrix to the driver and re-broadcast
+    # it; the tiled plan's only broadcast is the single-row max(vec_id)
+    plan = _plan(all_queries()["d_embedding_neardup_pairs"].fn(spark, SF_DIR))
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_embedding_lsh_is_subset_of_exact(spark):
+    exact = _exact_pairs(SF_DIR)
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in all_queries()["d_embedding_neardup_lsh"].fn(spark, SF_DIR).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == pytest.approx(exact[k], abs=0)
+
+
+# --- incremental strategy ---------------------------------------------------
+
+
+@pytest.fixture()
+def _db(spark):
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {SCHEMA}")
+    yield
+    spark.sql(f"DROP DATABASE IF EXISTS {SCHEMA} CASCADE")
+
+
+def test_delete_insert_strategy_accepted(spark, _db):
+    t = f"{SCHEMA}.di_target"
+    df = lambda rows: spark.createDataFrame(rows, "k long, v string")  # noqa: E731
+    incremental_merge(spark, df([(1, "a"), (2, "b")]), t, "k", strategy="delete+insert")
+    incremental_merge(spark, df([(2, "B"), (3, "c")]), t, "k", strategy="delete+insert")
+    got = {(r.k, r.v) for r in spark.table(t).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_delete_insert_requires_unique_key(spark, _db):
+    t = f"{SCHEMA}.di_nokey"
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    incremental_merge(spark, df, t, None, strategy="append")
+    with pytest.raises(ValueError, match="delete\\+insert strategy requires unique_key"):
+        incremental_merge(spark, df, t, None, strategy="delete+insert")
+
+
+# --- script context parity --------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ctx_project(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("ctx_proj")
+    (root / "models").mkdir()
+    (root / "scripts").mkdir()
+    (root / "dbt_project.yml").write_text(
+        'name: ctx_proj\nmodel-paths: ["models"]\n'
+    )
+    (root / "models" / "inc_model.sql").write_text(
+        "{{ config(materialized='incremental', unique_key='k') }}\n"
+        "select 1 as k, 'a' as v\n"
+    )
+    (root / "models" / "schema.yml").write_text(
+        textwrap.dedent(
+            """
+            models:
+              - name: inc_model
+                meta:
+                  fal:
+                    scripts:
+                      after:
+                        - scripts/dump_ctx.py
+            """
+        )
+    )
+    (root / "scripts" / "dump_ctx.py").write_text(
+        textwrap.dedent(
+            """
+            import json, os
+            cm = context.current_model  # noqa: F821 (injected global)
+            with open(os.environ["CTX_DUMP_FILE"], "w") as f:
+                json.dump(
+                    {
+                        "is_incremental": cm.is_incremental,
+                        "code": cm.adapter_response.code,
+                        "rows_affected": cm.adapter_response.rows_affected,
+                        "message": cm.adapter_response.message,
+                    },
+                    f,
+                )
+            """
+        )
+    )
+    spark.sql("DROP DATABASE IF EXISTS ctx_proj CASCADE")
+    yield root
+    spark.sql("DROP DATABASE IF EXISTS ctx_proj CASCADE")
+
+
+def test_current_model_incremental_and_adapter_response(spark, ctx_project, tmp_path, monkeypatch):
+    import json
+    import os
+
+    dump = tmp_path / "ctx.json"
+    monkeypatch.setenv("CTX_DUMP_FILE", str(dump))
+    fal = FalSpark(ctx_project, spark=spark)
+    fal.run()
+    got = json.loads(dump.read_text())
+    assert got["is_incremental"] is True
+    assert got["code"] == "INSERT"
+    assert got["rows_affected"] == 1
+    assert got["message"] == "INSERT 1"
+
+
+# --- fal run global-script filter + scripts-path precedence -----------------
+
+
+@pytest.fixture(scope="module")
+def globals_project(tmp_path_factory):
+    root = tmp_path_factory.mktemp("glb_proj")
+    (root / "models").mkdir()
+    (root / "fal_scripts").mkdir()
+    (root / "dbt_project.yml").write_text(
+        'name: glb_proj\nmodel-paths: ["models"]\n'
+        "vars:\n  fal-scripts-path: fal_scripts\n"
+    )
+    (root / "models" / "m1.sql").write_text("select 1 as k\n")
+    (root / "models" / "schema.yml").write_text(
+        textwrap.dedent(
+            """
+            fal:
+              scripts:
+                before:
+                  - g_before.py
+                after:
+                  - g_after.py
+            models:
+              - name: m1
+            """
+        )
+    )
+    for name in ("g_before.py", "g_after.py"):
+        (root / "fal_scripts" / name).write_text(
+            "import os\n"
+            "with open(os.environ['GLB_LOG'], 'a') as f:\n"
+            f"    f.write('{name}\\n')\n"
+        )
+    # the precedence probe: same script name at project root AND at
+    # fal-scripts-path; the fal-scripts-path copy must win
+    (root / "probe.py").write_text(
+        "import os\n"
+        "with open(os.environ['GLB_LOG'], 'a') as f:\n"
+        "    f.write('root-copy\\n')\n"
+    )
+    (root / "fal_scripts" / "probe.py").write_text(
+        "import os\n"
+        "with open(os.environ['GLB_LOG'], 'a') as f:\n"
+        "    f.write('scripts-path-copy\\n')\n"
+    )
+    yield root
+
+
+def test_globals_filtered_by_only_scripts(spark, globals_project, tmp_path, monkeypatch):
+    log = tmp_path / "glb.log"
+    log.write_text("")
+    monkeypatch.setenv("GLB_LOG", str(log))
+    spark.sql("DROP DATABASE IF EXISTS glb_proj CASCADE")
+    fal = FalSpark(globals_project, spark=spark)
+    fal.run()
+    log.write_text("")  # keep only the run_scripts phase
+    ran = fal.run_scripts(
+        use_last_run=False, only_scripts=["g_after.py"], include_globals=True
+    )
+    lines = log.read_text().split()
+    assert lines == ["g_after.py"], (ran, lines)
+    spark.sql("DROP DATABASE IF EXISTS glb_proj CASCADE")
+
+
+def test_scripts_path_precedence(spark, globals_project, tmp_path, monkeypatch):
+    log = tmp_path / "prec.log"
+    log.write_text("")
+    monkeypatch.setenv("GLB_LOG", str(log))
+    from dbt_fal_spark.api import _ScriptTask
+
+    fal = FalSpark(globals_project, spark=spark)
+    _ScriptTask(fal, None, "probe.py").execute({})
+    assert log.read_text().split() == ["scripts-path-copy"]
