@@ -62,8 +62,9 @@ _CHECK_FIRST = (
     "e_interpolate_daily_user", "e_changepoint_cusum",
     "e_hll_register_state", "e_rolling_median_7d",
     "st_left_outer_interval_stream",
-    # plans changed in r5 — re-verify
-    "d_embedding_neardup_pairs", "t_tfidf_top_terms",
+    # plans changed / added in r5 — verify
+    "d_embedding_neardup_pairs", "d_embedding_neardup_lsh",
+    "t_tfidf_top_terms",
     # last green in r03 — refresh oldest rows
     "d_exact_dedup", "d_lsh_levenshtein_refine", "d_minhash_lsh_pairs",
     "d_ngram_jaccard_pairs", "d_winnow_neardup",
@@ -75,7 +76,6 @@ _CHECK_FIRST = (
     "s_label_centroid_distance",
     "q_customer_value_percentile", "q_salted_join_supplier_volume",
     "e_asof_purchase_attribution", "e_daily_active_users",
-    "e_dau_hll_sketch",
 )
 
 

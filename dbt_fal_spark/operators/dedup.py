@@ -942,55 +942,71 @@ def d_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         add_buckets,
         schema="vec_id long, label long, qv array<long>, nrm long, tbl long, bucket long",
     )
-    # pair emission INSIDE bucket groups: members ride the bucket row
-    # (bounded by LSH_BUCKET_CAP), so no signature-table re-join
-    buckets = (
-        sig.groupBy("tbl", "bucket")
-        .agg(
-            F.expr(
-                "array_sort(collect_list(struct(vec_id, label, qv, nrm)),"
-                " (x, y) -> case when x.vec_id < y.vec_id then -1"
-                " when x.vec_id > y.vec_id then 1 else 0 end)"
-            ).alias("ds")
-        )
-        .filter(F.size("ds").between(2, LSH_BUCKET_CAP))
-    )
-    pairs_arr = F.expr(
-        "flatten(transform(ds, (x, i) ->"
-        " transform(slice(ds, i + 2, size(ds)), y -> struct("
-        " x.vec_id as vec_a, y.vec_id as vec_b,"
-        " x.label as label_a, y.label as label_b,"
-        " x.qv as qv_a, y.qv as qv_b, x.nrm as nrm_a, y.nrm as nrm_b))))"
-    )
-    cand = (
-        buckets.select(F.explode(pairs_arr).alias("p"))
-        .select("p.*")
+    cap = LSH_BUCKET_CAP
+
+    # ONE Arrow stage fusing pair emission + exact-cosine refine:
+    # buckets are co-located by the (tbl, bucket) repartition, groups
+    # found via numpy boundary detection inside the partition batch
+    # (a per-group applyInPandas measured 4× slower — ~4 ms of pandas
+    # dispatch per tiny group × 1024 groups; here the Python loop is
+    # cheap numpy slices). Members ride their bucket — no signature-
+    # table re-join; degenerate buckets > cap are skipped whole,
+    # mirrored in the oracle's HAVING. A map task holds one shuffle
+    # partition of signatures — size shuffle partitions accordingly at
+    # real scale. The cross-table dedup is one distinct on SLIM id rows
+    # (cosines are identical across tables, so keeping any duplicate
+    # row is deterministic); carrying qv arrays through the distinct
+    # was the r5-v1 plan's dominant shuffle cost.
+    def emit_pairs(batches):
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        gkey = (pdf["tbl"].to_numpy(np.int64) << 32) | pdf["bucket"].to_numpy(np.int64)
+        order = np.lexsort((pdf["vec_id"].to_numpy(np.int64), gkey))
+        gkey = gkey[order]
+        # drop oversized/singleton buckets BEFORE materializing the qv
+        # matrix — on dup-saturated corpora most rows sit in over-cap
+        # buckets and converting their vectors first dominated the stage
+        b0 = np.flatnonzero(np.r_[True, gkey[1:] != gkey[:-1]])
+        b1 = np.r_[b0[1:], len(gkey)]
+        sizes = np.repeat(b1 - b0, b1 - b0)
+        keep = (sizes >= 2) & (sizes <= cap)
+        order, gkey = order[keep], gkey[keep]
+        if not len(gkey):
+            return
+        ids = pdf["vec_id"].to_numpy(np.int64)[order]
+        labels = pdf["label"].to_numpy(np.int64)[order]
+        mat = np.array(list(pdf["qv"].to_numpy()[order]), dtype=np.float64)
+        nrm = pdf["nrm"].to_numpy(np.float64)[order]
+        starts = np.flatnonzero(np.r_[True, gkey[1:] != gkey[:-1]])
+        ends = np.r_[starts[1:], len(gkey)]
+        out = {k: [] for k in ("vec_a", "vec_b", "label_a", "label_b", "cosine")}
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > cap:
+                continue
+            sub = mat[s:e]
+            dots = sub @ sub.T  # exact: integer values < 2^53
+            # sqrt(na)*sqrt(nb), NOT sqrt(na*nb): oracle expression shape
+            rt = np.sqrt(nrm[s:e])
+            cos = dots / (rt[:, None] * rt[None, :])
+            ai, bj = np.nonzero(np.triu(cos >= 0.4, k=1))
+            if not len(ai):
+                continue
+            out["vec_a"].append(ids[s:e][ai])
+            out["vec_b"].append(ids[s:e][bj])
+            out["label_a"].append(labels[s:e][ai])
+            out["label_b"].append(labels[s:e][bj])
+            out["cosine"].append(cos[ai, bj])
+        if out["vec_a"]:
+            yield pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
+
+    return (
+        sig.repartition("tbl", "bucket")
+        .mapInPandas(emit_pairs, schema=pair_schema)
         .dropDuplicates(["vec_a", "vec_b"])
     )
-
-    def refine(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a = np.array(list(pdf["qv_a"]), dtype=np.float64)
-            b = np.array(list(pdf["qv_b"]), dtype=np.float64)
-            dots = (a * b).sum(axis=1)  # exact: integer values < 2^53
-            cos = dots / (
-                np.sqrt(pdf["nrm_a"].to_numpy(np.float64))
-                * np.sqrt(pdf["nrm_b"].to_numpy(np.float64))
-            )
-            keep = cos >= 0.4
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["vec_a"].to_numpy(np.int64)[keep],
-                    "vec_b": pdf["vec_b"].to_numpy(np.int64)[keep],
-                    "label_a": pdf["label_a"].to_numpy(np.int64)[keep],
-                    "label_b": pdf["label_b"].to_numpy(np.int64)[keep],
-                    "cosine": cos[keep],
-                }
-            )
-
-    return cand.mapInPandas(refine, schema=pair_schema)
 
 
 # ---------------------------------------------------------------------------
