@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_fal_spark.registry import query
-from dbt_fal_spark.sources.readers import load_table
+from dbt_fal_spark.sources.readers import load_table, spread
 
 # Word-shingle width for the corpus-level duplicate-n-gram signal.
 SHINGLE_K = 5
@@ -486,9 +486,20 @@ def t_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
-    # one corpus-wide token explode feeds both the cell counts and the
-    # true-frequency table
-    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).persist()
+    # Counter increments are additive, so hash per DISTINCT token and
+    # SUM the token counts into cells — bit-identical counters to the
+    # per-occurrence form (the oracle's shape) at vocab-sized md5 cost:
+    # one corpus explode → token counts, then CMS_DEPTH md5s per vocab
+    # entry instead of per token occurrence (~250k×depth → ~vocab×depth
+    # hashes at sf0.1, and the gap widens with corpus size since vocab
+    # saturates).
+    tokc = (
+        spread(docs.select("text"))
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("true_count"))
+        .persist()
+    )
     rs = F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})")).alias("r")
     cell = (
         F.conv(
@@ -499,14 +510,13 @@ def t_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         % CMS_WIDTH
     )
     cells = (
-        toks.select("tok", rs)
-        .select("r", cell.alias("c"))
+        tokc.select("tok", "true_count", rs)
+        .select("r", cell.alias("c"), "true_count")
         .groupBy("r", "c")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("true_count").alias("cnt"))
     )
-    freq = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("true_count"))
     probes = (
-        freq.withColumn(
+        tokc.withColumn(
             "rnk", F.row_number().over(W.orderBy(F.desc("true_count"), F.asc("tok")))
         )
         .filter(F.col("rnk") <= CMS_TOP_K)
