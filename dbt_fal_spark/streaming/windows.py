@@ -622,3 +622,134 @@ def st_left_outer_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame
             ).cast("bigint").alias("n_unmatched_purchases"),
         )
     )
+
+
+@query(
+    "st_full_outer_interval_stream",
+    oracle="""
+    WITH cut AS (
+      SELECT least(
+               max(CASE WHEN event_type = 'purchase' THEN ts END),
+               max(CASE WHEN event_type = 'click' THEN ts END)
+             ) - INTERVAL 3 HOUR AS c
+      FROM events
+    ),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.event_id AS p_event_id, p.user_id AS p_user_id, p.ts AS p_ts,
+             c.event_id AS c_event_id, c.user_id AS c_user_id, c.ts AS c_ts
+      FROM p FULL JOIN c
+        ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 30 MINUTE
+       AND c.ts <= p.ts
+    )
+    SELECT coalesce(p_user_id, c_user_id) AS user_id,
+           count(DISTINCT CASE WHEN p_ts <= cut.c THEN p_event_id END)
+             AS n_purchases,
+           count(DISTINCT CASE WHEN p_ts <= cut.c AND c_event_id IS NOT NULL
+                               THEN p_event_id END) AS n_matched_purchases,
+           count(DISTINCT CASE WHEN c_ts <= cut.c THEN c_event_id END)
+             AS n_clicks,
+           count(DISTINCT CASE WHEN c_ts <= cut.c AND p_event_id IS NOT NULL
+                               THEN c_event_id END) AS n_matched_clicks
+    FROM j CROSS JOIN cut
+    GROUP BY coalesce(p_user_id, c_user_id)
+    HAVING count(DISTINCT CASE WHEN p_ts <= cut.c THEN p_event_id END)
+         + count(DISTINCT CASE WHEN c_ts <= cut.c THEN c_event_id END) > 0
+    """,
+    tags=("streaming", "join", "interval", "outer", "full"),
+)
+def st_full_outer_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM FULL OUTER interval join — the remaining outer
+    mode next to st_interval_join_stream (inner) and
+    st_left_outer_interval_stream: unmatched PURCHASES null-emit once
+    the click watermark passes their window, unmatched CLICKS null-emit
+    once the purchase watermark passes theirs, and Spark buffers both
+    sides bounded by watermark + the 30-minute range.
+
+    Drain-boundary determinism is subtler than LEFT OUTER because BOTH
+    null-emission directions are watermark-gated while matched pairs
+    emit eagerly under availableNow. So both engines aggregate the SAME
+    row-level predicates over the full join: a side's events count only
+    when its timestamp is ≤ cut = least(max purchase ts, max click ts)
+    − 3 h — strictly inside the evicted region on both sides (click
+    watermark ≥ cut + 1 h > any counted purchase's window end; purchase
+    watermark ≥ cut + 1 h > any counted click's window end + 30 min) —
+    and all-zero groups are dropped (a late unmatched row's null-emit
+    may or may not have fired at the finite drain boundary; its counts
+    are zero either way, so the group filter makes the row set
+    irrelevant)."""
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    pairs = purchases.join(
+        clicks,
+        F.expr(
+            "p_user_id = c_user_id"
+            " AND c_ts >= p_ts - INTERVAL 30 minutes"
+            " AND c_ts <= p_ts"
+        ),
+        "fullOuter",
+    )
+    name = f"foj_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table(name)
+    from dbt_fal_spark.sources.readers import load_table
+
+    cut = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            (
+                F.least(
+                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                )
+                - F.expr("INTERVAL 3 hours")
+            ).alias("c")
+        )
+        .collect()[0]["c"]
+    )
+    p_in = F.col("p_ts") <= F.lit(cut)
+    c_in = F.col("c_ts") <= F.lit(cut)
+    agg = (
+        drained.groupBy(
+            F.coalesce("p_user_id", "c_user_id").alias("user_id")
+        )
+        .agg(
+            F.countDistinct(F.when(p_in, F.col("p_event_id"))).alias("n_purchases"),
+            F.countDistinct(
+                F.when(p_in & F.col("c_event_id").isNotNull(), F.col("p_event_id"))
+            ).alias("n_matched_purchases"),
+            F.countDistinct(F.when(c_in, F.col("c_event_id"))).alias("n_clicks"),
+            F.countDistinct(
+                F.when(c_in & F.col("p_event_id").isNotNull(), F.col("c_event_id"))
+            ).alias("n_matched_clicks"),
+        )
+        .filter((F.col("n_purchases") + F.col("n_clicks")) > 0)
+    )
+    return agg

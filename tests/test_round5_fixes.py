@@ -287,3 +287,50 @@ def test_scripts_path_precedence(spark, globals_project, tmp_path, monkeypatch):
     fal = FalSpark(globals_project, spark=spark)
     _ScriptTask(fal, None, "probe.py").execute({})
     assert log.read_text().split() == ["scripts-path-copy"]
+
+
+# --- full-outer stream-stream interval join ---------------------------------
+
+
+def test_full_outer_interval_stream_semantics(spark, tmp_path):
+    """Matched pair, unmatched purchase, and unmatched click must each
+    surface with the right counts; rows past the cut vanish whole."""
+    import pandas as pd
+
+    rows = [
+        # (event_id, ts, user, type) — all counted rows well before cut
+        (1, "2024-01-01 00:45:00", 1, "click"),     # matches P1
+        (2, "2024-01-01 01:00:00", 1, "purchase"),  # matched purchase
+        (3, "2024-01-01 01:00:00", 2, "purchase"),  # unmatched purchase
+        (4, "2024-01-01 01:00:00", 3, "click"),     # unmatched click
+        # tail rows define max ts on BOTH sides → cut = 07:00; they
+        # match each other but sit past the cut → all-zero group, dropped
+        (5, "2024-01-01 10:00:00", 9, "purchase"),
+        (6, "2024-01-01 10:00:00", 9, "click"),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [int(pd.Timestamp(r[1]).value) for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+
+    from dbt_fal_spark.streaming.windows import st_full_outer_interval_stream
+
+    got = {
+        r["user_id"]: (
+            r["n_purchases"], r["n_matched_purchases"],
+            r["n_clicks"], r["n_matched_clicks"],
+        )
+        for r in st_full_outer_interval_stream(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (1, 1, 1, 1),
+        2: (1, 0, 0, 0),
+        3: (0, 0, 1, 0),
+    }
