@@ -1378,11 +1378,15 @@ def d_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_probable_hits ≥ the true shared count — is what makes this the
     standard cheap FIRST pass before d_decontaminate's exact check.
 
-    Scale shape: the bit table is ≤ {BLOOM_M} rows (KBs) regardless of
-    corpus size — it broadcasts; the probe is a map-side join against
-    it plus one doc-keyed count. At 100 TB the bloom costs a constant
-    ~8 KB of executor memory where the exact inverted index costs the
-    benchmark's full shingle set.
+    Scale shape (r5): the filter is a REAL packed bitmap — bench bits
+    bit_or-aggregate into ≤ {BLOOM_M}/64 int64 words carried in ONE row
+    as a word-index→word map (≈ 8 KB), broadcast onto the probe as a
+    single-row spine join; every probe shingle tests its {BLOOM_K} bits
+    map-side inside whole-stage codegen (the same md5s in a
+    higher-order lambda ran interpreted — measured ~8× slower), and the
+    only shuffle is the final doc_id-keyed count. At 100 TB the bloom
+    costs a constant ~8 KB of executor memory where the exact inverted
+    index costs the benchmark's full shingle set.
     """
     docs = load_table(spark, sf_dir, "documents")
     # split once per row, then O(1) element_at per shingle (the

@@ -426,6 +426,13 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-doc term counts; ties break lexicographically so the top-3 is
     deterministic. The scale path drops terms with df ≈ N (stopwords)
     before the join — they can't reach any top-k.
+
+    Plan (r5): ONE doc_id repartition whose clustering is shared by the
+    (doc_id, term) tf aggregation AND the per-doc top-3 window
+    (hash(doc_id) satisfies both), with WindowGroupLimit pre-limiting
+    to ≤3 rows/doc/partition before the window's exchange; df ships
+    only vocab-sized map-side partials and broadcasts back. The
+    remaining exchanges move partial rows, not the token stream.
     """
     docs = load_table(spark, sf_dir, "documents")
     # ONE doc_id repartition up front: hash(doc_id) satisfies the
