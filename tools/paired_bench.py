@@ -23,11 +23,19 @@ def _run(cmd: list[str], sf_dir: str) -> dict:
     out = subprocess.run(
         cmd, cwd=REPO, env=env, capture_output=True, text=True, check=True
     ).stdout
-    # last JSON line (Spark logs can pollute earlier lines)
+    # last JSON line CARRYING the per-query dict (bench.py additionally
+    # prints a compact totals-only line last for the driver's tail
+    # window; Spark logs can pollute earlier lines)
+    fallback = None
     for line in reversed(out.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)
+            rec = json.loads(line)
+            if "queries" in rec:
+                return rec
+            fallback = fallback or rec
+    if fallback is not None:
+        return fallback
     raise RuntimeError(f"no JSON line in output of {cmd}")
 
 
