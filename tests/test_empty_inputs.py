@@ -60,6 +60,7 @@ _REPRESENTATIVES = [
     "q_unpivot_segment_metrics",
     "t_cms_heavy_hitters",
     "d_bloom_prefilter",
+    "d_embedding_neardup_lsh",
 ]
 
 

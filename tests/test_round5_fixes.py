@@ -334,3 +334,86 @@ def test_full_outer_interval_stream_semantics(spark, tmp_path):
         2: (1, 0, 0, 0),
         3: (0, 0, 1, 0),
     }
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_full_outer_interval_stream_random_differential(spark, tmp_path, seed):
+    """Seeded random event sets vs a pure-Python full-outer reference:
+    the streaming drain + cut-predicate aggregation must match an
+    exhaustive O(n²) evaluation of the same join semantics."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for _ in range(24):
+        eid += 1
+        rows.append(
+            (
+                eid,
+                pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=rng.randint(0, 240)),
+                rng.randint(1, 4),
+                rng.choice(["purchase", "click"]),
+            )
+        )
+    # tail rows pin both per-side max ts at 10:00 → cut = 07:00, every
+    # random row above is strictly inside the evicted region
+    for etype in ("purchase", "click"):
+        eid += 1
+        rows.append((eid, pd.Timestamp("2024-01-01 10:00:00"), 9, etype))
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [int(r[1].value) for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    d = tmp_path / f"ev_{seed}"
+    d.mkdir()
+    pdf.to_parquet(str(d / "events.parquet"))
+
+    # pure-Python reference over the SAME semantics
+    cut = pd.Timestamp("2024-01-01 07:00:00")
+    purchases = [(r[0], r[1], r[2]) for r in rows if r[3] == "purchase"]
+    clicks = [(r[0], r[1], r[2]) for r in rows if r[3] == "click"]
+    win = pd.Timedelta(minutes=30)
+    expect: dict[int, list[set]] = {}
+
+    def bucket(user):
+        return expect.setdefault(user, [set(), set(), set(), set()])
+
+    for pe, pt, pu in purchases:
+        matches = [c for c in clicks if c[2] == pu and pt - win <= c[1] <= pt]
+        if pt <= cut:
+            b = bucket(pu)
+            b[0].add(pe)
+            if matches:
+                b[1].add(pe)
+    for ce, ct, cu in clicks:
+        matches = [p for p in purchases if p[2] == cu and ct <= p[1] <= ct + win]
+        if ct <= cut:
+            b = bucket(cu)
+            b[2].add(ce)
+            if matches:
+                b[3].add(ce)
+    expected = {
+        u: (len(b[0]), len(b[1]), len(b[2]), len(b[3]))
+        for u, b in expect.items()
+        if len(b[0]) + len(b[2]) > 0
+    }
+
+    from dbt_fal_spark.streaming.windows import st_full_outer_interval_stream
+
+    got = {
+        r["user_id"]: (
+            r["n_purchases"], r["n_matched_purchases"],
+            r["n_clicks"], r["n_matched_clicks"],
+        )
+        for r in st_full_outer_interval_stream(spark, str(d)).collect()
+    }
+    assert got == expected
