@@ -47,9 +47,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # SRP-LSH prefilter, t_tfidf_top_terms exchange cut), then refresh the
 # oldest remaining driver rows (last green in r03).
 #
-# r6 PLAN: refresh the 24 r3-stale entries not rotated here
-# (e_* events family, st_* streaming family, q14-q19, remaining t_*),
-# then the oldest r4 rows.
+# r6 PLAN: lead with st_full_outer_interval_stream (added after the r5
+# window was frozen — local-gate green only), then refresh the 25
+# r3-stale entries not rotated here (e_* events family, st_* streaming
+# family, q14-q19, e_dau_hll_sketch, remaining t_*), then the oldest
+# r4 rows (q_profile_orders, q_histogram_totalprice, ...).
 _CHECK_FIRST = (
     # never driver-checked (local-green only) — completes 123/123
     "t_repetition_stats", "t_gopher_quality", "d_dup_ngram_fraction",
