@@ -417,3 +417,20 @@ def test_full_outer_interval_stream_random_differential(spark, tmp_path, seed):
         for r in st_full_outer_interval_stream(spark, str(d)).collect()
     }
     assert got == expected
+
+
+def test_embedding_tiled_invariant_to_chunk_width(spark, monkeypatch):
+    """The tiled self-join's answer must not depend on the tile width —
+    the knob a deployment turns to fit executor memory."""
+    from dbt_fal_spark.operators import dedup as D
+
+    def run():
+        return sorted(
+            (r["vec_a"], r["vec_b"], r["cosine"])
+            for r in D.d_embedding_neardup_pairs(spark, SF_DIR).collect()
+        )
+
+    base = run()
+    assert base  # fixture has pairs
+    monkeypatch.setattr(D, "EMB_TILE_CHUNK", 37)  # ragged, forces many tiles
+    assert run() == base
