@@ -146,3 +146,109 @@ def test_random_corpus_matches_registry_oracle(spark, rand_dir, rand_oracle, nam
         f"{name}: digest mismatch — spark {len(got_pdf)} rows, "
         f"oracle {len(exp_pdf)} rows"
     )
+
+
+# --- events family ----------------------------------------------------------
+
+EVENT_OPS = [
+    "e_sessionize",
+    "e_asof_purchase_attribution",
+    "e_purchase_gap_stats",
+    "e_daily_active_users",
+    "e_funnel_conversion",
+    "e_hourly_rollup",
+    # e_rolling_7d_revenue reads ORDERS, not events — outside this harness
+    "e_json_props_stats",
+    "e_anomaly_events",
+    "e_user_activity_pivot",
+]
+
+
+def _build_events(seed: int, out: str) -> None:
+    """Random event stream with engineered boundary shapes: session gaps
+    EXACTLY at the threshold, same-timestamp as-of ties, same-timestamp
+    same-user duplicate events, and day-boundary-midnight rows."""
+    import pandas as pd
+
+    rng = random.Random(seed + 1000)
+    types = ["click", "signup", "error", "view", "purchase"]
+    rows = []
+    eid = 0
+
+    def add(ts, user, etype, value=None):
+        nonlocal eid
+        eid += 1
+        rows.append(
+            (
+                eid,
+                pd.Timestamp(ts),
+                user,
+                etype,
+                value if value is not None else round(rng.uniform(0.5, 100.0), 2),
+                '{"k": %d}' % rng.randint(0, 99),
+            )
+        )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    for _ in range(260):
+        add(
+            base
+            + pd.Timedelta(
+                seconds=rng.randint(0, 29 * 24 * 3600), microseconds=rng.randint(0, 999999)
+            ),
+            rng.randint(1, 6),
+            rng.choice(types),
+        )
+    # session-gap boundary: consecutive events exactly 30:00 apart (the
+    # classic sessionize threshold) and one microsecond either side
+    t0 = pd.Timestamp("2024-01-05 08:00:00")
+    add(t0, 7, "click")
+    add(t0 + pd.Timedelta(minutes=30), 7, "click")
+    add(t0 + pd.Timedelta(minutes=60, microseconds=1), 7, "click")
+    # as-of tie: click at the EXACT purchase timestamp plus an earlier one
+    tp = pd.Timestamp("2024-01-10 12:00:00")
+    add(tp - pd.Timedelta(minutes=5), 8, "click")
+    add(tp, 8, "click")
+    add(tp, 8, "purchase", value=50.0)
+    # duplicate (user, ts) rows and a midnight row
+    tdup = pd.Timestamp("2024-01-12 00:00:00")
+    add(tdup, 9, "view")
+    add(tdup, 9, "view")
+    add(tdup, 9, "purchase", value=10.0)
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(os.path.join(out, "events.parquet"), index=False)
+
+
+@pytest.fixture(scope="module", params=[5, 83])
+def rand_events_dir(request, tmp_path_factory):
+    out = tmp_path_factory.mktemp(f"randev_{request.param}")
+    _build_events(request.param, str(out))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def rand_events_oracle(rand_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{os.path.join(rand_events_dir, 'events.parquet')}'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EVENT_OPS)
+def test_random_events_match_registry_oracle(spark, rand_events_dir, rand_events_oracle, name):
+    spec = all_queries()[name]
+    got_pdf = spec.fn(spark, rand_events_dir).toPandas()
+    spark.catalog.clearCache()
+    exp_pdf = rand_events_oracle.execute(spec.oracle).df()
+    assert sorted(got_pdf.columns) == sorted(exp_pdf.columns)
+    d_got = table_digest(list(got_pdf.columns), pandas_rows(got_pdf))
+    d_exp = table_digest(list(exp_pdf.columns), pandas_rows(exp_pdf))
+    assert d_got == d_exp, (
+        f"{name}: digest mismatch — spark {len(got_pdf)} rows, "
+        f"oracle {len(exp_pdf)} rows"
+    )
