@@ -252,3 +252,116 @@ def test_random_events_match_registry_oracle(spark, rand_events_dir, rand_events
         f"{name}: digest mismatch — spark {len(got_pdf)} rows, "
         f"oracle {len(exp_pdf)} rows"
     )
+
+
+# --- orders family (percentile/tie boundaries) ------------------------------
+
+ORDERS_OPS = [
+    "q_orders_daily_pivot",
+    "q_customer_running_total",
+    "q_priority_distinct_customers",
+    "q_cube_status_priority",
+    "q_paginate_orders",
+    "q_profile_orders",
+    "q_grouping_sets_revenue",
+    "q_first_last_order_value",
+    "q_pivot_priority_by_status",
+    "q_status_set_per_priority",
+    "q_revenue_trend_by_priority",
+    "q_order_date_parts",
+    "q_histogram_totalprice",
+    "q_range_join_price_band",
+    "q_mad_outlier_orders",
+    "q_conditional_aggs",
+    "e_rolling_7d_revenue",
+    "q_repeat_customers_intersect",
+    "q_date_filter_projection",
+]
+
+
+def _build_orders(seed: int, out: str) -> None:
+    """Random orders with the tie/boundary shapes percentile, windowed,
+    and histogram queries are most likely to diverge on: repeated
+    totalprice values (quantile interpolation ties), several orders per
+    (customer, date) (running-total / first-last ties), histogram
+    bucket-edge prices, and a duplicated calendar day across statuses."""
+    import pandas as pd
+
+    rng = random.Random(seed + 2000)
+    statuses = ["O", "F", "P"]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    rows = []
+    key = 0
+
+    def add(cust, date, price, status=None, prio=None):
+        nonlocal key
+        key += 1
+        rows.append(
+            (
+                key,
+                cust,
+                status or rng.choice(statuses),
+                float(price),
+                pd.Timestamp(date),
+                prio or rng.choice(prios),
+            )
+        )
+
+    base = pd.Timestamp("1995-01-01")
+    for _ in range(220):
+        add(
+            rng.randint(1, 25),
+            base + pd.Timedelta(days=rng.randint(0, 2000)),
+            round(rng.uniform(1000, 499999), 2),
+        )
+    # repeated price — quantile/median ties across engines
+    for _ in range(9):
+        add(rng.randint(1, 25), base + pd.Timedelta(days=rng.randint(0, 2000)), 250000.0)
+    # same (customer, date) multiple orders — running-total / first-last ties
+    d = base + pd.Timedelta(days=700)
+    for p in (111.11, 222.22, 333.33):
+        add(3, d, p)
+    # histogram bucket edges (q_histogram buckets are price-range based)
+    for p in (1000.0, 100000.0, 250000.0, 499999.99):
+        add(rng.randint(1, 25), base + pd.Timedelta(days=rng.randint(0, 2000)), p)
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        ],
+    )
+    pdf["o_orderdate"] = pdf["o_orderdate"].astype("datetime64[us]")
+    pdf.to_parquet(os.path.join(out, "orders.parquet"), index=False)
+
+
+@pytest.fixture(scope="module", params=[3, 59])
+def rand_orders_dir(request, tmp_path_factory):
+    out = tmp_path_factory.mktemp(f"randord_{request.param}")
+    _build_orders(request.param, str(out))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def rand_orders_oracle(rand_orders_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{os.path.join(rand_orders_dir, 'orders.parquet')}'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORDERS_OPS)
+def test_random_orders_match_registry_oracle(spark, rand_orders_dir, rand_orders_oracle, name):
+    spec = all_queries()[name]
+    got_pdf = spec.fn(spark, rand_orders_dir).toPandas()
+    spark.catalog.clearCache()
+    exp_pdf = rand_orders_oracle.execute(spec.oracle).df()
+    assert sorted(got_pdf.columns) == sorted(exp_pdf.columns)
+    d_got = table_digest(list(got_pdf.columns), pandas_rows(got_pdf))
+    d_exp = table_digest(list(exp_pdf.columns), pandas_rows(exp_pdf))
+    assert d_got == d_exp, (
+        f"{name}: digest mismatch — spark {len(got_pdf)} rows, "
+        f"oracle {len(exp_pdf)} rows"
+    )
