@@ -365,3 +365,170 @@ def test_random_orders_match_registry_oracle(spark, rand_orders_dir, rand_orders
         f"{name}: digest mismatch — spark {len(got_pdf)} rows, "
         f"oracle {len(exp_pdf)} rows"
     )
+
+
+# --- customer/orders/lineitem trio (FK edges + predicate boundaries) --------
+
+TRIO_OPS = [
+    "q01_pricing_summary",
+    "q03_topk_order_revenue",
+    "q04_late_shipment_priority",
+    "q06_filtered_revenue",
+    "q13_order_count_distribution",
+    "q18_large_volume_customers",
+    "q22_lapsed_rich_customers",
+    "q_customer_order_stats",
+    "q_topk_orders_per_segment",
+    "q_lapsed_customers_except",
+    "q_latest_order_per_customer",
+    "q_gini_customer_value",
+    "q_customer_value_deciles",
+    "q_customer_value_percentile",
+    "q_quantity_quartiles",
+    "q_corr_stats_by_flag",
+    "q_unpivot_segment_metrics",
+    "q_generic_tests",
+]
+
+
+def _build_trio(seed: int, out: str) -> None:
+    """FK-consistent customer/orders/lineitem with the divergence-prone
+    edges: customers with NO orders (q13 zero-groups, q22 NOT EXISTS),
+    discounts at exactly 0.05/0.07 and quantities at exactly 24 (q06's
+    double BETWEEN boundaries), shipdates exactly on the year-filter
+    edges, one huge-quantity order straddling q18's HAVING > 250, equal
+    acctbal ties for decile/percentile cuts, and shipdate == orderdate
+    rows for q04's strict-inequality EXISTS."""
+    import pandas as pd
+
+    rng = random.Random(seed + 3000)
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"]
+    statuses = ["O", "F", "P"]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    flags = ["A", "N", "R"]
+    lstat = ["O", "F"]
+
+    n_cust = 24
+    cust = {
+        "c_custkey": list(range(1, n_cust + 1)),
+        "c_name": [f"Customer#{i:09d}" for i in range(1, n_cust + 1)],
+        "c_nationkey": [i % 5 for i in range(1, n_cust + 1)],
+        "c_acctbal": [round(rng.uniform(-999, 9999), 2) for _ in range(n_cust)],
+        "c_mktsegment": [segs[i % 5] for i in range(1, n_cust + 1)],
+    }
+    # equal-acctbal ties at a decile cut + a zero and a negative balance
+    cust["c_acctbal"][0] = cust["c_acctbal"][1] = cust["c_acctbal"][2] = 5000.0
+    cust["c_acctbal"][3] = 0.0
+    cust["c_acctbal"][4] = -1.0
+
+    orders_rows = []
+    okey = 0
+    base = pd.Timestamp("1995-01-01")
+    # customers 1..18 get orders; 19..24 have NONE
+    for _ in range(160):
+        okey += 1
+        orders_rows.append(
+            (
+                okey,
+                rng.randint(1, 18),
+                rng.choice(statuses),
+                round(rng.uniform(1000, 490000), 2),
+                base + pd.Timedelta(days=rng.randint(0, 2400)),
+                rng.choice(prios),
+            )
+        )
+    # boundary orderdates: exactly on q04/q22 filter edges
+    for d in ("1996-01-01", "1996-12-31", "1997-01-01", "2000-01-01"):
+        okey += 1
+        orders_rows.append(
+            (okey, rng.randint(1, 18), "O", 50000.0, pd.Timestamp(d), prios[0])
+        )
+
+    li_rows = []
+    for (ok, ck, st, tp, od, pr) in orders_rows:
+        for ln in range(1, rng.randint(1, 5) + 1):
+            ship = od + pd.Timedelta(days=rng.randint(-2, 90))
+            li_rows.append(
+                (
+                    ok, rng.randint(1, 50), rng.randint(1, 20), ln,
+                    float(rng.randint(1, 50)),
+                    round(rng.uniform(900, 90000), 2),
+                    rng.choice([0.0, 0.02, 0.05, 0.06, 0.07, 0.08, 0.1]),
+                    round(rng.uniform(0.0, 0.08), 2),
+                    rng.choice(flags), rng.choice(lstat), ship,
+                )
+            )
+    # q06 boundary rows: quantity exactly 24 (excluded) and 23.99-ish,
+    # shipdate exactly 1996-01-01 (included) and 1997-01-01 (excluded)
+    first_ok = orders_rows[0][0]
+    for qty, disc, ship in (
+        (24.0, 0.05, "1996-01-01"),
+        (23.0, 0.07, "1996-06-15"),
+        (23.0, 0.05, "1997-01-01"),
+        (10.0, 0.04, "1996-06-15"),
+    ):
+        li_rows.append(
+            (first_ok, 1, 1, 90 + len(li_rows) % 7, qty, 10000.0, disc, 0.02,
+             "N", "O", pd.Timestamp(ship))
+        )
+    # one order straddling q18's HAVING sum(qty) > 250: exactly 250 (out)
+    # on one order, 251 (in) on another
+    for target, total in ((orders_rows[1][0], 250.0), (orders_rows[2][0], 251.0)):
+        li_rows.append(
+            (target, 2, 2, 99, total, 20000.0, 0.0, 0.0, "N", "O",
+             pd.Timestamp("1996-03-03"))
+        )
+    # shipdate == orderdate row: q04's l_shipdate > o_orderdate must NOT fire
+    eq_ok, eq_od = orders_rows[3][0], orders_rows[3][4]
+    li_rows.append((eq_ok, 3, 3, 98, 5.0, 1000.0, 0.0, 0.0, "N", "O", eq_od))
+
+    pd.DataFrame(cust).to_parquet(os.path.join(out, "customer.parquet"), index=False)
+    od = pd.DataFrame(
+        orders_rows,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    )
+    od["o_orderdate"] = od["o_orderdate"].astype("datetime64[us]")
+    od.to_parquet(os.path.join(out, "orders.parquet"), index=False)
+    li = pd.DataFrame(
+        li_rows,
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+    li["l_linenumber"] = li["l_linenumber"].astype("int32")
+    li["l_shipdate"] = li["l_shipdate"].astype("datetime64[us]")
+    li.to_parquet(os.path.join(out, "lineitem.parquet"), index=False)
+
+
+@pytest.fixture(scope="module", params=[17, 71])
+def rand_trio_dir(request, tmp_path_factory):
+    out = tmp_path_factory.mktemp(f"randtrio_{request.param}")
+    _build_trio(request.param, str(out))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def rand_trio_oracle(rand_trio_dir):
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(rand_trio_dir, t + '.parquet')}'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", TRIO_OPS)
+def test_random_trio_matches_registry_oracle(spark, rand_trio_dir, rand_trio_oracle, name):
+    spec = all_queries()[name]
+    got_pdf = spec.fn(spark, rand_trio_dir).toPandas()
+    spark.catalog.clearCache()
+    exp_pdf = rand_trio_oracle.execute(spec.oracle).df()
+    assert sorted(got_pdf.columns) == sorted(exp_pdf.columns)
+    d_got = table_digest(list(got_pdf.columns), pandas_rows(got_pdf))
+    d_exp = table_digest(list(exp_pdf.columns), pandas_rows(exp_pdf))
+    assert d_got == d_exp, (
+        f"{name}: digest mismatch — spark {len(got_pdf)} rows, "
+        f"oracle {len(exp_pdf)} rows"
+    )
