@@ -41,7 +41,11 @@ OPS = [
     "d_containment_pairs",
     "d_simhash",
     "d_embedding_neardup_lsh",
+    "d_embedding_neardup_pairs",
     "d_exact_dedup",
+    "s_knn_bruteforce",
+    "s_knn_ivf",
+    "s_knn_lsh_multitable",
     # d_lsh_levenshtein_refine is excluded from the default list: its
     # candidate set IS d_minhash_lsh_pairs' (already measured) and the
     # per-pair DP refine on 248k true-dup candidates runs ~4 min on the
