@@ -216,6 +216,8 @@ def d_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, shs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:  # null text: excluded, matching split(NULL) SQL semantics
+                    continue
                 w = text.split(" ")
                 if len(w) < k:
                     continue

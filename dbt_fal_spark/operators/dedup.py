@@ -170,6 +170,8 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, ns, shs = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:  # null text: excluded, matching split(NULL) SQL semantics
+                    continue
                 w = text.split(" ")
                 if len(w) < 3:
                     continue
@@ -260,6 +262,8 @@ def _minhash_sig(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:  # null text: excluded, matching split(NULL) SQL semantics
+                    continue
                 w = text.split(" ")
                 if len(w) < 3:
                     continue
@@ -535,6 +539,8 @@ def d_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, hs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:  # null text: excluded, matching split(NULL) SQL semantics
+                    continue
                 n = len(text)
                 if n < k:
                     continue
@@ -613,6 +619,8 @@ def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inv: dict = {}
     for r in bench_rows:
+        if r["text"] is None:  # null text: excluded, matching split(NULL) SQL semantics
+            continue
         w = r["text"].split(" ")
         if len(w) < 3:
             continue
@@ -631,6 +639,8 @@ def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             t_ids, b_ids, counts = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:  # null text: excluded, matching split(NULL) SQL semantics
+                    continue
                 w = text.split(" ")
                 if len(w) < 3:
                     continue
@@ -780,7 +790,9 @@ def d_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk = EMB_TILE_CHUNK
     mx = emb.alias("mx_side").agg(F.max("vec_id").alias("mx"))
     left = (
-        emb.alias("l_side").crossJoin(F.broadcast(mx))
+        emb.filter(F.col("embedding").isNotNull())
+        .alias("l_side")
+        .crossJoin(F.broadcast(mx))
         .select(
             "vec_id",
             "label",
@@ -795,7 +807,9 @@ def d_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ambiguous self-join
     import os as _os
 
-    emb_r = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    emb_r = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet")).filter(
+        F.col("embedding").isNotNull()
+    )
     right = emb_r.select(
         F.expr(f"vec_id div {chunk}").alias("tc"), "vec_id", "label", "embedding"
     )
@@ -938,7 +952,7 @@ def d_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    sig = spread(emb.select("vec_id", "label", "embedding")).mapInPandas(
+    sig = spread(emb.filter(F.col("embedding").isNotNull()).select("vec_id", "label", "embedding")).mapInPandas(
         add_buckets,
         schema="vec_id long, label long, qv array<long>, nrm long, tbl long, bucket long",
     )
@@ -1268,6 +1282,8 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, ns, shs = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:  # null text: excluded, matching split(NULL) SQL semantics
+                    continue
                 w = text.split(" ")
                 if len(w) < 3:
                     continue

@@ -101,8 +101,10 @@ def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     knn_schema = "query_id long, neighbor_id long, neighbor_label long, cosine double"
     emb = load_table(spark, sf_dir, "embeddings")
-    raw = emb.select("vec_id", "label", "embedding")
-    q = emb.select("vec_id", "label", F.expr(_SPARK_QVEC).alias("qv"))
+    raw = emb.filter(F.col("embedding").isNotNull()).select("vec_id", "label", "embedding")
+    q = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "label", F.expr(_SPARK_QVEC).alias("qv")
+    )
     qrows = q.filter(F.col("vec_id") < N_QUERIES).collect()
     if not qrows:
         return spark.createDataFrame([], knn_schema + ", rank int")
@@ -202,7 +204,7 @@ def s_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    raw = emb.select("vec_id", "label", "embedding")
+    raw = emb.filter(F.col("embedding").isNotNull()).select("vec_id", "label", "embedding")
     planes = np.array(PLANES, dtype=np.float64)  # (8, 64); pickled by value
     bits = np.array([1 << p for p in range(N_PLANES)], dtype=np.int64)
 
@@ -277,7 +279,9 @@ def s_label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     step (centroid = mean of member vectors; exact integer sums, one
     final double division)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select("vec_id", "label", F.expr(_SPARK_QVEC).alias("qv"))
+    q = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "label", F.expr(_SPARK_QVEC).alias("qv")
+    )
     comp = q.select("label", F.posexplode("qv").alias("d", "v"))
     cent = comp.groupBy("label", "d").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
     return cent.groupBy("label", "n").agg(
@@ -361,7 +365,7 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory blocks. At real corpus sizes this cache is the IVF *index
     # build* — you'd persist the quantized/assigned corpus anyway; here it
     # is the raw batch, released with the session (bench clears per query).
-    base = spread(emb.select("vec_id", "label", "embedding")).persist()
+    base = spread(emb.filter(F.col("embedding").isNotNull()).select("vec_id", "label", "embedding")).persist()
     # Codebook build + query extraction fused into ONE pass: exact integer
     # (sum-vector, count) per cell, and the N_QUERIES query rows ride the
     # same output (kind=1) — collected to the driver together (k cells ×
@@ -583,7 +587,7 @@ def s_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    raw = spread(emb.select("vec_id", "label", "embedding")).persist()
+    raw = spread(emb.filter(F.col("embedding").isNotNull()).select("vec_id", "label", "embedding")).persist()
     out_schema = "query_id long, neighbor_id long, neighbor_label long, qscore long, rank int"
     n_queries = N_QUERIES
 
@@ -754,7 +758,7 @@ def s_knn_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    raw = emb.select("vec_id", "label", "embedding")
+    raw = emb.filter(F.col("embedding").isNotNull()).select("vec_id", "label", "embedding")
     planes = np.array(
         [w for t in range(N_TABLES) for w in TABLE_PLANES[t]], dtype=np.float64
     )  # (N_TABLES*8, 64)

@@ -288,6 +288,8 @@ def t_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, nw, mn, nd, ns = [], [], [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:  # null text: excluded, matching split(NULL) SQL semantics
+                    continue
                 n = len(text)
                 if n < k:
                     continue
@@ -377,7 +379,13 @@ def t_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: the explode + map-side partial agg is the heavy stage and
     # would otherwise run on the single scan task of a small file.
     toks = spread(docs.select("text")).select(F.split("text", " ").alias("w"))
-    bigrams = F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1]))")
+    # size guard: Spark's sequence(0, -1) DESCENDS (unlike DuckDB's empty
+    # generate_series), so a 1-token or null doc would index w[-1] → ANSI
+    # array-index error
+    bigrams = F.expr(
+        "CASE WHEN size(w) < 2 THEN array() ELSE"
+        " transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1])) END"
+    )
     return (
         toks.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
