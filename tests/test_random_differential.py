@@ -76,6 +76,12 @@ def _build_corpus(seed: int, out: str) -> None:
     texts.append(base)
     texts.append(base.replace(base.split()[5], "zz", 1))
     texts.append(base + " " + soup(25))  # contains base
+    # whitespace edges: split-on-space yields EMPTY tokens for doubled /
+    # leading / trailing spaces in BOTH engines — these docs push empty
+    # tokens through every shingle/token/hash path
+    texts.append("a  b   c " + soup(5))
+    texts.append(" leading")
+    texts.append("single")
     rng.shuffle(texts)
 
     langs = ["en", "de", "fr"]
