@@ -105,6 +105,7 @@ def m_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
            ((octet_length(encode(text)) * 7) % 480) + 1 AS height,
            CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
     FROM documents
+    WHERE text IS NOT NULL
     """,
     tags=("multimodal", "pandas-udf"),
 )
@@ -124,7 +125,11 @@ def m_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     each yields a metadata frame.
     """
     docs = load_table(spark, sf_dir, "documents")
-    with_payload = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    # missing blob = no decode work: null payloads are dropped (mirrored
+    # in the oracle's WHERE) rather than fed to codecs
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).filter(F.col("payload").isNotNull())
     return decode_pipeline(with_payload)
 
 

@@ -47,6 +47,9 @@ DROP_OPS = [
     "s_knn_lsh_bucketed",
     "s_knn_lsh_multitable",
     "s_label_centroid_distance",
+    "m_decode_pipeline",
+    "m_frame_sample",
+    "m_chunk_dedup",
 ]
 # the null row is emitted with NULL metrics (oracle-matching projection)
 SURVIVE_OPS = [
@@ -59,6 +62,9 @@ SURVIVE_OPS = [
     "t_fingerprint",
     "t_repetition_stats",
     "t_gopher_quality",
+    "m_binary_metadata",
+    "t_token_bpe",
+    "t_pack_sequences",
 ]
 
 NULL_DOC_IDS = {1, 5}
