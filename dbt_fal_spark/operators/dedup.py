@@ -31,6 +31,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from dbt_fal_spark.operators.similarity import FINITE_EMB
 from dbt_fal_spark.registry import query
 from dbt_fal_spark.sources.readers import load_table, spread
 
@@ -790,7 +791,7 @@ def d_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk = EMB_TILE_CHUNK
     mx = emb.alias("mx_side").agg(F.max("vec_id").alias("mx"))
     left = (
-        emb.filter(F.col("embedding").isNotNull())
+        emb.filter(F.expr(FINITE_EMB))
         .alias("l_side")
         .crossJoin(F.broadcast(mx))
         .select(
@@ -807,9 +808,7 @@ def d_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ambiguous self-join
     import os as _os
 
-    emb_r = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet")).filter(
-        F.col("embedding").isNotNull()
-    )
+    emb_r = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet")).filter(F.expr(FINITE_EMB))
     right = emb_r.select(
         F.expr(f"vec_id div {chunk}").alias("tc"), "vec_id", "label", "embedding"
     )
@@ -952,7 +951,7 @@ def d_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    sig = spread(emb.filter(F.col("embedding").isNotNull()).select("vec_id", "label", "embedding")).mapInPandas(
+    sig = spread(emb.filter(F.expr(FINITE_EMB)).select("vec_id", "label", "embedding")).mapInPandas(
         add_buckets,
         schema="vec_id long, label long, qv array<long>, nrm long, tbl long, bucket long",
     )

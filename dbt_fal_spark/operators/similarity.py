@@ -37,6 +37,16 @@ TOP_K = 10
 
 _SPARK_QVEC = "transform(embedding, x -> cast(round(x * 1024) as bigint))"
 _ORACLE_QVEC = "list_transform(embedding, x -> CAST(round(x * 1024) AS BIGINT))"
+
+# Input contract shared by every embedding consumer: null or non-finite
+# vectors are INVALID INPUT and are excluded before any quantization —
+# the ANSI cast of round(NaN·1024) errors in BOTH engines, and an Inf
+# component would otherwise leak an inf-cosine garbage pair out of the
+# numpy stages. Cost: one short-circuiting exists() per vector at scan.
+FINITE_EMB = (
+    "embedding IS NOT NULL AND NOT exists(embedding,"
+    " x -> isnan(x) OR abs(x) = double('Infinity'))"
+)
 # Arrow stages quantize with the numpy twin sign(x)·floor(|x·1024|+0.5)
 # instead of running the interpreted transform() HOF over the full corpus:
 # float32·1024 is an exact exponent shift and round() is HALF_UP in both
@@ -101,8 +111,8 @@ def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     knn_schema = "query_id long, neighbor_id long, neighbor_label long, cosine double"
     emb = load_table(spark, sf_dir, "embeddings")
-    raw = emb.filter(F.col("embedding").isNotNull()).select("vec_id", "label", "embedding")
-    q = emb.filter(F.col("embedding").isNotNull()).select(
+    raw = emb.filter(F.expr(FINITE_EMB)).select("vec_id", "label", "embedding")
+    q = emb.filter(F.expr(FINITE_EMB)).select(
         "vec_id", "label", F.expr(_SPARK_QVEC).alias("qv")
     )
     qrows = q.filter(F.col("vec_id") < N_QUERIES).collect()
@@ -204,7 +214,7 @@ def s_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    raw = emb.filter(F.col("embedding").isNotNull()).select("vec_id", "label", "embedding")
+    raw = emb.filter(F.expr(FINITE_EMB)).select("vec_id", "label", "embedding")
     planes = np.array(PLANES, dtype=np.float64)  # (8, 64); pickled by value
     bits = np.array([1 << p for p in range(N_PLANES)], dtype=np.int64)
 
@@ -279,8 +289,15 @@ def s_label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     step (centroid = mean of member vectors; exact integer sums, one
     final double division)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("embedding").isNotNull()).select(
-        "vec_id", "label", F.expr(_SPARK_QVEC).alias("qv")
+    # the CASE guard matters, not just the filter: posexplode's inferred
+    # constraints (size(qv) > 0) replicate the transform-cast into the
+    # Filter node where codegen evaluates it on UNfiltered rows — a NaN
+    # component would hit the ANSI cast before the finite predicate
+    # prunes the row
+    q = emb.filter(F.expr(FINITE_EMB)).select(
+        "vec_id",
+        "label",
+        F.expr(f"CASE WHEN {FINITE_EMB} THEN {_SPARK_QVEC} ELSE NULL END").alias("qv"),
     )
     comp = q.select("label", F.posexplode("qv").alias("d", "v"))
     cent = comp.groupBy("label", "d").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
@@ -365,7 +382,7 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memory blocks. At real corpus sizes this cache is the IVF *index
     # build* — you'd persist the quantized/assigned corpus anyway; here it
     # is the raw batch, released with the session (bench clears per query).
-    base = spread(emb.filter(F.col("embedding").isNotNull()).select("vec_id", "label", "embedding")).persist()
+    base = spread(emb.filter(F.expr(FINITE_EMB)).select("vec_id", "label", "embedding")).persist()
     # Codebook build + query extraction fused into ONE pass: exact integer
     # (sum-vector, count) per cell, and the N_QUERIES query rows ride the
     # same output (kind=1) — collected to the driver together (k cells ×
@@ -587,7 +604,7 @@ def s_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    raw = spread(emb.filter(F.col("embedding").isNotNull()).select("vec_id", "label", "embedding")).persist()
+    raw = spread(emb.filter(F.expr(FINITE_EMB)).select("vec_id", "label", "embedding")).persist()
     out_schema = "query_id long, neighbor_id long, neighbor_label long, qscore long, rank int"
     n_queries = N_QUERIES
 
@@ -758,7 +775,7 @@ def s_knn_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    raw = emb.filter(F.col("embedding").isNotNull()).select("vec_id", "label", "embedding")
+    raw = emb.filter(F.expr(FINITE_EMB)).select("vec_id", "label", "embedding")
     planes = np.array(
         [w for t in range(N_TABLES) for w in TABLE_PLANES[t]], dtype=np.float64
     )  # (N_TABLES*8, 64)

@@ -68,7 +68,7 @@ SURVIVE_OPS = [
 ]
 
 NULL_DOC_IDS = {1, 5}
-NULL_VEC_IDS = {1, 4}
+NULL_VEC_IDS = {1, 4, 6, 7}  # null, null, NaN, Inf
 
 
 @pytest.fixture(scope="module")
@@ -93,7 +93,8 @@ def null_dir(tmp_path_factory):
         os.path.join(str(out), "documents.parquet"),
     )
     vecs = [[float(i % 7) / 7 for i in range(64)], None, [0.2] * 64,
-            [0.3] * 64, None, [0.1] * 64]
+            [0.3] * 64, None, [0.1] * 64,
+            [float("nan")] * 64, [float("inf")] + [0.1] * 63]
     pq.write_table(
         pa.table(
             {
