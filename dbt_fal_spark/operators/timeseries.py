@@ -706,7 +706,15 @@ def e_forecast_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         sy = sum(ys)
         sxy = sum(a * b for a, b in zip(xs, ys))
         xmax = max(xs)
-        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        # IEEE division, not Python's: a single-day group makes the
+        # denominator 0 and the oracle's DOUBLE division yields ±Inf/NaN
+        # there (DuckDB doubles don't error) — numpy matches that
+        import numpy as np
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = float(
+                np.float64(n * sxy - sx * sy) / np.float64(n * sxx - sx * sx)
+            )
         icept = (float(sy) - slope * float(sx)) / float(n)
         base = dt.date.fromisoformat(epoch)
         rows = []

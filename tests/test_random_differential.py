@@ -164,6 +164,7 @@ EVENT_OPS = [
     "e_funnel_conversion",
     "e_hourly_rollup",
     # e_rolling_7d_revenue reads ORDERS, not events — outside this harness
+    "e_forecast_daily_by_type",
     "e_json_props_stats",
     "e_anomaly_events",
     "e_user_activity_pivot",
@@ -221,6 +222,10 @@ def _build_events(seed: int, out: str) -> None:
     add(tdup, 9, "view")
     add(tdup, 9, "view")
     add(tdup, 9, "purchase", value=10.0)
+    # single-day event_type: degenerate least-squares group (zero
+    # denominator) — both engines must emit the IEEE NULL/NaN forecast
+    add(pd.Timestamp("2024-01-15 09:00:00"), 4, "flash")
+    add(pd.Timestamp("2024-01-15 10:00:00"), 5, "flash")
     pdf = pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
     )
