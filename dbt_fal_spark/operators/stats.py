@@ -113,9 +113,13 @@ def q_corr_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    corr = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
-    )
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    # constant x or y ⇒ 0/0: the oracle's IEEE doubles give NaN where
+    # Spark's ANSI division would error — emit the NaN explicitly (the
+    # numerator is provably 0 whenever the denominator is: covariance
+    # with a constant is zero)
+    corr = F.when(den == 0.0, F.expr("double('NaN')")).otherwise(num / den)
     return s.select(
         "l_returnflag",
         n.cast("long").alias("n"),

@@ -399,6 +399,7 @@ TRIO_OPS = [
     "q_corr_stats_by_flag",
     "q_unpivot_segment_metrics",
     "q_generic_tests",
+    "q_corr_stats_by_flag",
 ]
 
 
@@ -492,6 +493,13 @@ def _build_trio(seed: int, out: str) -> None:
     # shipdate == orderdate row: q04's l_shipdate > o_orderdate must NOT fire
     eq_ok, eq_od = orders_rows[3][0], orders_rows[3][4]
     li_rows.append((eq_ok, 3, 3, 98, 5.0, 1000.0, 0.0, 0.0, "N", "O", eq_od))
+    # an entirely-constant returnflag group: correlation is 0/0 there and
+    # both engines must emit IEEE NaN (q_corr_stats_by_flag)
+    for i in range(5):
+        li_rows.append(
+            (orders_rows[4][0], 4, 4, 80 + i, 7.0, 700.0, 0.01, 0.01, "Z", "O",
+             pd.Timestamp("1996-05-05"))
+        )
 
     pd.DataFrame(cust).to_parquet(os.path.join(out, "customer.parquet"), index=False)
     od = pd.DataFrame(
