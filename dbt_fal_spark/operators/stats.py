@@ -34,6 +34,21 @@ from dbt_fal_spark.registry import query
 from dbt_fal_spark.sources.readers import load_table
 
 
+def _ieee_div(a, b):
+    """IEEE-754 double division: NaN/±Inf on a zero divisor instead of
+    Spark's ANSI DIVIDE_BY_ZERO error — the semantics the DuckDB
+    oracle's doubles already have (CASE branches are short-circuit in
+    codegen, so the guarded division never executes on zero rows)."""
+    return (
+        F.when(
+            b == 0.0,
+            F.when(a == 0.0, F.expr("double('NaN')"))
+            .when(a > 0.0, F.expr("double('Infinity')"))
+            .otherwise(F.expr("double('-Infinity')")),
+        ).otherwise(a / b)
+    )
+
+
 @query(
     "q_histogram_totalprice",
     oracle=f"""
@@ -363,12 +378,19 @@ def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("c1"),
     )
-    p0 = F.col("c0").cast("double") / F.col("n0")
-    p1 = F.col("c1").cast("double") / F.col("n1")
-    p_pool = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
-    z = (p1 - p0) / F.sqrt(
-        p_pool * (F.lit(1.0) - p_pool) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    # IEEE division throughout: an empty variant (n=0) or a pooled
+    # proportion of exactly 0/1 (stderr 0) gives NaN/Inf in the oracle's
+    # doubles where Spark's ANSI division would error — _ieee_div makes
+    # the whole closed form IEEE-faithful (×, √, − already are)
+    p0 = _ieee_div(F.col("c0").cast("double"), F.col("n0").cast("double"))
+    p1 = _ieee_div(F.col("c1").cast("double"), F.col("n1").cast("double"))
+    p_pool = _ieee_div(
+        (F.col("c0") + F.col("c1")).cast("double"),
+        (F.col("n0") + F.col("n1")).cast("double"),
     )
+    inv0 = _ieee_div(F.lit(1.0), F.col("n0").cast("double"))
+    inv1 = _ieee_div(F.lit(1.0), F.col("n1").cast("double"))
+    z = _ieee_div(p1 - p0, F.sqrt(p_pool * (F.lit(1.0) - p_pool) * (inv0 + inv1)))
     return agg.select(
         "n0", "n1", "c0", "c1", p0.alias("p0"), p1.alias("p1"), z.alias("z_score")
     )

@@ -551,3 +551,39 @@ def test_random_trio_matches_registry_oracle(spark, rand_trio_dir, rand_trio_ora
         f"{name}: digest mismatch — spark {len(got_pdf)} rows, "
         f"oracle {len(exp_pdf)} rows"
     )
+
+
+# --- degenerate statistics (IEEE NaN parity) --------------------------------
+
+
+@pytest.mark.parametrize(
+    "tag,rows",
+    [
+        ("all_converted", [(i, i % 4 + 1, "purchase") for i in range(20)]),
+        ("one_variant_empty",
+         [(i, 1 + 2 * (i % 3), "click" if i % 3 else "purchase") for i in range(15)]),
+    ],
+)
+def test_ab_test_degenerate_matches_oracle(spark, tmp_path, tag, rows):
+    """All-converted (stderr 0 → 0/0) and empty-variant (c/0) shapes must
+    produce the oracle's IEEE NaN, not an ANSI division error."""
+    import pandas as pd
+
+    d = tmp_path / tag
+    d.mkdir()
+    ep = pd.DataFrame(
+        [(eid, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=eid), u, t, 1.0, "{}")
+         for eid, u, t in rows],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    ep["ts"] = ep["ts"].astype("datetime64[us]")
+    ep.to_parquet(str(d / "events.parquet"), index=False)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    spec = all_queries()["q_ab_test_proportions"]
+    got = spec.fn(spark, str(d)).toPandas()
+    exp = con.execute(spec.oracle).df()
+    con.close()
+    assert table_digest(list(got.columns), pandas_rows(got)) == table_digest(
+        list(exp.columns), pandas_rows(exp)
+    )
