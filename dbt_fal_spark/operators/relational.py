@@ -1065,9 +1065,11 @@ def q_revenue_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("sy"),
         F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).alias("sxy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    ).cast("double")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # single-day group ⇒ denominator 0: the oracle's IEEE doubles give
+    # NaN (numerator provably 0 too) where Spark's ANSI division errors
+    slope = F.when(den == 0.0, F.expr("double('NaN')")).otherwise(num / den)
     return s.select("o_orderpriority", "n", slope.alias("slope_per_day"))
 
 

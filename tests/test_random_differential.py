@@ -587,3 +587,31 @@ def test_ab_test_degenerate_matches_oracle(spark, tmp_path, tag, rows):
     assert table_digest(list(got.columns), pandas_rows(got)) == table_digest(
         list(exp.columns), pandas_rows(exp)
     )
+
+
+def test_revenue_trend_single_day_group_matches_oracle(spark, tmp_path):
+    """A priority whose orders all share one date has a zero LS
+    denominator — the oracle's IEEE doubles give NaN, not an error."""
+    import pandas as pd
+
+    d = tmp_path / "trend"
+    d.mkdir()
+    rows = [
+        (1, 1, "O", 1000.0, pd.Timestamp("1995-06-01"), "1-URGENT"),
+        (2, 1, "O", 2000.0, pd.Timestamp("1995-06-01"), "1-URGENT"),
+        (3, 2, "F", 1500.0, pd.Timestamp("1995-06-01"), "2-HIGH"),
+        (4, 2, "F", 1500.0, pd.Timestamp("1995-07-01"), "2-HIGH"),
+    ]
+    op = pd.DataFrame(rows, columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                                     "o_totalprice", "o_orderdate", "o_orderpriority"])
+    op["o_orderdate"] = op["o_orderdate"].astype("datetime64[us]")
+    op.to_parquet(str(d / "orders.parquet"), index=False)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{d}/orders.parquet'")
+    spec = all_queries()["q_revenue_trend_by_priority"]
+    got = spec.fn(spark, str(d)).toPandas()
+    exp = con.execute(spec.oracle).df()
+    con.close()
+    assert table_digest(list(got.columns), pandas_rows(got)) == table_digest(
+        list(exp.columns), pandas_rows(exp)
+    )
