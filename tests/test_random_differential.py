@@ -615,3 +615,183 @@ def test_revenue_trend_single_day_group_matches_oracle(spark, tmp_path):
     assert table_digest(list(got.columns), pandas_rows(got)) == table_digest(
         list(exp.columns), pandas_rows(exp)
     )
+
+
+# --- full star schema (region/nation/supplier/part + facts) -----------------
+
+STAR_OPS = [
+    "q05_region_nation_revenue",
+    "q_region_rollup_revenue",
+    "q_part_string_funcs",
+    "q16_parts_not_recently_shipped",
+    "q02_min_cost_part_supplier",
+    "q07_volume_shipping",
+    "q08_market_share",
+    "q09_product_profit",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q_revenue_share_by_nation",
+    "q_salted_join_supplier_volume",
+]
+
+
+def _build_star(seed: int, out: str) -> None:
+    """FK-consistent full star schema with every query's predicate
+    domains populated AND their boundaries: brands at q19's size-range
+    edges, p_type exactly 'PROMO' and PROMO-substring variants, a part
+    with one tiny-quantity lineitem for q17's 0.2·avg threshold,
+    parts shipped only before vs after q16's 2001 cutoff, returnflag
+    'R' rows for q10, and ship dates on the quarter edges of q14/q15."""
+    import pandas as pd
+
+    rng = random.Random(seed + 4000)
+    regions = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    pd.DataFrame(
+        {"r_regionkey": pd.array(range(5), dtype="int32"), "r_name": regions}
+    ).to_parquet(os.path.join(out, "region.parquet"), index=False)
+    n_nat = 8
+    pd.DataFrame(
+        {
+            "n_nationkey": pd.array(range(n_nat), dtype="int32"),
+            "n_name": [f"NATION_{i}" for i in range(n_nat)],
+            "n_regionkey": pd.array([i % 5 for i in range(n_nat)], dtype="int32"),
+        }
+    ).to_parquet(os.path.join(out, "nation.parquet"), index=False)
+    n_sup = 10
+    pd.DataFrame(
+        {
+            "s_suppkey": range(1, n_sup + 1),
+            "s_name": [f"Supplier#{i:09d}" for i in range(1, n_sup + 1)],
+            "s_nationkey": pd.array([i % n_nat for i in range(1, n_sup + 1)], dtype="int32"),
+            "s_acctbal": [round(rng.uniform(-100, 9000), 2) for _ in range(n_sup)],
+        }
+    ).to_parquet(os.path.join(out, "supplier.parquet"), index=False)
+    brands = ["Brand#12", "Brand#23", "Brand#34", "Brand#17", "Brand#2"]
+    types = ["PROMO", "ECONOMY", "STANDARD", "PROMO ANODIZED", "SMALL ECONOMY"]
+    names = ["red widget", "small ring", "green gear", "red bolt", "blue cap"]
+    n_part = 24
+    # sizes hit q19's range BOUNDARIES: 1, 5, 6, 10, 11, 15, 16...
+    sizes = [1, 5, 6, 10, 11, 15, 16, 20] * 3
+    pd.DataFrame(
+        {
+            "p_partkey": range(1, n_part + 1),
+            "p_name": [names[i % 5] for i in range(n_part)],
+            "p_brand": [brands[i % 5] for i in range(n_part)],
+            "p_type": [types[i % 5] for i in range(n_part)],
+            "p_size": pd.array(sizes[:n_part], dtype="int32"),
+            "p_retailprice": [round(900 + i * 7.5, 2) for i in range(n_part)],
+        }
+    ).to_parquet(os.path.join(out, "part.parquet"), index=False)
+    n_cust = 16
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"]
+    pd.DataFrame(
+        {
+            "c_custkey": range(1, n_cust + 1),
+            "c_name": [f"Customer#{i:09d}" for i in range(1, n_cust + 1)],
+            "c_nationkey": pd.array([i % n_nat for i in range(1, n_cust + 1)], dtype="int32"),
+            "c_acctbal": [round(rng.uniform(-500, 9000), 2) for _ in range(n_cust)],
+            "c_mktsegment": [segs[i % 5] for i in range(n_cust)],
+        }
+    ).to_parquet(os.path.join(out, "customer.parquet"), index=False)
+
+    statuses = ["O", "F", "P"]
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    orders_rows = []
+    base = pd.Timestamp("1995-01-01")
+    for ok in range(1, 140):
+        orders_rows.append(
+            (
+                ok,
+                rng.randint(1, n_cust),
+                rng.choice(statuses),
+                round(rng.uniform(1000, 400000), 2),
+                base + pd.Timedelta(days=rng.randint(0, 1400)),
+                rng.choice(prios),
+            )
+        )
+    od = pd.DataFrame(
+        orders_rows,
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"],
+    )
+    od["o_orderdate"] = od["o_orderdate"].astype("datetime64[us]")
+    od.to_parquet(os.path.join(out, "orders.parquet"), index=False)
+
+    flags = ["A", "N", "R"]
+    li_rows = []
+    for (ok, ck, st, tp, odate, pr) in orders_rows:
+        for ln in range(1, rng.randint(1, 4) + 1):
+            li_rows.append(
+                (
+                    ok, rng.randint(1, n_part), rng.randint(1, n_sup), ln,
+                    float(rng.randint(5, 50)),
+                    round(rng.uniform(900, 80000), 2),
+                    rng.choice([0.0, 0.02, 0.05, 0.07, 0.1]),
+                    round(rng.uniform(0.0, 0.08), 2),
+                    rng.choice(flags), rng.choice(["O", "F"]),
+                    odate + pd.Timedelta(days=rng.randint(0, 90)),
+                )
+            )
+    # q17: Brand#12 part with many qty-30 lines and ONE tiny-qty line
+    # (5 < 0.2·avg would need avg > 25 — engineered exactly)
+    tiny_part = 1  # p_partkey 1 is Brand#12 (i=0)
+    for i in range(8):
+        li_rows.append((i + 1, tiny_part, 1, 90, 30.0, 5000.0, 0.0, 0.0, "N", "O",
+                        pd.Timestamp("1996-02-01")))
+    li_rows.append((9, tiny_part, 1, 91, 2.0, 400.0, 0.0, 0.0, "N", "O",
+                    pd.Timestamp("1996-02-02")))
+    # q16: a part shipped ONLY after the 2001 cutoff (excluded) and one
+    # shipped only long before (included)
+    li_rows.append((10, 2, 2, 92, 10.0, 1000.0, 0.0, 0.0, "N", "O",
+                    pd.Timestamp("2001-06-01")))
+    # q14/q15 quarter edges
+    for ship in ("1996-09-01", "1996-09-30 23:59:59", "1996-10-01",
+                 "1996-01-01", "1996-03-31 23:59:59", "1996-04-01"):
+        li_rows.append((11, rng.randint(1, n_part), rng.randint(1, n_sup),
+                        93 + len(li_rows) % 5, 10.0, 2000.0, 0.05, 0.02, "N", "O",
+                        pd.Timestamp(ship)))
+    li = pd.DataFrame(
+        li_rows,
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+    li["l_linenumber"] = li["l_linenumber"].astype("int32")
+    li["l_shipdate"] = li["l_shipdate"].astype("datetime64[us]")
+    li.to_parquet(os.path.join(out, "lineitem.parquet"), index=False)
+
+
+@pytest.fixture(scope="module", params=[29, 101])
+def rand_star_dir(request, tmp_path_factory):
+    out = tmp_path_factory.mktemp(f"randstar_{request.param}")
+    _build_star(request.param, str(out))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def rand_star_oracle(rand_star_dir):
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(rand_star_dir, t + '.parquet')}'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", STAR_OPS)
+def test_random_star_matches_registry_oracle(spark, rand_star_dir, rand_star_oracle, name):
+    spec = all_queries()[name]
+    got_pdf = spec.fn(spark, rand_star_dir).toPandas()
+    spark.catalog.clearCache()
+    exp_pdf = rand_star_oracle.execute(spec.oracle).df()
+    assert sorted(got_pdf.columns) == sorted(exp_pdf.columns)
+    d_got = table_digest(list(got_pdf.columns), pandas_rows(got_pdf))
+    d_exp = table_digest(list(exp_pdf.columns), pandas_rows(exp_pdf))
+    assert d_got == d_exp, (
+        f"{name}: digest mismatch — spark {len(got_pdf)} rows, "
+        f"oracle {len(exp_pdf)} rows"
+    )
