@@ -48,6 +48,31 @@ OPS = [
     "d_embedding_neardup_lsh",
     "s_knn_bruteforce",
     "s_knn_lsh_multitable",
+    # full documents-family sweep
+    "d_winnow_neardup",
+    "t_token_stats",
+    "t_token_bpe",
+    "t_quality_score",
+    "t_langid_naive",
+    "t_lang_profile",
+    "t_fingerprint",
+    "t_rolling_fingerprint",
+    "t_top_bigrams",
+    "t_vocab_coverage",
+    "t_unk_replace",
+    "t_stratified_sample",
+    "t_repetition_stats",
+    "t_gopher_quality",
+    "t_domain_mix_sample",
+    "m_binary_metadata",
+    "m_decode_pipeline",
+    "m_frame_sample",
+    "m_chunk_dedup",
+    "s_knn_ivf",
+    "s_knn_int8",
+    "s_knn_lsh_bucketed",
+    "s_label_centroid_distance",
+    "s_text_vector_join",
 ]
 
 
