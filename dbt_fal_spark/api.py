@@ -794,6 +794,10 @@ class _ModelTask:
             else:
                 write_table(df, identifier, mode="overwrite", partition_by=model.partition_by)
         elif mat == "incremental":
+            # batch size BEFORE the merge: the batch plan reads `this`
+            # (max-watermark subquery), whose files the atomic swap
+            # replaces — counting afterwards hits FAILED_READ_FILE
+            batch_rows = df.count()
             incremental_merge(
                 spark,
                 df,
@@ -814,9 +818,13 @@ class _ModelTask:
                     partition_by=model.partition_by,
                     bucket_by=model.bucket_by,
                 )
-        code = "INSERT" if mat == "incremental" else "CREATE TABLE"
-        # parquet footer count — metadata-only, no data scan
-        n = spark.table(identifier).count()
+        if mat == "incremental" and not full_refresh and exists:
+            # reference semantics: rows affected by THIS batch, not the
+            # post-merge table total (fal_script.py:87-91)
+            code, n = "INSERT", batch_rows
+        else:
+            # parquet footer count — metadata-only, no data scan
+            code, n = "CREATE TABLE", spark.table(identifier).count()
         fal._adapter_responses[model.name] = CurrentAdapterResponse(
             message=f"{code} {n}", code=code, rows_affected=n
         )

@@ -392,6 +392,8 @@ def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
       FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
     )
     SELECT d.doc_id, d.lang,
            len(string_split(d.text, ' ')) AS n_tokens,
@@ -415,9 +417,13 @@ def s_text_vector_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     unaggregated. Embedding arrays are projected away after the norm —
     the join output carries scalars only.
     """
+    from dbt_fal_spark.operators.similarity import FINITE_EMB
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(
+    # finite-input contract (see similarity.FINITE_EMB): a NaN component
+    # would hit the ANSI cast inside the quantizing aggregate
+    q = emb.filter(F.expr(FINITE_EMB)).select(
         "vec_id",
         "label",
         F.expr(

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from dbt_fal_spark.operators.similarity import FINITE_EMB
 from dbt_fal_spark.registry import query
-from dbt_fal_spark.sources.readers import load_table, spread
+from dbt_fal_spark.sources.readers import load_table, load_table_fresh, spread
 
 # ---------------------------------------------------------------------------
 # Shared deterministic constants
@@ -753,7 +753,7 @@ EMB_TILE_CHUNK = 512
     "d_embedding_neardup_pairs",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
     ), n AS (
       SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nrm FROM q
     )
@@ -774,14 +774,20 @@ def d_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquadratic *approximate* path is ``d_embedding_neardup_lsh``).
     What CAN be made scale-safe is memory and data movement, so instead
     of broadcasting the whole corpus matrix to every task (the r4 plan —
-    dies when the corpus outgrows executor RAM): tile the self-join.
-    Vectors are chunked by ``vec_id div CHUNK``; each vector row is
-    exploded to the chunk ids ≥ its own and cogrouped with that chunk's
-    member rows, so tile (i, j) meets in exactly one task, each pair is
-    scored exactly once (vec_a < vec_b inside the tile), per-task memory
-    is bounded by CHUNK·d ints regardless of corpus size, and no row
-    carries more than one vector. numpy float64 matmul on the quantized
-    ints is integer-exact (< 2^53), bit-identical to the oracle.
+    dies when the corpus outgrows executor RAM): PAIRWISE tiling.
+    Vectors are chunked by ``vec_id div CHUNK``; the left side of each
+    tile (i, j) is chunk i's rows keyed (i, j) for every j ≥ i, the
+    right side is chunk j's rows keyed (i, j) for every i ≤ j, and the
+    cogroup key is the PAIR — so each group holds at most 2·CHUNK rows
+    (the r5-v1 shape keyed only on j and its last group accumulated the
+    WHOLE corpus on the left — flagged in review), each pair is scored
+    exactly once (vec_a < vec_b inside the tile, both sides of tile
+    (i, i) being the same chunk), per-task memory is bounded by
+    2·CHUNK·d ints regardless of corpus size, and no row carries more
+    than one vector. Shuffle volume is O(n²·d/CHUNK) — the price of
+    exact quadratic work tiled with bounded memory; CHUNK is the knob.
+    numpy float64 matmul on the quantized ints is integer-exact
+    (< 2^53), bit-identical to the oracle.
     """
     import numpy as np
     import pandas as pd
@@ -798,19 +804,21 @@ def d_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             "embedding",
+            F.expr(f"vec_id div {chunk}").alias("ti"),
             F.explode(
                 F.expr(f"sequence(vec_id div {chunk}, mx div {chunk})")
-            ).alias("tc"),
+            ).alias("tj"),
         )
     )
-    # fresh scan (not the cached load_table df): the cogroup's two sides
-    # must not share attribute lineage or the analyzer flags an
-    # ambiguous self-join
-    import os as _os
-
-    emb_r = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet")).filter(F.expr(FINITE_EMB))
+    # fresh lineage scan: the cogroup's two sides must not share
+    # attribute lineage or the analyzer flags an ambiguous self-join
+    emb_r = load_table_fresh(spark, sf_dir, "embeddings").filter(F.expr(FINITE_EMB))
     right = emb_r.select(
-        F.expr(f"vec_id div {chunk}").alias("tc"), "vec_id", "label", "embedding"
+        F.explode(F.expr(f"sequence(0, vec_id div {chunk})")).alias("ti"),
+        F.expr(f"vec_id div {chunk}").alias("tj"),
+        "vec_id",
+        "label",
+        "embedding",
     )
 
     def tile(key, lpdf, rpdf):
@@ -844,8 +852,8 @@ def d_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        left.groupby("tc")
-        .cogroup(right.groupby("tc"))
+        left.groupby("ti", "tj")
+        .cogroup(right.groupby("ti", "tj"))
         .applyInPandas(tile, schema=pair_schema)
     )
 
@@ -859,7 +867,7 @@ def _embedding_lsh_oracle() -> str:
     )
     return f"""
     WITH q AS (
-      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
     ), n AS (
       SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nrm FROM q
     ), buckets AS (

@@ -75,7 +75,7 @@ def _oracle_bucket_expr() -> str:
     "s_knn_bruteforce",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
     ), n AS (
       SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nrm FROM q
     ), scored AS (
@@ -171,7 +171,7 @@ def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_knn_lsh_bucketed",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
     ), n AS (
       SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nrm,
              {_oracle_bucket_expr()} AS bucket
@@ -268,7 +268,7 @@ def s_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_label_centroid_distance",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
     ), expl AS (
       SELECT label, unnest(generate_series(1, {DIM})) AS d, qv FROM q
     ), comp AS (
@@ -313,7 +313,7 @@ N_PROBE = 2  # IVF probe width
     "s_knn_ivf",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
     ), n AS (
       SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nrm FROM q
     ), comp AS (
@@ -535,7 +535,7 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_knn_int8",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
     ), stats AS (
       SELECT list_value({', '.join(f'min(qv[{i + 1}])' for i in range(DIM))}) AS mn,
              list_value({', '.join(f'max(qv[{i + 1}])' for i in range(DIM))}) AS mx
@@ -724,7 +724,7 @@ def _oracle_table_bucket(t: int) -> str:
     "s_knn_lsh_multitable",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
     ), n AS (
       SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nrm FROM q
     ), buckets AS (

@@ -38,11 +38,14 @@ def _ieee_div(a, b):
     """IEEE-754 double division: NaN/±Inf on a zero divisor instead of
     Spark's ANSI DIVIDE_BY_ZERO error — the semantics the DuckDB
     oracle's doubles already have (CASE branches are short-circuit in
-    codegen, so the guarded division never executes on zero rows)."""
+    codegen, so the guarded division never executes on zero rows).
+    NULL/0 stays NULL (SQL null propagation, e.g. sum() over zero rows
+    divided by count 0 on an empty table), matching the oracle."""
     return (
         F.when(
             b == 0.0,
-            F.when(a == 0.0, F.expr("double('NaN')"))
+            F.when(a.isNull(), F.lit(None).cast("double"))
+            .when(a == 0.0, F.expr("double('NaN')"))
             .when(a > 0.0, F.expr("double('Infinity')"))
             .otherwise(F.expr("double('-Infinity')")),
         ).otherwise(a / b)
@@ -335,8 +338,11 @@ def q_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
       FROM events
     ), agg AS (
-      SELECT CAST(count_if(variant = 0) AS BIGINT) AS n0,
-             CAST(count_if(variant = 1) AS BIGINT) AS n1,
+      -- count(*) FILTER, not count_if: DuckDB's count_if is sum-like
+      -- (NULL over zero rows) where Spark's count_if counts (0) — a
+      -- variant with no rows is a COUNT of 0 in both engines this way
+      SELECT CAST(count(*) FILTER (WHERE variant = 0) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (WHERE variant = 1) AS BIGINT) AS n1,
              CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
              CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
       FROM tagged

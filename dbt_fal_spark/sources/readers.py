@@ -68,6 +68,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_fresh(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like load_table but always a NEW scan with fresh attribute ids —
+    for the right side of a cogrouped self-join, where sharing lineage
+    with the cached scan trips the ambiguous-self-join analyzer check.
+    Applies the same schema fixups as load_table (one source of truth
+    for path convention + timestamp handling)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    _SCAN_CACHE.pop(key, None)
+    df = load_table(spark, sf_dir, name)
+    _SCAN_CACHE.pop(key, None)
+    return df
+
+
 def register_testdata(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view named after the table."""
     for name in TESTDATA_TABLES:

@@ -61,6 +61,8 @@ _REPRESENTATIVES = [
     "t_cms_heavy_hitters",
     "d_bloom_prefilter",
     "d_embedding_neardup_lsh",
+    "q_corr_stats_by_flag",
+    "q_revenue_trend_by_priority",
 ]
 
 
@@ -95,3 +97,28 @@ def test_knn_int8_nonempty_corpus_no_queries(spark, tmp_path):
     )
     emb.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
     assert s_knn_int8(spark, str(tmp_path)).count() == 0
+
+
+def test_ab_test_empty_input_matches_oracle(spark, empty_sf_dir):
+    """Global aggregation: ONE row with NULL proportions on empty input
+    in BOTH engines (sum over zero rows is NULL; _ieee_div propagates
+    it instead of fabricating -Inf)."""
+    import duckdb as _duckdb
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools"))
+    from check import pandas_rows, table_digest
+
+    spec = all_queries()["q_ab_test_proportions"]
+    got = spec.fn(spark, empty_sf_dir).toPandas()
+    con = _duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{empty_sf_dir}/events.parquet/*.parquet'"
+    )
+    exp = con.execute(spec.oracle).df()
+    con.close()
+    assert len(got) == len(exp) == 1
+    assert table_digest(list(got.columns), pandas_rows(got)) == table_digest(
+        list(exp.columns), pandas_rows(exp)
+    )

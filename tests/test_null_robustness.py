@@ -147,3 +147,82 @@ def test_single_token_doc_bigrams(spark, null_dir):
     rows = all_queries()["t_top_bigrams"].fn(spark, null_dir).collect()
     bigs = {r["bigram"] for r in rows}
     assert not any("single" in b for b in bigs)
+
+
+# --- oracle parity ON null/non-finite corpora -------------------------------
+
+EMB_PARITY_OPS = [
+    "d_embedding_neardup_lsh",
+    "d_embedding_neardup_pairs",
+    "s_knn_bruteforce",
+    "s_knn_lsh_bucketed",
+    "s_knn_lsh_multitable",
+    "s_knn_ivf",
+    "s_knn_int8",
+    "s_label_centroid_distance",
+    "s_text_vector_join",
+]
+
+
+@pytest.fixture(scope="module")
+def capped_null_dir(tmp_path_factory):
+    """64 finite vectors in ONE tight cluster (= exactly LSH_BUCKET_CAP)
+    plus null/NaN/Inf rows: the invalid rows must NOT count toward any
+    bucket cap in either engine — the review-flagged divergence where
+    the oracle's CASE bucketed null rows into bucket 0 and tipped the
+    cap."""
+    import numpy as np
+
+    out = tmp_path_factory.mktemp("capped_nulls")
+    rng = np.random.default_rng(5)
+    center = rng.standard_normal(64).astype(np.float32)
+    vecs = [list(center + rng.standard_normal(64).astype(np.float32) * 0.005)
+            for _ in range(64)]
+    vecs += [None, [float("nan")] * 64, [float("inf")] + [0.1] * 63]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([i % 3 for i in range(len(vecs))], pa.int32()),
+            }
+        ),
+        os.path.join(str(out), "embeddings.parquet"),
+    )
+    texts = [f"doc {i} words here" for i in range(len(vecs))]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(vecs)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(vecs)),
+                "source": pa.array(["s0"] * len(vecs)),
+                "n_chars": pa.array([10] * len(vecs), pa.int64()),
+            }
+        ),
+        os.path.join(str(out), "documents.parquet"),
+    )
+    return str(out)
+
+
+@pytest.mark.parametrize("name", EMB_PARITY_OPS)
+def test_embedding_oracle_parity_with_invalid_rows(spark, capped_null_dir, name):
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import duckdb
+    from check import pandas_rows, table_digest
+
+    spec = all_queries()[name]
+    got = spec.fn(spark, capped_null_dir).toPandas()
+    spark.catalog.clearCache()
+    con = duckdb.connect()
+    for t in ("embeddings", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{capped_null_dir}/{t}.parquet'"
+        )
+    exp = con.execute(spec.oracle).df()
+    con.close()
+    assert table_digest(list(got.columns), pandas_rows(got)) == table_digest(
+        list(exp.columns), pandas_rows(exp)
+    )

@@ -209,6 +209,13 @@ def test_current_model_incremental_and_adapter_response(spark, ctx_project, tmp_
     fal.run()
     got = json.loads(dump.read_text())
     assert got["is_incremental"] is True
+    # first run of an incremental model IS a create (dbt semantics)
+    assert got["code"] == "CREATE TABLE"
+    assert got["rows_affected"] == 1
+    # rerun: the merge path reports THIS batch's rows, not the table total
+    fal2 = FalSpark(ctx_project, spark=spark)
+    fal2.run()
+    got = json.loads(dump.read_text())
     assert got["code"] == "INSERT"
     assert got["rows_affected"] == 1
     assert got["message"] == "INSERT 1"
@@ -434,3 +441,53 @@ def test_embedding_tiled_invariant_to_chunk_width(spark, monkeypatch):
     assert base  # fixture has pairs
     monkeypatch.setattr(D, "EMB_TILE_CHUNK", 37)  # ragged, forces many tiles
     assert run() == base
+
+
+@pytest.fixture(scope="module")
+def append_project(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("appnd_proj")
+    (root / "models").mkdir()
+    (root / "scripts").mkdir()
+    (root / "dbt_project.yml").write_text('name: appnd_proj\nmodel-paths: ["models"]\n')
+    (root / "models" / "app_model.sql").write_text(
+        "{{ config(materialized='incremental', incremental_strategy='append') }}\n"
+        "select * from (values (1), (2), (3)) as t(k)\n"
+    )
+    (root / "models" / "schema.yml").write_text(
+        textwrap.dedent(
+            """
+            models:
+              - name: app_model
+                meta:
+                  fal:
+                    scripts:
+                      after:
+                        - scripts/dump_rows.py
+            """
+        )
+    )
+    (root / "scripts" / "dump_rows.py").write_text(
+        "import json, os\n"
+        "cm = context.current_model  # noqa: F821\n"
+        "with open(os.environ['ROWS_DUMP_FILE'], 'w') as f:\n"
+        "    json.dump({'code': cm.adapter_response.code,\n"
+        "               'rows': cm.adapter_response.rows_affected}, f)\n"
+    )
+    spark.sql("DROP DATABASE IF EXISTS appnd_proj CASCADE")
+    yield root
+    spark.sql("DROP DATABASE IF EXISTS appnd_proj CASCADE")
+
+
+def test_incremental_rows_affected_is_batch_not_total(spark, append_project, tmp_path, monkeypatch):
+    """After a rerun the append-strategy table holds 6 rows but the
+    batch was 3 — adapter_response must report 3 (reference
+    fal_script.py:87-91 semantics), not the table total."""
+    import json
+
+    dump = tmp_path / "rows.json"
+    monkeypatch.setenv("ROWS_DUMP_FILE", str(dump))
+    FalSpark(append_project, spark=spark).run()
+    assert json.loads(dump.read_text()) == {"code": "CREATE TABLE", "rows": 3}
+    FalSpark(append_project, spark=spark).run()
+    assert spark.table("appnd_proj.app_model").count() == 6
+    assert json.loads(dump.read_text()) == {"code": "INSERT", "rows": 3}
