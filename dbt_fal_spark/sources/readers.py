@@ -68,6 +68,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# NOTE on the repeated `if text is None: continue` guard inside Arrow
+# batch loops (7 sites across dedup/curation/text): it cannot be factored
+# into a shared helper here, because mapInPandas closures must be
+# SELF-CONTAINED — a module-level function referenced from a UDF is
+# pickled by reference and raises ModuleNotFoundError on executors of
+# driver-provided sessions that cannot import dbt_fal_spark (the
+# fresh-process drive in .claude/skills/verify documents this failure
+# mode). The guard is therefore intentionally inlined per closure.
+
+
 def load_table_fresh(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Like load_table but always a NEW scan with fresh attribute ids —
     for the right side of a cogrouped self-join, where sharing lineage
