@@ -794,10 +794,17 @@ class _ModelTask:
             else:
                 write_table(df, identifier, mode="overwrite", partition_by=model.partition_by)
         elif mat == "incremental":
-            # batch size BEFORE the merge: the batch plan reads `this`
-            # (max-watermark subquery), whose files the atomic swap
-            # replaces — counting afterwards hits FAILED_READ_FILE
-            batch_rows = df.count()
+            if exists:
+                # batch size BEFORE the merge: the batch plan reads `this`
+                # (max-watermark subquery), whose files the atomic swap
+                # replaces — counting afterwards hits FAILED_READ_FILE.
+                # Persist so the batch is computed ONCE: without it the
+                # count and the merge each execute the full model SQL,
+                # and a non-deterministic model could report a row count
+                # different from the rows actually merged. First run
+                # (no table) skips both — batch_rows is unused there.
+                df = df.persist()
+                batch_rows = df.count()
             incremental_merge(
                 spark,
                 df,
@@ -807,6 +814,8 @@ class _ModelTask:
                 partition_by=model.partition_by,
                 on_schema_change=model.on_schema_change,
             )
+            if exists:
+                df.unpersist()
         else:  # table
             if exists:
                 replace_relation_atomic(spark, df, identifier, bucket_by=model.bucket_by)

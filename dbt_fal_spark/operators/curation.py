@@ -393,7 +393,7 @@ def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
       FROM embeddings
       WHERE embedding IS NOT NULL
-        AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
+        AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     )
     SELECT d.doc_id, d.lang,
            len(string_split(d.text, ' ')) AS n_tokens,

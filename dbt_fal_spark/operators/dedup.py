@@ -753,7 +753,7 @@ EMB_TILE_CHUNK = 512
     "d_embedding_neardup_pairs",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ), n AS (
       SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nrm FROM q
     )
@@ -867,7 +867,7 @@ def _embedding_lsh_oracle() -> str:
     )
     return f"""
     WITH q AS (
-      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ), n AS (
       SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nrm FROM q
     ), buckets AS (

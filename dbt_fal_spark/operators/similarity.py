@@ -38,14 +38,18 @@ TOP_K = 10
 _SPARK_QVEC = "transform(embedding, x -> cast(round(x * 1024) as bigint))"
 _ORACLE_QVEC = "list_transform(embedding, x -> CAST(round(x * 1024) AS BIGINT))"
 
-# Input contract shared by every embedding consumer: null or non-finite
-# vectors are INVALID INPUT and are excluded before any quantization —
-# the ANSI cast of round(NaN·1024) errors in BOTH engines, and an Inf
-# component would otherwise leak an inf-cosine garbage pair out of the
-# numpy stages. Cost: one short-circuiting exists() per vector at scan.
+# Input contract shared by every embedding consumer: null, null-element,
+# or non-finite vectors are INVALID INPUT and are excluded before any
+# quantization — the ANSI cast of round(NaN·1024) errors in BOTH engines,
+# and an Inf component would otherwise leak an inf-cosine garbage pair out
+# of the numpy stages. The `x IS NULL` disjunct makes the predicate
+# two-valued: without it, exists() over a [0.1, NULL, ...] vector returns
+# NULL (three-valued logic) and Spark filters the row while DuckDB's
+# list_filter-based oracle keeps it. Both engines now drop such vectors.
+# Cost: one short-circuiting exists() per vector at scan.
 FINITE_EMB = (
     "embedding IS NOT NULL AND NOT exists(embedding,"
-    " x -> isnan(x) OR abs(x) = double('Infinity'))"
+    " x -> x IS NULL OR isnan(x) OR abs(x) = double('Infinity'))"
 )
 # Arrow stages quantize with the numpy twin sign(x)·floor(|x·1024|+0.5)
 # instead of running the interpreted transform() HOF over the full corpus:
@@ -75,7 +79,7 @@ def _oracle_bucket_expr() -> str:
     "s_knn_bruteforce",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ), n AS (
       SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nrm FROM q
     ), scored AS (
@@ -171,7 +175,7 @@ def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_knn_lsh_bucketed",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ), n AS (
       SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nrm,
              {_oracle_bucket_expr()} AS bucket
@@ -268,7 +272,7 @@ def s_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_label_centroid_distance",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ), expl AS (
       SELECT label, unnest(generate_series(1, {DIM})) AS d, qv FROM q
     ), comp AS (
@@ -313,7 +317,7 @@ N_PROBE = 2  # IVF probe width
     "s_knn_ivf",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ), n AS (
       SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nrm FROM q
     ), comp AS (
@@ -535,7 +539,7 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s_knn_int8",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ), stats AS (
       SELECT list_value({', '.join(f'min(qv[{i + 1}])' for i in range(DIM))}) AS mn,
              list_value({', '.join(f'max(qv[{i + 1}])' for i in range(DIM))}) AS mx
@@ -724,7 +728,7 @@ def _oracle_table_bucket(t: int) -> str:
     "s_knn_lsh_multitable",
     oracle=f"""
     WITH q AS (
-      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0
+      SELECT vec_id, label, {_ORACLE_QVEC} AS qv FROM embeddings WHERE embedding IS NOT NULL AND len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0
     ), n AS (
       SELECT vec_id, label, qv, list_dot_product(qv, qv) AS nrm FROM q
     ), buckets AS (

@@ -72,10 +72,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # batch loops (7 sites across dedup/curation/text): it cannot be factored
 # into a shared helper here, because mapInPandas closures must be
 # SELF-CONTAINED — a module-level function referenced from a UDF is
-# pickled by reference and raises ModuleNotFoundError on executors of
-# driver-provided sessions that cannot import dbt_fal_spark (the
-# fresh-process drive in .claude/skills/verify documents this failure
-# mode). The guard is therefore intentionally inlined per closure.
+# pickled by reference (not by value) and raises ModuleNotFoundError on
+# executors whose Python workers cannot import dbt_fal_spark (any
+# driver-provided session where the package is not on the workers'
+# sys.path). The guard is therefore intentionally inlined per closure.
 
 
 def load_table_fresh(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -83,11 +83,18 @@ def load_table_fresh(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for the right side of a cogrouped self-join, where sharing lineage
     with the cached scan trips the ambiguous-self-join analyzer check.
     Applies the same schema fixups as load_table (one source of truth
-    for path convention + timestamp handling)."""
+    for path convention + timestamp handling). The pre-existing cache
+    entry (if any) is restored afterwards so other callers keep their
+    shared scan; the fresh scan itself is never cached (a later
+    load_table returning it would re-create the shared-lineage problem
+    this function exists to avoid)."""
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
-    _SCAN_CACHE.pop(key, None)
+    prior = _SCAN_CACHE.pop(key, None)
     df = load_table(spark, sf_dir, name)
-    _SCAN_CACHE.pop(key, None)
+    if prior is not None:
+        _SCAN_CACHE[key] = prior
+    else:
+        _SCAN_CACHE.pop(key, None)
     return df
 
 

@@ -68,7 +68,7 @@ SURVIVE_OPS = [
 ]
 
 NULL_DOC_IDS = {1, 5}
-NULL_VEC_IDS = {1, 4, 6, 7}  # null, null, NaN, Inf
+NULL_VEC_IDS = {1, 4, 6, 7, 8}  # null, null, NaN, Inf, null-element
 
 
 @pytest.fixture(scope="module")
@@ -94,7 +94,10 @@ def null_dir(tmp_path_factory):
     )
     vecs = [[float(i % 7) / 7 for i in range(64)], None, [0.2] * 64,
             [0.3] * 64, None, [0.1] * 64,
-            [float("nan")] * 64, [float("inf")] + [0.1] * 63]
+            [float("nan")] * 64, [float("inf")] + [0.1] * 63,
+            # NULL element: exists() three-valued-logic trap — must be
+            # dropped by BOTH engines (see similarity.FINITE_EMB)
+            [0.1, None] + [0.1] * 62]
     pq.write_table(
         pa.table(
             {
@@ -178,7 +181,8 @@ def capped_null_dir(tmp_path_factory):
     center = rng.standard_normal(64).astype(np.float32)
     vecs = [list(center + rng.standard_normal(64).astype(np.float32) * 0.005)
             for _ in range(64)]
-    vecs += [None, [float("nan")] * 64, [float("inf")] + [0.1] * 63]
+    vecs += [None, [float("nan")] * 64, [float("inf")] + [0.1] * 63,
+             [0.1, None] + [0.1] * 62]  # null-element vector, also invalid
     pq.write_table(
         pa.table(
             {
