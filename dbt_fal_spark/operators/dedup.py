@@ -487,6 +487,14 @@ _WN_B = 257
 _WN_M = 2147483647
 _WN_SAMPLE = 64  # keep hashes ≡ 0 (mod 64): ~1/64 of windows survive
 _WN_MIN_SHARED = 3
+# A fingerprint present in > _WN_DOC_CAP docs is a degenerate dup-cluster
+# marker: its pair fan-out is quadratic in cluster size (the one blowup a
+# 100 TB corpus can hit here — same rationale as SHINGLE_DOC_CAP /
+# LSH_BUCKET_CAP, and like them the cap is mirrored in the oracle so the
+# checked semantics are the deployed semantics). Dropping the bucket only
+# under-reports: shared-fingerprint counts can shrink, pairs never appear
+# from nowhere (capped ⊆ exact, property-tested in test_dedup_caps.py).
+_WN_DOC_CAP = 64
 
 
 def _wn_horner_oracle() -> str:
@@ -510,10 +518,12 @@ def _wn_horner_oracle() -> str:
     ), fp AS (
       SELECT DISTINCT doc_id, unnest(list_filter(rk, x -> x % {_WN_SAMPLE} = 0)) AS h
       FROM h
+    ), ok AS (
+      SELECT h FROM fp GROUP BY h HAVING count(*) BETWEEN 2 AND {_WN_DOC_CAP}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            count(*) AS n_shared_fingerprints
-    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    FROM fp a JOIN ok USING (h) JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     HAVING count(*) >= {_WN_MIN_SHARED}
     """,
@@ -528,8 +538,14 @@ def d_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     edits shift tokens but leave most char windows intact). Hashes are
     computed in the same vectorized Arrow stage as t_rolling_fingerprint
     (~1/64 of windows survive, so the shuffle is 64× smaller than the
-    window count); pair generation joins on the 8-byte hash. Exactness:
-    mod-each-step Horner in int64, ord() == DuckDB ascii()."""
+    window count). Pair generation is the bucket-emit shape of
+    _lsh_candidate_pairs: ONE shuffle of (h, doc_id) into per-hash
+    buckets, buckets over _WN_DOC_CAP docs dropped whole (oracle-
+    mirrored — fingerprint-overlap mass is quadratic in dup-cluster
+    size, and a real near-dup pair still surfaces through its other,
+    rarer fingerprints), then pairs expand map-side via a codegen'd HOF
+    — no self-join, no uncapped fan-out. Exactness: mod-each-step
+    Horner in int64, ord() == DuckDB ascii()."""
     k, base, mod, sample = _WN_K, _WN_B, _WN_M, _WN_SAMPLE
 
     def gen(batches):
@@ -561,15 +577,21 @@ def d_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = load_table(spark, sf_dir, "documents")
-    fp = (
-        spread(docs.select("doc_id", "text"))
-        .mapInPandas(gen, schema="doc_id long, h long")
-        .persist()
+    fp = spread(docs.select("doc_id", "text")).mapInPandas(
+        gen, schema="doc_id long, h long"
     )
-    a, b = fp.alias("a"), fp.alias("b")
+    grouped = (
+        fp.groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds").between(2, _WN_DOC_CAP))
+    )
+    pairs = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x as doc_a, y as doc_b))))"
+    )
     return (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.select(F.explode(pairs).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
         .filter(F.col("n_shared_fingerprints") >= _WN_MIN_SHARED)
     )

@@ -198,3 +198,78 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, capped_corpus_dir):
         assert abs(est - exact) <= 3 * sigma + 1e-9, (a, b, est, exact)
     # identical docs estimate exactly 1.0 (all 16 minima agree)
     assert got[(3, 4)] == 1.0
+
+
+def _winnow_fps(text: str) -> set[int]:
+    """Uncapped ground-truth fingerprint set, independent Python."""
+    k, base, mod, sample = 8, 257, 2147483647, 64
+    out = set()
+    for i in range(len(text) - k + 1):
+        h = 0
+        for c in text[i : i + k]:
+            h = (h * base + ord(c)) % mod
+        if h % sample == 0:
+            out.add(h)
+    return out
+
+
+def _exact_winnow_pairs(docs, min_shared=3):
+    fps = {i: _winnow_fps(t) for i, t in docs}
+    out = {}
+    for a, b in itertools.combinations(sorted(fps), 2):
+        n = len(fps[a] & fps[b])
+        if n >= min_shared:
+            out[(a, b)] = n
+    return out
+
+
+@pytest.fixture(scope="module")
+def winnow_corpus_dir(spark, tmp_path_factory):
+    """Long docs (winnowing samples ~1/64 of char windows, so shared
+    fingerprints need thousands of shared chars): a dup cluster of
+    _WN_DOC_CAP+6 identical bodies plus one genuine near-dup pair."""
+    from dbt_fal_spark.operators.dedup import _WN_DOC_CAP
+
+    body = " ".join(f"word{j}alpha{j % 7}" for j in range(220))  # ~2.9k chars
+    rows = [(2000 + i, body) for i in range(_WN_DOC_CAP + 6)]
+    common = " ".join(f"tok{j}beta{j % 5}" for j in range(220))
+    rows.append((1, common + " unique ending one here"))
+    rows.append((2, common + " a different closing run"))
+    rows.append((3, "short unrelated text that shares nothing at all"))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": "en",
+            "source": "test",
+        }
+    )
+    d = tmp_path_factory.mktemp("winnow_sf")
+    pdf.to_parquet(str(d / "documents.parquet"))
+    return str(d), rows
+
+
+def test_capped_winnow_is_subset_of_exact(spark, winnow_corpus_dir):
+    """_WN_DOC_CAP contract (same as SHINGLE_DOC_CAP's): dropping
+    over-cap fingerprint buckets only removes pairs / shrinks counts —
+    never invents a pair — and pairs built purely from rare
+    fingerprints keep their exact shared count."""
+    from dbt_fal_spark.operators.dedup import d_winnow_neardup
+
+    sf_dir, rows = winnow_corpus_dir
+    exact = _exact_winnow_pairs(rows)
+    # fixture sanity: the near-dup pair really shares >= 3 sampled prints
+    assert exact.get((1, 2), 0) >= 3
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_fingerprints"]
+        for r in d_winnow_neardup(spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+    for pair, n in got.items():
+        assert pair in exact
+        assert n <= exact[pair]
+    # the over-cap identical cluster emits NOTHING (every fingerprint
+    # bucket holds cap+6 docs)
+    assert not any(2000 <= a < 3000 for a, b in got)
+    # the rare-fingerprint near-dup pair survives with its exact count
+    assert got[(1, 2)] == exact[(1, 2)]
