@@ -1238,7 +1238,12 @@ def d_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key on node ids — at 100 TB this is two shuffles of the EDGE list
     (degree-skew handled by the same salting as any hot-key join), never
     the corpus. The candidate edges are persisted: they feed the node
-    census, the edge count, and all three join sides."""
+    census, the edge count, and all three join sides. The three scalar
+    aggregates are cross-joined (single-row broadcast NLJs) into ONE
+    returned plan — one job, cand computed once, and the plan audit sees
+    the real scans/exchanges instead of a literal row (the previous
+    three-action shape re-ran the persisted candidates per action and
+    audited as an empty plan)."""
     docs = load_table(spark, sf_dir, "documents")
     sig = _minhash_sig(docs)
     cand = _lsh_candidate_pairs(sig).persist()
@@ -1252,11 +1257,10 @@ def d_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("e3.doc_a") == F.col("e1.doc_a"))
         & (F.col("e3.doc_b") == F.col("e2.doc_b")),
     )
-    n_nodes = nodes.distinct().count()
-    n_edges = cand.count()
-    n_tri = triangles.count()
-    return spark.createDataFrame(
-        [(n_nodes, n_edges, n_tri)], "n_nodes long, n_edges long, n_triangles long"
+    return (
+        nodes.agg(F.countDistinct("x").alias("n_nodes"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(triangles.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
 
 
