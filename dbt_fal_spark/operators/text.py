@@ -435,12 +435,24 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic. The scale path drops terms with df ≈ N (stopwords)
     before the join — they can't reach any top-k.
 
-    Plan (r5): ONE doc_id repartition whose clustering is shared by the
-    (doc_id, term) tf aggregation AND the per-doc top-3 window
-    (hash(doc_id) satisfies both), with WindowGroupLimit pre-limiting
-    to ≤3 rows/doc/partition before the window's exchange; df ships
-    only vocab-sized map-side partials and broadcasts back. The
-    remaining exchanges move partial rows, not the token stream.
+    Plan (r6): THREE exchanges, which is the floor for exact semantics
+    with a distributed vocabulary —
+      1. one doc_id repartition whose clustering is shared by the
+         (doc_id, term) tf aggregation AND the per-doc top-3 window
+         (hash(doc_id) satisfies both; WindowGroupLimit pre-limits to
+         ≤3 rows/doc/partition), so tf+window cost one exchange total;
+      2. the df combine: tf is clustered by doc_id, so per-term doc
+         frequencies MUST cross partitions once — a vocab-sized
+         partial-row exchange (map-side partial agg first);
+      3. the df broadcast back onto tf: every tf row needs its term's
+         df, and tf's clustering (doc_id) cannot also satisfy term.
+    The old 4th/5th exchange pair + one-row NLJ (global N as a plan
+    branch) is gone: N is a parquet-footer metadata count executed once
+    on the driver and folded into the projection as a literal — a
+    bounded scalar in the same class as the repo's other blessed
+    driver scalars (convergence checks, N_QUERIES), and at any corpus
+    size it reads footers, not data. Exchanges 2+3 move vocab-sized
+    aggregate rows, never the token stream.
     """
     docs = load_table(spark, sf_dir, "documents")
     # ONE doc_id repartition up front: hash(doc_id) satisfies the
@@ -465,17 +477,14 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not); the runner's post-query cache clear handles the unpersist
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "term",
-            "tf",
-            "df",
-            ((F.col("tf") * (F.col("n_docs") + 1)).cast("double") / (F.col("df") + 1)).alias("tfidf"),
-        )
+    # metadata-only: parquet row count from footers, no data scan
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        ((F.col("tf") * F.lit(n_docs + 1)).cast("double") / (F.col("df") + 1)).alias("tfidf"),
     )
     from pyspark.sql import Window as W
 
