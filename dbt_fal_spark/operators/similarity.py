@@ -396,7 +396,10 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no per-vector shuffle, no separate query-collection job. The partial
     # sums are map-side numpy (k×DIM int64 per batch) merged on the driver
     # — no 64×-row posexplode shuffle, which at 100 TB would be the single
-    # biggest data movement in the query.
+    # biggest data movement in the query. (An r6 experiment replaced this
+    # pass with a 130-expression codegen'd JVM aggregation: correct, but
+    # the generated-code compile alone cost ~1-1.5 s/plan — the Arrow
+    # partial pass is strictly faster at every scale tested.)
     n_queries = N_QUERIES
 
     def partials_and_queries(batches):
@@ -599,7 +602,12 @@ def s_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side once the stats land; (2) the scoring pass re-reads the
     cached scan, re-quantizes each batch with the broadcast stats,
     matmuls int codes against the broadcast query codes, and keeps a
-    local top-k, leaving one narrow global rank window.
+    local top-k, leaving one narrow global rank window. (The r6
+    JVM-aggregation experiment — 129 codegen'd min/max expressions —
+    was correct but paid ~1 s of generated-code compilation per plan;
+    see s_knn_ivf. Two Arrow passes over the cached scan IS the floor
+    for exact SQ8: scoring cannot start before the global stats
+    exist.)
 
     Exactness: quantization is pure integer math — ``(qv - mn) * 255
     // max(mx - mn, 1)`` with a non-negative numerator, so numpy int64
@@ -770,11 +778,19 @@ def s_knn_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     {N_TABLES} independent tables recovers most of what any one table
     splits (P[all tables split a pair] ≈ 0.59^{N_TABLES}).
 
-    Scale shape: each vector emits {N_TABLES} (table, bucket) keys —
-    the join stays an equi-join on the composite key, candidates per
-    query grow ~linearly in table count, and the dedup is one distinct
-    on (query, neighbor) pairs. All bucket bits come from one Arrow
-    matmul per batch against the (8·{N_TABLES} × 64) plane matrix.
+    Scale shape (r6 — the s_knn_bruteforce single-pass shape): the
+    queries' {N_TABLES} bucket ids are computed driver-side from a
+    pushed-filter collect (vec_id < nq reaches the parquet scan) and
+    broadcast; ONE Arrow pass then computes every corpus vector's
+    {N_TABLES} buckets with a single (N×64)@(64×{N_TABLES}·8) matmul,
+    masks each query's candidates to bucket-collision-in-ANY-table
+    (the multi-table union, evaluated as a vectorized compare — no
+    row inflation, no join, no distinct: a (query, neighbor) pair
+    either collides somewhere or it doesn't), scores survivors with
+    the exact integer cosine, and keeps a local top-k. The only
+    shuffle is the k·batches survivors into the final rank window —
+    the r5 shape's 4×-row bucket materialization, broadcast join,
+    and pair-distinct exchange are gone.
     """
     import numpy as np
 
@@ -784,59 +800,65 @@ def s_knn_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         [w for t in range(N_TABLES) for w in TABLE_PLANES[t]], dtype=np.float64
     )  # (N_TABLES*8, 64)
     bits = np.array([1 << p for p in range(N_PLANES)], dtype=np.int64)
+    out_schema = (
+        "query_id long, neighbor_id long, neighbor_label long, cosine double"
+    )
 
-    def add_buckets(batches):
+    def _buckets(m: "np.ndarray") -> "np.ndarray":
+        """(N, N_TABLES) int64 bucket ids from quantized vectors."""
+        sig = (m @ planes.T) > 0  # (N, N_TABLES*8)
+        return np.stack(
+            [sig[:, t * N_PLANES : (t + 1) * N_PLANES] @ bits for t in range(N_TABLES)],
+            axis=1,
+        )
+
+    qrows = raw.filter(F.col("vec_id") < N_QUERIES).collect()
+    if not qrows:
+        return spark.createDataFrame([], out_schema + ", rank int")
+    qrows.sort(key=lambda r: r["vec_id"])
+    e = np.array([r["embedding"] for r in qrows], dtype=np.float64) * 1024.0
+    q_mat = np.sign(e) * np.floor(np.abs(e) + 0.5)  # == round() HALF_UP
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_nrm = (q_mat * q_mat).sum(axis=1)
+    q_buckets = _buckets(q_mat)  # (nq, N_TABLES)
+    b_q = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm, q_buckets))
+    top_k = TOP_K
+
+    def local_topk(batches):
         import pandas as pd
 
+        qids, qmat, qnrm, qbkt = b_q.value
         for pdf in batches:
             if not len(pdf):
                 continue
+            n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            n_labels = pdf["label"].to_numpy(dtype=np.int64)
             e = np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
-            m = np.sign(e) * np.floor(np.abs(e) + 0.5)  # == round() HALF_UP
-            sig = (m @ planes.T) > 0  # (N, N_TABLES*8)
-            out = {
-                "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), N_TABLES),
-                "label": np.repeat(pdf["label"].to_numpy(np.int64), N_TABLES),
-                "qv": [v for v in m.astype(np.int64) for _ in range(N_TABLES)],
-                "nrm": np.repeat((m * m).sum(axis=1).astype(np.int64), N_TABLES),
-                "tbl": np.tile(np.arange(N_TABLES, dtype=np.int64), len(pdf)),
-                "bucket": np.stack(
-                    [sig[:, t * N_PLANES : (t + 1) * N_PLANES] @ bits
-                     for t in range(N_TABLES)],
-                    axis=1,
-                ).reshape(-1),
-            }
-            yield pd.DataFrame(out)
+            m = np.sign(e) * np.floor(np.abs(e) + 0.5)
+            nrm = (m * m).sum(axis=1)
+            bkt = _buckets(m)  # (N, N_TABLES)
+            cos = (qmat @ m.T) / (np.sqrt(qnrm)[:, None] * np.sqrt(nrm)[None, :])
+            out = []
+            for qi in range(len(qids)):
+                # union over tables: collide in ANY table = candidate
+                mask = (bkt == qbkt[qi][None, :]).any(axis=1) & (n_ids != qids[qi])
+                cand = np.nonzero(mask)[0]
+                row = cos[qi]
+                if len(cand) > top_k:
+                    cand = cand[np.lexsort((n_ids[cand], -row[cand]))[:top_k]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(cand), qids[qi]),
+                            "neighbor_id": n_ids[cand],
+                            "neighbor_label": n_labels[cand],
+                            "cosine": row[cand],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
 
-    n = spread(raw).mapInPandas(
-        add_buckets,
-        schema="vec_id long, label long, qv array<long>, nrm long, tbl long, bucket long",
-    ).persist()
-    queries = n.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("nrm").alias("q_nrm"),
-        F.col("tbl").alias("q_tbl"),
-        F.col("bucket").alias("q_bucket"),
-    )
-    cand = (
-        F.broadcast(queries)
-        .join(
-            n,
-            (F.col("tbl") == F.col("q_tbl"))
-            & (F.col("bucket") == F.col("q_bucket"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select("query_id", "q_qv", "q_nrm", "vec_id", "label", "qv", "nrm")
-        .dropDuplicates(["query_id", "vec_id"])
-    )
-    dot = F.expr("aggregate(zip_with(q_qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
-    cosine = dot.cast("double") / (F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("nrm")))
-    scored = cand.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neighbor_label"),
-        cosine.alias("cosine"),
-    )
+    scored = spread(raw).mapInPandas(local_topk, schema=out_schema)
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
