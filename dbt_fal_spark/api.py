@@ -259,6 +259,27 @@ class FalSpark:
     def _resolve_source(self, source_name: str, table_name: str) -> str:
         src = self.manifest.source_by_name(source_name, table_name)
         view = f"src__{source_name}__{table_name}"
+        conn = (src.meta or {}).get("connection")
+        if conn:
+            # JDBC external source (read side of the reference's
+            # per-warehouse externals — support/postgres.py:13-30 reads a
+            # live relation through a DBAPI engine; here the on-ramp for a
+            # migrating dbt-fal user with a live warehouse source is
+            # spark.read.jdbc, which keeps the scan lazy and, when
+            # partitionColumn/lowerBound/upperBound/numPartitions are
+            # declared, parallel across executors instead of a single
+            # driver-side pandas pull).
+            url = self._expand_source_path(str(conn["url"]))
+            reader = self.spark.read.format("jdbc").option("url", url)
+            if "query" not in conn:  # query and dbtable are exclusive in JDBC
+                reader = reader.option("dbtable", str(conn.get("dbtable") or table_name))
+            for key in ("driver", "user", "password", "fetchsize", "query",
+                        "partitionColumn", "lowerBound", "upperBound",
+                        "numPartitions"):
+                if key in conn:
+                    reader = reader.option(key, os.path.expandvars(str(conn[key])))
+            reader.load().createOrReplaceTempView(view)
+            return view
         if src.path:
             path = self._expand_source_path(str(src.path))
             if not os.path.isabs(path):
@@ -347,6 +368,16 @@ class FalSpark:
         """Eager write into a declared source (reference: project.py:757-801;
         default append)."""
         src = self.manifest.source_by_name(source_name, table_name)
+        if (src.meta or {}).get("connection"):
+            # read-only on-ramp (mirrors the migration scope: reference
+            # write_df_to_relation pushes whole pandas frames through the
+            # warehouse driver — the Spark-native answer is to materialize
+            # a model and sync it, not to stream a cluster's output
+            # through one JDBC connection)
+            raise NotImplementedError(
+                f"source {source_name}.{table_name} is a JDBC external "
+                "source; write_to_source supports file/catalog sources only"
+            )
         df = apply_dtype_casts(df, dtype)
         if src.path:
             path = self._expand_source_path(str(src.path))

@@ -144,6 +144,16 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
             for src in doc.get("sources", []):
                 for tbl in src.get("tables", []):
                     uid = f"source.{name}.{src['name']}.{tbl['name']}"
+                    # a source-level `connection:` (JDBC external, read
+                    # path of reference support/postgres.py:13-30) is
+                    # inherited by every table; table-level keys win so a
+                    # table can override e.g. dbtable or fetchsize
+                    tbl_meta = dict(tbl.get("meta", {}) or {})
+                    src_conn = (src.get("meta", {}) or {}).get("connection")
+                    if src_conn and "connection" not in tbl_meta:
+                        tbl_meta["connection"] = dict(src_conn)
+                    elif src_conn and isinstance(tbl_meta.get("connection"), dict):
+                        tbl_meta["connection"] = {**src_conn, **tbl_meta["connection"]}
                     source = DbtSource(
                         source_name=src["name"],
                         table_name=tbl["name"],
@@ -163,7 +173,7 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
                         format=(tbl.get("meta", {}) or {}).get("format", "parquet"),
                         loaded_at_field=tbl.get("loaded_at_field") or src.get("loaded_at_field"),
                         freshness=tbl.get("freshness") or src.get("freshness") or {},
-                        meta=tbl.get("meta", {}) or {},
+                        meta=tbl_meta,
                     )
                     manifest.sources[uid] = source
                     _collect_tests(manifest, name, tbl, model_id=None, source_id=uid)
