@@ -71,3 +71,58 @@ def test_fake_decode_is_deterministic():
     assert set(a) == {"width", "height", "format"}
     assert 1 <= a["width"] <= 640
     assert 1 <= a["height"] <= 480
+
+
+def _stdlib_png(width: int, height: int) -> bytes:
+    """A minimal valid RGB PNG built with only zlib+struct — lets the
+    real-codec branch be exercised with generated image bytes in ANY
+    environment that has a codec, without needing one to author them."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x10\x80\x40" * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_generated_png_header_is_valid():
+    import struct
+
+    png = _stdlib_png(21, 9)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", png[16:24])
+    assert (w, h) == (21, 9)
+
+
+def test_decode_pipeline_on_generated_png(spark):
+    """Runs in EVERY environment: with the [multimodal] extra installed
+    the real PIL branch decodes the generated PNG's true dimensions;
+    without it the pipeline's documented fallback applies the
+    deterministic fake. Either way the Arrow plumbing executes on real
+    image bytes."""
+    png = _stdlib_png(21, 9)
+    df = spark.createDataFrame(
+        [(1, bytearray(png))], "doc_id long, payload binary"
+    )
+    (row,) = decode_pipeline(df).collect()
+    assert row["n_bytes"] == len(png)
+    if _HAS_PIL:
+        assert (row["width"], row["height"], row["format"]) == (21, 9, "png")
+    else:
+        meta = fake_decode_meta(png)
+        assert (row["width"], row["height"], row["format"]) == (
+            meta["width"], meta["height"], meta["format"],
+        )
