@@ -47,37 +47,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # SRP-LSH prefilter, t_tfidf_top_terms exchange cut), then refresh the
 # oldest remaining driver rows (last green in r03).
 #
-# r6 PLAN: lead with st_full_outer_interval_stream (added after the r5
-# window was frozen — local-gate green only), then refresh the 25
-# r3-stale entries not rotated here (e_* events family, st_* streaming
-# family, q14-q19, e_dau_hll_sketch, remaining t_*), then the oldest
-# r4 rows (q_profile_orders, q_histogram_totalprice, ...).
+# r6 WINDOW (this round): lead with st_full_outer_interval_stream (the
+# one entry with zero driver evidence — added after the r5 window
+# froze), then every entry whose PLAN or SEMANTICS changed this round
+# (the winnowing _WN_DOC_CAP, the tfidf exchange fold, the multitable
+# single-pass rewrite, the triangles one-job plan, and the FINITE_EMB
+# null-element fix touching the whole embedding family), then the 25
+# entries whose last green driver row is r03 (events family, streaming
+# family, q14-q19), then the oldest r4 rows up to the 50-entry window.
 _CHECK_FIRST = (
-    # never driver-checked (local-green only) — completes 123/123
-    "t_repetition_stats", "t_gopher_quality", "d_dup_ngram_fraction",
-    "t_unk_replace", "t_vocab_coverage", "s_text_vector_join",
-    "t_cms_heavy_hitters", "d_bloom_prefilter", "m_chunk_dedup",
-    "t_domain_mix_sample", "q_unpivot_segment_metrics",
-    "q_conditional_aggs", "q_ab_test_proportions",
-    "q_latest_order_per_customer", "q_revenue_share_by_nation",
-    "q_gini_customer_value", "s_knn_int8", "s_knn_lsh_multitable",
-    "e_interpolate_daily_user", "e_changepoint_cusum",
-    "e_hll_register_state", "e_rolling_median_7d",
-    "st_left_outer_interval_stream",
-    # plans changed / added in r5 — verify
+    # never driver-checked — completes full driver coverage
+    "st_full_outer_interval_stream",
+    # plans/semantics changed in r6 — re-verify
+    "d_winnow_neardup", "t_tfidf_top_terms", "s_knn_lsh_multitable",
+    "d_neardup_triangles",
+    "s_knn_bruteforce", "s_knn_lsh_bucketed", "s_knn_ivf", "s_knn_int8",
+    "s_label_centroid_distance", "s_text_vector_join",
     "d_embedding_neardup_pairs", "d_embedding_neardup_lsh",
-    "t_tfidf_top_terms",
-    # last green in r03 — refresh oldest rows
-    "d_exact_dedup", "d_lsh_levenshtein_refine", "d_minhash_lsh_pairs",
-    "d_ngram_jaccard_pairs", "d_winnow_neardup",
-    "t_fingerprint", "t_lang_profile", "t_langid_naive",
-    "t_pack_emit", "t_pack_sequences", "t_quality_score",
-    "t_rolling_fingerprint", "t_stratified_sample", "t_token_bpe",
-    "t_token_stats", "t_top_bigrams",
-    "s_knn_bruteforce", "s_knn_ivf", "s_knn_lsh_bucketed",
-    "s_label_centroid_distance",
-    "q_customer_value_percentile", "q_salted_join_supplier_volume",
-    "e_asof_purchase_attribution", "e_daily_active_users",
+    # last green in r03 — refresh
+    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_disjunctive_predicates",
+    "e_sessionize", "e_hourly_rollup", "e_json_props_stats",
+    "e_user_activity_pivot", "e_purchase_gap_stats", "e_dau_hll_sketch",
+    "e_funnel_conversion", "e_retention_cohorts", "e_rolling_7d_revenue",
+    "e_resample_daily_fill", "e_sliding_window_traffic",
+    "e_forecast_daily_by_type", "e_anomaly_events",
+    "st_hourly_stream", "st_session_stream", "st_user_totals_stateful",
+    "st_enriched_stream", "st_interval_join_stream", "st_dedup_stream",
+    "st_upsert_stream",
+    # oldest r4 rows — refresh up to the 50-entry window
+    "d_containment_pairs", "q_profile_orders", "q_histogram_totalprice",
+    "q01_pricing_summary", "q05_region_nation_revenue",
+    "q02_min_cost_part_supplier", "d_decontaminate", "d_simhash",
+    "d_keep_best_per_key", "d_neardup_components",
+    "m_binary_metadata", "m_decode_pipeline",
 )
 
 

@@ -37,6 +37,78 @@ HEADLINE = [
 ]
 
 
+FLOOR_DIR = "/root/testdata/sf0.001"
+
+
+def _oracle_timings(names, specs, sf_dir: str, runs: int = 3) -> dict[str, float]:
+    """DuckDB oracle timings, tools/oracle_bench.py protocol (same query
+    set, min-of-N, warm connection)."""
+    import duckdb
+
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    out: dict[str, float] = {}
+    for name in names:
+        sql = specs[name].oracle
+        if not sql:
+            continue
+        con.execute(sql).fetchall()  # warm
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        out[name] = round(best, 3)
+    con.close()
+    return out
+
+
+def _paired_ratios(spark, specs, names, engine_timings, sf_dir: str) -> dict:
+    """raw_ratio = paired engine/oracle totals at sf_dir;
+    floor_adjusted_ratio subtracts each side's sf0.001 totals (the
+    per-query fixed cost — scheduling floor locally, absent at cluster
+    scale) so the ratio reflects per-row data work. BENCH_FLOOR protocol
+    from r4/r5, now emitted in the bench tail each run."""
+    oracle = _oracle_timings(names, specs, sf_dir)
+    paired = [n for n in names if n in engine_timings and n in oracle]
+    eng_total = sum(engine_timings[n] for n in paired)
+    ora_total = sum(oracle[n] for n in paired)
+    out = {
+        "n_paired": len(paired),
+        "oracle_total_sec": round(ora_total, 3),
+        "raw_ratio": round(eng_total / ora_total, 3) if ora_total else None,
+        "floor_adjusted_ratio": None,
+    }
+    if os.path.isdir(FLOOR_DIR) and os.path.abspath(sf_dir) != os.path.abspath(FLOOR_DIR):
+        eng_floor = 0.0
+        for name in paired:
+            # min-of-2 suffices for a fixed-cost estimate; queries are
+            # already warm from the warm-up pass
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                specs[name].fn(spark, FLOOR_DIR).count()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+                spark.catalog.clearCache()
+            eng_floor += best
+        ora_floor = sum(_oracle_timings(paired, specs, FLOOR_DIR, runs=2).values())
+        out["engine_floor_sec"] = round(eng_floor, 3)
+        out["oracle_floor_sec"] = round(ora_floor, 3)
+        adj_num, adj_den = eng_total - eng_floor, ora_total - ora_floor
+        if adj_num > 0 and adj_den > 0:
+            out["floor_adjusted_ratio"] = round(adj_num / adj_den, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -116,6 +188,16 @@ def main() -> None:
             }
         )
     )
+    # Paired baseline ratios (VERDICT r5 item 9): oracle side + floor
+    # adjustment computed in-process so the driver's BENCH record carries
+    # {raw_ratio, floor_adjusted_ratio} without a separate artifact.
+    # Disable with SPARK_GRAFT_BENCH_PAIRED=0 for a fast engine-only run.
+    ratios: dict = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_PAIRED", "1") != "0":
+        try:
+            ratios = _paired_ratios(spark, specs, names, timings, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — ratios are additive info
+            ratios = {"paired_error": f"{type(exc).__name__}: {exc}"[:200]}
     # The driver records only the LAST 2000 chars of output; the full
     # line above outgrew that window in r4 and its head (the total) was
     # cut off. Emit a compact self-sufficient summary LAST so the tail
@@ -131,6 +213,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_failures": len(failures),
                 "slowest": slowest,
+                **ratios,
             }
         )
     )

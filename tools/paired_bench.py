@@ -19,7 +19,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run(cmd: list[str], sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    # bench.py pairs the oracle in-process by default now (r6 tail
+    # protocol); this harness runs the oracle half itself, so disable
+    # the embedded pairing to avoid timing DuckDB twice
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_BENCH_PAIRED="0")
     out = subprocess.run(
         cmd, cwd=REPO, env=env, capture_output=True, text=True, check=True
     ).stdout
