@@ -98,3 +98,35 @@ def test_write_to_jdbc_source_rejected(spark, jdbc_project):
     df = spark.range(1)
     with pytest.raises(NotImplementedError, match="JDBC external"):
         fal.write_to_source(df, "warehouse", "accounts")
+
+
+def test_jdbc_partitioned_read(spark, jdbc_project, tmp_path):
+    """The 100 TB on-ramp: partitionColumn/bounds/numPartitions in the
+    connection block must produce a multi-partition parallel scan, not a
+    single-connection pull, with no row loss or duplication at the
+    partition seams."""
+    import textwrap
+
+    schema = jdbc_project / "models" / "schema.yml"
+    schema.write_text(
+        schema.read_text()
+        + textwrap.indent(
+            textwrap.dedent(
+                """\
+                - name: accounts_parallel
+                  meta:
+                    connection:
+                      dbtable: accounts
+                      partitionColumn: id
+                      lowerBound: 1
+                      upperBound: 3
+                      numPartitions: 2
+                """
+            ),
+            "      ",  # align with the existing `tables:` entries
+        )
+    )
+    fal = FalSpark(jdbc_project, spark=spark)
+    df = fal.source("warehouse", "accounts_parallel")
+    assert df.rdd.getNumPartitions() == 2
+    assert sorted(r["ID"] for r in df.collect()) == [1, 2, 3]
