@@ -40,3 +40,25 @@ def test_load_table_fresh_never_caches_itself(spark):
     assert key not in readers._SCAN_CACHE
     later = readers.load_table(spark, SF_DIR, "region")
     assert later is not fresh
+
+
+def test_driver_window_names_resolve():
+    """Every name in __spark_entry__._CHECK_FIRST must exist in the
+    registry — a typo would silently fall out of the driver's 50-entry
+    correctness window and the stale row would go unrefreshed."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from dbt_fal_spark.registry import all_queries
+
+    names = set(all_queries())
+    missing = [n for n in mod._CHECK_FIRST if n not in names]
+    assert not missing, f"window names not in registry: {missing}"
+    # window must fill the driver's 50-entry record exactly
+    assert len(mod._CHECK_FIRST) == 50
+    assert len(set(mod._CHECK_FIRST)) == 50
