@@ -238,10 +238,67 @@ class CondaEnvironment(_ScriptRunner):
         return out
 
 
+# Packages whose version skew breaks the host↔environment handoff: the
+# isolated script exchanges parquet/JSON files with the pipeline, so
+# pandas/pyarrow/numpy disagreement is the classic silent corruption,
+# and a pyspark mismatch breaks any env that re-creates its own session.
+REPLICATED_PACKAGES = ("pandas", "pyarrow", "numpy", "pyspark")
+
+
+def replicate_local_deps() -> list[str]:
+    """Dependency replication (reference: fal/dbt/packages/
+    dependency_analysis.py:79-191): the reference sniffs the LOCAL
+    interpreter's installed dbt/fal distributions and pins those exact
+    versions into the isolated environment so both sides interoperate.
+    The Spark-native analogue replicates the data-interchange stack
+    (REPLICATED_PACKAGES) plus this package itself — an installed
+    distribution pins its version, a dev checkout contributes its local
+    path (the reference's pre-release local-path branch). Everything is
+    computed OFFLINE from importlib.metadata; network is only touched by
+    pip at ensure() time, exactly as for user-declared requirements."""
+    from importlib import metadata
+
+    pins: list[str] = []
+    for pkg in REPLICATED_PACKAGES:
+        try:
+            pins.append(f"{pkg}=={metadata.version(pkg)}")
+        except metadata.PackageNotFoundError:
+            continue
+    try:
+        pins.append(f"dbt-fal-spark=={metadata.version('dbt-fal-spark')}")
+    except metadata.PackageNotFoundError:
+        root = Path(__file__).resolve().parent.parent
+        if (root / "pyproject.toml").exists():
+            pins.append(str(root))
+    return pins
+
+
+def _spec_name(spec: str) -> str:
+    """Distribution name of a requirement spec ('' for path installs)."""
+    if os.sep in spec or spec.startswith("."):
+        return ""
+    import re
+
+    return re.split(r"==|>=|<=|~=|!=|<|>|=", spec, maxsplit=1)[0].strip().lower()
+
+
+def _merge_replicated(declared: list[str]) -> list[str]:
+    """Replicated pins + declared requirements; a declared spec for the
+    same distribution wins (the user's explicit pin outranks replication,
+    mirroring how the reference lets fal_project.yml override)."""
+    declared_names = {_spec_name(s) for s in declared} - {""}
+    inherited = [
+        p for p in replicate_local_deps() if _spec_name(p) not in declared_names
+    ]
+    return inherited + declared
+
+
 def load_environments(project_dir: str | Path) -> dict[str, _ScriptRunner]:
     """Parse fal_project.yml's ``environments:`` list → name → env. An
     absent file (the common case) yields no environments; every script
-    then runs in-process exactly as before."""
+    then runs in-process exactly as before. ``replicate_deps: true`` on
+    an entry merges the local interchange-stack pins (see
+    replicate_local_deps) under the declared requirements."""
     path = Path(project_dir) / "fal_project.yml"
     if not path.exists():
         return {}
@@ -249,18 +306,25 @@ def load_environments(project_dir: str | Path) -> dict[str, _ScriptRunner]:
     out: dict[str, _ScriptRunner] = {}
     for env in doc.get("environments", []):
         etype = env.get("type", "venv")
+        replicate = bool(env.get("replicate_deps", False))
         if etype == "venv":
+            reqs = list(env.get("requirements", []))
             out[env["name"]] = VirtualEnvironment(
                 name=env["name"],
-                requirements=list(env.get("requirements", [])),
+                requirements=_merge_replicated(reqs) if replicate else reqs,
                 base_dir=Path(project_dir) / ".fal_envs",
             )
         elif etype == "conda":
+            # the reference's conda config key is `packages`; accept
+            # `requirements` too for symmetry with venv declarations
+            pkgs = list(env.get("packages", env.get("requirements", [])))
+            if replicate:
+                # conda accepts pip-style == pins; path installs are a
+                # pip concept and are dropped for conda declarations
+                pkgs = [p for p in _merge_replicated(pkgs) if _spec_name(p)]
             out[env["name"]] = CondaEnvironment(
                 name=env["name"],
-                # the reference's conda config key is `packages`; accept
-                # `requirements` too for symmetry with venv declarations
-                packages=list(env.get("packages", env.get("requirements", []))),
+                packages=pkgs,
                 base_dir=Path(project_dir) / ".fal_envs",
             )
         else:

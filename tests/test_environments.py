@@ -222,3 +222,86 @@ def test_load_environments_dispatches_conda(tmp_path):
     assert isinstance(envs["clean"], VirtualEnvironment)
     assert isinstance(envs["sci"], CondaEnvironment)
     assert envs["sci"].packages == ["numpy"]
+
+
+# --- dependency replication (SURVEY D9, offline analogue) -------------------
+
+
+def test_replicate_local_deps_pins_local_versions():
+    from importlib import metadata
+
+    from dbt_fal_spark.environments import REPLICATED_PACKAGES, replicate_local_deps
+
+    pins = replicate_local_deps()
+    by_name = {}
+    for p in pins:
+        if "==" in p:
+            name, ver = p.split("==", 1)
+            by_name[name] = ver
+    for pkg in REPLICATED_PACKAGES:
+        try:
+            expected = metadata.version(pkg)
+        except metadata.PackageNotFoundError:
+            assert pkg not in by_name
+            continue
+        assert by_name[pkg] == expected
+    # running from a dev checkout: this package contributes its local
+    # path (the reference's pre-release local-path branch); an installed
+    # distribution would contribute a == pin instead
+    try:
+        metadata.version("dbt-fal-spark")
+        assert "dbt-fal-spark" in by_name
+    except metadata.PackageNotFoundError:
+        assert any("==" not in p and p.endswith(("repo", "dbt-fal-spark")) or
+                   ("==" not in p) for p in pins[-1:])
+
+
+def test_replicate_deps_merges_under_declared_pins(tmp_path):
+    from importlib import metadata
+
+    from dbt_fal_spark.environments import load_environments
+
+    (tmp_path / "fal_project.yml").write_text(
+        "environments:\n"
+        "  - name: repl\n"
+        "    type: venv\n"
+        "    replicate_deps: true\n"
+        "    requirements:\n"
+        "      - pandas==1.5.3\n"
+        "      - prophet==1.1\n"
+        "  - name: plain\n"
+        "    type: venv\n"
+        "    requirements:\n"
+        "      - prophet==1.1\n"
+    )
+    envs = load_environments(tmp_path)
+    reqs = envs["repl"].requirements
+    # declared pins win: the replicated pandas pin is suppressed
+    assert reqs.count("pandas==1.5.3") == 1
+    assert not any(r.startswith("pandas==") and r != "pandas==1.5.3" for r in reqs)
+    # the local numpy version IS replicated (not declared)
+    assert f"numpy=={metadata.version('numpy')}" in reqs
+    # declared requirements stay last (install order: base stack first)
+    assert reqs[-2:] == ["pandas==1.5.3", "prophet==1.1"]
+    # without the flag, nothing is injected
+    assert envs["plain"].requirements == ["prophet==1.1"]
+
+
+def test_replicate_deps_conda_drops_path_installs(tmp_path):
+    from importlib import metadata
+
+    from dbt_fal_spark.environments import load_environments
+
+    (tmp_path / "fal_project.yml").write_text(
+        "environments:\n"
+        "  - name: c\n"
+        "    type: conda\n"
+        "    replicate_deps: true\n"
+        "    packages:\n"
+        "      - prophet==1.1\n"
+    )
+    envs = load_environments(tmp_path)
+    pkgs = envs["c"].packages
+    assert f"numpy=={metadata.version('numpy')}" in pkgs
+    # a dev-checkout path (no distribution name) cannot go to conda
+    assert all("/" not in p for p in pkgs)
