@@ -188,35 +188,33 @@ def main() -> None:
             }
         )
     )
+    # The driver records only the LAST 2000 chars of output; the full
+    # line above outgrew that window in r4 and its head (the total) was
+    # cut off. Emit a compact self-sufficient summary so the tail always
+    # parses to the totals — FIRST without ratios (failsafe: if the
+    # paired phase below is killed by a harness timeout, this line is
+    # still the last complete JSON), then again with the ratios.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failures": len(failures),
+        "slowest": slowest,
+    }
+    print(json.dumps(compact), flush=True)
     # Paired baseline ratios (VERDICT r5 item 9): oracle side + floor
     # adjustment computed in-process so the driver's BENCH record carries
     # {raw_ratio, floor_adjusted_ratio} without a separate artifact.
     # Disable with SPARK_GRAFT_BENCH_PAIRED=0 for a fast engine-only run.
-    ratios: dict = {}
     if os.environ.get("SPARK_GRAFT_BENCH_PAIRED", "1") != "0":
         try:
             ratios = _paired_ratios(spark, specs, names, timings, sf_dir)
         except Exception as exc:  # noqa: BLE001 — ratios are additive info
             ratios = {"paired_error": f"{type(exc).__name__}: {exc}"[:200]}
-    # The driver records only the LAST 2000 chars of output; the full
-    # line above outgrew that window in r4 and its head (the total) was
-    # cut off. Emit a compact self-sufficient summary LAST so the tail
-    # always parses to the totals.
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "n_failures": len(failures),
-                "slowest": slowest,
-                **ratios,
-            }
-        )
-    )
+        print(json.dumps({**compact, **ratios}), flush=True)
 
 
 if __name__ == "__main__":
