@@ -774,6 +774,42 @@ class FalSpark:
             )
         return out
 
+    # ------------------------------------------------------------------
+    # table maintenance (Spark-native additions the reference delegated
+    # to warehouses: Snowflake/BigQuery compact and ANALYZE implicitly;
+    # a parquet-backed lakehouse must do both explicitly at 100 TB)
+    # ------------------------------------------------------------------
+
+    def compact(self, model_name: str, target_partitions: int | None = None) -> int:
+        """Rewrite a materialized model's files to heal small-file
+        fragmentation (incremental appends create one file set per
+        batch; thousands of tiny files throttle every downstream scan
+        with per-file open/footer costs). The table is read, coalesced
+        to ``target_partitions`` (default: executor parallelism), and
+        swapped in atomically — safe against concurrent readers of the
+        old files, same guarantee as any model rebuild. Returns the
+        partition count written."""
+        identifier = self._identifier(model_name)
+        df = self.spark.table(identifier)
+        n = target_partitions or self.spark.sparkContext.defaultParallelism
+        cur = df.rdd.getNumPartitions()
+        # coalesce when shrinking (no shuffle); repartition only to grow
+        out = df.coalesce(n) if n <= cur else df.repartition(n)
+        replace_relation_atomic(self.spark, out, identifier)
+        return min(n, cur) if n <= cur else n
+
+    def analyze(self, model_name: str, columns: bool = True) -> None:
+        """ANALYZE TABLE — compute row-count/size (and per-column NDV,
+        min/max, null counts with ``columns=True``) into the catalog so
+        Catalyst's cost-based optimizer can pick broadcast sides and
+        join orders from real statistics instead of file-size guesses.
+        Run after materializing dimension-like models; at cluster scale
+        this is what turns a 100 GB-looking-but-filtered dim into a
+        broadcast join."""
+        identifier = self._identifier(model_name)
+        suffix = " FOR ALL COLUMNS" if columns else ""
+        self.spark.sql(f"ANALYZE TABLE {identifier} COMPUTE STATISTICS{suffix}")
+
 
 # ----------------------------------------------------------------------
 # tasks

@@ -96,3 +96,58 @@ def test_removed_column_always_fails(spark):
     narrower = spark.createDataFrame([("d1", 2)], "day string, k long")
     with pytest.raises(ValueError, match="no longer produces"):
         incremental_merge(spark, narrower, t, "k")
+
+
+# --- table maintenance (compact / analyze) ----------------------------------
+
+
+def _tiny_project(tmp_path):
+    proj = tmp_path / "maintproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text("name: maintproj\n")
+    (proj / "models" / "wide.sql").write_text(
+        "SELECT id AS k, id % 7 AS grp FROM range(2000)"
+    )
+    return proj
+
+
+def test_compact_heals_small_files(spark, tmp_path):
+    from dbt_fal_spark.api import FalSpark
+
+    fal = FalSpark(_tiny_project(tmp_path), spark=spark)
+    fal.run(select=["wide"])
+    ident = fal._identifier("wide")
+    # fragment: 16 appends of 16 partitions each -> hundreds of files
+    frag = spark.table(ident)
+    for _ in range(4):
+        frag.repartition(16).write.mode("append").format("parquet").saveAsTable(ident)
+    before = spark.table(ident)
+    n_rows = before.count()
+    n_parts_before = before.rdd.getNumPartitions()
+    # materialize the expectation NOW — the lazy plan's file list dies
+    # with the atomic swap (that staleness is exactly why compact swaps
+    # rather than rewriting in place)
+    expected_grp = before.groupBy("grp").count().orderBy("grp").collect()
+
+    fal.compact("wide", target_partitions=2)
+    after = spark.table(ident)
+    assert after.rdd.getNumPartitions() < n_parts_before
+    assert after.rdd.getNumPartitions() <= 2
+    assert after.count() == n_rows
+    # content identical, not just counts
+    assert after.groupBy("grp").count().orderBy("grp").collect() == expected_grp
+
+
+def test_analyze_records_stats(spark, tmp_path):
+    from dbt_fal_spark.api import FalSpark
+
+    fal = FalSpark(_tiny_project(tmp_path), spark=spark)
+    fal.run(select=["wide"])
+    fal.analyze("wide")
+    ident = fal._identifier("wide")
+    detail = {r["col_name"]: r["data_type"] for r in spark.sql(
+        f"DESCRIBE TABLE EXTENDED {ident}").collect()}
+    assert "Statistics" in detail and "rows" in detail["Statistics"]
+    cols = {r["info_name"]: r["info_value"] for r in spark.sql(
+        f"DESCRIBE TABLE EXTENDED {ident} k").collect()}
+    assert cols.get("distinct_count") not in (None, "NULL")
