@@ -789,6 +789,7 @@ class FalSpark:
         swapped in atomically — safe against concurrent readers of the
         old files, same guarantee as any model rebuild. Returns the
         partition count written."""
+        self._require_table_model(model_name, "compact")
         identifier = self._identifier(model_name)
         df = self.spark.table(identifier)
         n = target_partitions or self.spark.sparkContext.defaultParallelism
@@ -806,9 +807,25 @@ class FalSpark:
         Run after materializing dimension-like models; at cluster scale
         this is what turns a 100 GB-looking-but-filtered dim into a
         broadcast join."""
+        self._require_table_model(model_name, "analyze")
         identifier = self._identifier(model_name)
         suffix = " FOR ALL COLUMNS" if columns else ""
         self.spark.sql(f"ANALYZE TABLE {identifier} COMPUTE STATISTICS{suffix}")
+
+    def is_table_model(self, model_name: str) -> bool:
+        """True when the model materializes as files (table/incremental/
+        seed) — the only shapes compact/analyze apply to."""
+        for m in self.manifest.models.values():
+            if m.name == model_name:
+                return m.materialization not in ("view", "ephemeral")
+        return False
+
+    def _require_table_model(self, model_name: str, verb: str) -> None:
+        if not self.is_table_model(model_name):
+            raise ValueError(
+                f"{verb} requires a table-materialized model; "
+                f"{model_name!r} is a view/ephemeral (no files to maintain)"
+            )
 
 
 # ----------------------------------------------------------------------

@@ -75,6 +75,21 @@ def build_parser() -> argparse.ArgumentParser:
     gen = docs_sub.add_parser("generate", help="write target/catalog.json")
     add_common(gen)
 
+    maint = sub.add_parser("maintenance", help="table maintenance verbs")
+    maint_sub = maint.add_subparsers(dest="maint_command", required=True)
+    compact = maint_sub.add_parser(
+        "compact", help="heal small-file fragmentation (coalesce + atomic swap)"
+    )
+    add_common(compact)
+    compact.add_argument("--partitions", type=int, default=None,
+                         help="target partition count (default: executor parallelism)")
+    analyze = maint_sub.add_parser(
+        "analyze", help="ANALYZE TABLE: catalog stats for Catalyst's CBO"
+    )
+    add_common(analyze)
+    analyze.add_argument("--no-columns", action="store_true",
+                         help="skip per-column NDV/min/max stats")
+
     source = sub.add_parser("source", help="source verbs")
     source_sub = source.add_subparsers(dest="source_command", required=True)
     fresh = source_sub.add_parser("freshness", help="compute source freshness")
@@ -146,6 +161,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "source":
         for r in fal.source_freshness():
             print(f"{r['status']:6s} {r['source']} age={r['age_sec']:.0f}s")
+        return 0
+
+    if args.command == "maintenance":
+        names = args.select or [m.name for m in fal.list_models()]
+        # bulk mode silently skips views/ephemerals (no files to
+        # maintain); an explicit --select of one still errors clearly
+        names = [n for n in names if fal.is_table_model(n)] or names
+        for name in names:
+            if args.maint_command == "compact":
+                n = fal.compact(name, target_partitions=args.partitions)
+                print(f"compacted {name} -> {n} partitions")
+            else:
+                fal.analyze(name, columns=not args.no_columns)
+                print(f"analyzed {name}")
         return 0
 
     if args.command == "docs":

@@ -62,3 +62,32 @@ def test_cli_flow_run_then_post_run_and_test(cli_env, capsys):
     out = capsys.readouterr().out
     assert "tested" in out and "error" not in out
     assert main(["source", "freshness", "--project-dir", FIXTURE]) == 0
+
+
+def test_parser_maintenance_flags():
+    args = build_parser().parse_args(
+        ["maintenance", "compact", "--select", "wide", "--partitions", "4"]
+    )
+    assert args.command == "maintenance" and args.maint_command == "compact"
+    assert args.select == ["wide"] and args.partitions == 4
+    args = build_parser().parse_args(["maintenance", "analyze", "--no-columns"])
+    assert args.maint_command == "analyze" and args.no_columns
+
+
+def test_cli_maintenance_verbs(cli_env, capsys):
+    assert main(["flow", "run", "--project-dir", FIXTURE, "--select", "+orders_daily"]) == 0
+    capsys.readouterr()
+    assert main(
+        ["maintenance", "compact", "--project-dir", FIXTURE,
+         "--select", "orders_daily", "--partitions", "2"]
+    ) == 0
+    assert "compacted orders_daily" in capsys.readouterr().out
+    assert main(
+        ["maintenance", "analyze", "--project-dir", FIXTURE, "--select", "orders_daily"]
+    ) == 0
+    assert "analyzed orders_daily" in capsys.readouterr().out
+    # views have no files to maintain: explicit select errors clearly
+    import pytest
+    with pytest.raises(ValueError, match="table-materialized"):
+        main(["maintenance", "compact", "--project-dir", FIXTURE,
+              "--select", "big_orders"])
