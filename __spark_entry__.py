@@ -47,6 +47,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # SRP-LSH prefilter, t_tfidf_top_terms exchange cut), then refresh the
 # oldest remaining driver rows (last green in r03).
 #
+# r7 PLAN: assuming CORRECTNESS_r6 is green over this window, the
+# stalest remaining rows are the 37 r4 entries NOT refreshed here
+# (q03/q04/q06-q13/q16/q22, the q_* analytics family, m_frame_sample,
+# p_flow_run_customer_stats) — lead r7 with those, then any entry whose
+# plan changes in r7, then rotate the r5-green t_*/e_* rows.
+#
 # r6 WINDOW (this round): lead with st_full_outer_interval_stream (the
 # one entry with zero driver evidence — added after the r5 window
 # froze), then every entry whose PLAN or SEMANTICS changed this round
