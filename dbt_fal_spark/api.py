@@ -902,7 +902,10 @@ class _ModelTask:
                 df.unpersist()
         else:  # table
             if exists:
-                replace_relation_atomic(spark, df, identifier, bucket_by=model.bucket_by)
+                replace_relation_atomic(
+                    spark, df, identifier,
+                    bucket_by=model.bucket_by, sort_by=model.sort_by,
+                )
             else:
                 write_table(
                     df,
@@ -910,6 +913,7 @@ class _ModelTask:
                     mode="overwrite",
                     partition_by=model.partition_by,
                     bucket_by=model.bucket_by,
+                    sort_by=model.sort_by,
                 )
         if mat == "incremental" and not full_refresh and exists:
             # reference semantics: rows affected by THIS batch, not the

@@ -51,12 +51,26 @@ def _clean_orphan_location(spark: SparkSession, identifier: str) -> None:
         shutil.rmtree(loc, ignore_errors=True)
 
 
+def _range_cluster(df: DataFrame, sort_by: str) -> DataFrame:
+    """Range-partition + sort-within on the given column(s): every file
+    then covers a DISJOINT value range, so parquet row-group min/max
+    stats let any range/point predicate skip whole files at scan time —
+    the lakehouse analogue of warehouse clustering keys, and at 100 TB
+    the difference between scanning a table and scanning a slice.
+    (Orthogonal to bucket_by, which optimizes equi-JOINS by hash;
+    sort_by optimizes range FILTERS by order. bucketBy already sorts
+    within buckets, so the two are mutually exclusive at the writer.)"""
+    cols = [c.strip() for c in sort_by.split(",")]
+    return df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+
+
 def write_table(
     df: DataFrame,
     identifier: str,
     mode: str = "overwrite",
     partition_by: str | None = None,
     bucket_by: dict | None = None,
+    sort_by: str | None = None,
 ) -> None:
     """Eager write — the write boundary forces materialization, matching
     the reference's eager write_to_* semantics (SURVEY §7 risk note).
@@ -65,7 +79,11 @@ def write_table(
     ``bucket_by`` = {"cols": "k1,k2", "n": 32} hash-buckets (and sorts)
     the table on its join key — every later equi-join between tables
     bucketed the same way reads co-partitioned data and plans with ZERO
-    shuffle exchanges (asserted by tests/test_bucketing.py)."""
+    shuffle exchanges (asserted by tests/test_bucketing.py).
+    ``sort_by`` range-clusters files for min/max data skipping
+    (see _range_cluster)."""
+    if sort_by and not bucket_by:
+        df = _range_cluster(df, sort_by)
     _clean_orphan_location(df.sparkSession, identifier)
     writer = df.write.mode(mode).format("parquet")
     if partition_by:
@@ -77,14 +95,21 @@ def write_table(
 
 
 def replace_relation_atomic(
-    spark: SparkSession, df: DataFrame, identifier: str, bucket_by: dict | None = None
+    spark: SparkSession,
+    df: DataFrame,
+    identifier: str,
+    bucket_by: dict | None = None,
+    sort_by: str | None = None,
 ) -> None:
     """Temp-table + swap: write to ``<name>__f__<uuid8>``, drop the
     original, rename — safe when ``df`` reads from ``identifier`` itself
     (reference: lib.py:286-329 overwrite_target / _replace_relation).
-    ``bucket_by`` carries the bucketed layout through the swap."""
+    ``bucket_by``/``sort_by`` carry the declared layout through the
+    swap."""
     tmp = f"{identifier}__f__{uuid.uuid4().hex[:8]}"
     try:
+        if sort_by and not bucket_by:
+            df = _range_cluster(df, sort_by)
         writer = df.write.mode("overwrite").format("parquet")
         if bucket_by:
             cols = [c.strip() for c in str(bucket_by["cols"]).split(",")]

@@ -246,6 +246,7 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
                 partition_by=config.get("partition_by"),
                 on_schema_change=config.get("on_schema_change", "ignore"),
                 bucket_by=config.get("bucket_by"),
+                sort_by=config.get("sort_by"),
                 tags=list(config.get("tags", [])) + list(props.get("tags", [])),
                 meta=meta,
                 columns={c["name"]: c for c in props.get("columns", [])},

@@ -37,6 +37,7 @@ class DbtModel:
     partition_by: str | None = None  # hive partition column(s)
     on_schema_change: str = "ignore"  # ignore | fail | append_new_columns
     bucket_by: dict | None = None  # {"cols": "k1,k2", "n": 32} — co-located joins
+    sort_by: str | None = None  # range-clustered file layout — data skipping
     depends_on: list[str] = field(default_factory=list)  # unique_ids
     tags: list[str] = field(default_factory=list)
     meta: dict[str, Any] = field(default_factory=dict)

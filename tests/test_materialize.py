@@ -151,3 +151,49 @@ def test_analyze_records_stats(spark, tmp_path):
     cols = {r["info_name"]: r["info_value"] for r in spark.sql(
         f"DESCRIBE TABLE EXTENDED {ident} k").collect()}
     assert cols.get("distinct_count") not in (None, "NULL")
+
+
+def test_sort_by_range_clusters_files(spark, tmp_path):
+    """sort_by must produce files covering DISJOINT value ranges (the
+    data-skipping contract: parquet min/max stats then prune whole
+    files for any range predicate). Verified against the actual footer
+    statistics of the written files."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from dbt_fal_spark.api import FalSpark
+
+    proj = tmp_path / "sortproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text("name: sortproj\n")
+    (proj / "models" / "clustered.sql").write_text(
+        "{{ config(materialized='table', sort_by='k') }}\n"
+        # pmod scrambles insertion order so the clustering is the writer's
+        "SELECT id * 37 % 4096 AS k, id AS payload FROM range(4096)"
+    )
+    fal = FalSpark(proj, spark=spark)
+    assert fal.run(select=["clustered"])["model.sortproj.clustered"] == "success"
+    ident = fal._identifier("clustered")
+    loc = spark.sql(f"DESCRIBE TABLE EXTENDED {ident}").collect()
+    location = next(r["data_type"] for r in loc if r["col_name"] == "Location")
+    files = sorted(_glob.glob(location.replace("file:", "") + "/*.parquet"))
+    ranges = []
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            col = meta.row_group(rg).column(0)  # k is the first column
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1, "need multiple files to prove clustering"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    # rebuild path (table exists -> atomic swap) keeps the layout
+    assert fal.run(select=["clustered"])["model.sortproj.clustered"] == "success"
+    # content survives the clustered rewrite
+    got = spark.table(ident)
+    assert got.count() == 4096
+    assert got.agg({"k": "max"}).collect()[0][0] == 4095
