@@ -792,6 +792,19 @@ class FalSpark:
         self._require_table_model(model_name, "compact")
         identifier = self._identifier(model_name)
         df = self.spark.table(identifier)
+        model = next(
+            (m for m in self.manifest.models.values() if m.name == model_name), None
+        )
+        sort_by = getattr(model, "sort_by", None)
+        if sort_by:
+            # a clustered model must stay clustered through compaction —
+            # a plain coalesce would interleave ranges and silently void
+            # the data-skipping layout the config declared
+            cols = [c.strip() for c in sort_by.split(",")]
+            n = target_partitions or self.spark.sparkContext.defaultParallelism
+            out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+            replace_relation_atomic(self.spark, out, identifier)
+            return n
         n = target_partitions or self.spark.sparkContext.defaultParallelism
         cur = df.rdd.getNumPartitions()
         # coalesce when shrinking (no shuffle); repartition only to grow

@@ -197,3 +197,42 @@ def test_sort_by_range_clusters_files(spark, tmp_path):
     got = spark.table(ident)
     assert got.count() == 4096
     assert got.agg({"k": "max"}).collect()[0][0] == 4095
+
+
+def test_compact_preserves_sort_by_clustering(spark, tmp_path):
+    """Compacting a sort_by model must re-cluster, not interleave: the
+    post-compact files still cover disjoint ranges."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from dbt_fal_spark.api import FalSpark
+
+    proj = tmp_path / "sortproj2"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text("name: sortproj2\n")
+    (proj / "models" / "clustered.sql").write_text(
+        "{{ config(materialized='table', sort_by='k') }}\n"
+        "SELECT id * 37 % 4096 AS k, id AS payload FROM range(4096)"
+    )
+    fal = FalSpark(proj, spark=spark)
+    assert fal.run(select=["clustered"])["model.sortproj2.clustered"] == "success"
+    ident = fal._identifier("clustered")
+    # fragment with an unsorted append, then compact back to 3 partitions
+    spark.table(ident).repartition(16).write.mode("append").format(
+        "parquet"
+    ).saveAsTable(ident)
+    fal.compact("clustered", target_partitions=3)
+    loc = spark.sql(f"DESCRIBE TABLE EXTENDED {ident}").collect()
+    location = next(r["data_type"] for r in loc if r["col_name"] == "Location")
+    ranges = []
+    for f in sorted(_glob.glob(location.replace("file:", "") + "/*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        mins = [meta.row_group(g).column(0).statistics.min for g in range(meta.num_row_groups)]
+        maxs = [meta.row_group(g).column(0).statistics.max for g in range(meta.num_row_groups)]
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"compact destroyed clustering: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    assert spark.table(ident).count() == 8192
