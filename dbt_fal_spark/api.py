@@ -241,20 +241,26 @@ class FalSpark:
         return self._identifier(name)
 
     @staticmethod
-    def _expand_source_path(raw: str) -> str:
-        """Expand $VARs in a declared source path (the reference allows
+    def _expand_source_path(raw: str, strict: bool = True) -> str:
+        """Expand $VARs in a declared source value (the reference allows
         env_var in source definitions — A/cli_tests/projects/000_fal_run/
-        models/schema.yml:5-8), failing fast with the variable name when
-        one is unset instead of handing Spark a literal ``$VAR`` path."""
-        path = os.path.expandvars(raw)
-        if "$" in path:
+        models/schema.yml:5-8). ``$$`` escapes a literal ``$`` (generated
+        JDBC passwords and URLs legitimately contain one). With
+        ``strict=True`` (paths) a residual ``$`` fails fast with the
+        variable name instead of handing Spark a literal ``$VAR`` path;
+        connection values use ``strict=False`` — expansion is
+        best-effort and a residual ``$`` passes through verbatim."""
+        sentinel = "\x00"
+        path = os.path.expandvars(raw.replace("$$", sentinel))
+        if strict and "$" in path:
             unset = [tok for tok in re.findall(r"\$\{?(\w+)\}?", path)]
             raise ValueError(
                 f"source path {raw!r} references unset environment "
                 f"variable(s): {', '.join(sorted(set(unset)))} — export them "
-                "before running (e.g. TESTDATA_DIR=/root/testdata/sf0.001)"
+                "before running (e.g. TESTDATA_DIR=/root/testdata/sf0.001), "
+                "or escape a literal dollar as '$$'"
             )
-        return path
+        return path.replace(sentinel, "$")
 
     def _resolve_source(self, source_name: str, table_name: str) -> str:
         src = self.manifest.source_by_name(source_name, table_name)
@@ -269,7 +275,7 @@ class FalSpark:
             # partitionColumn/lowerBound/upperBound/numPartitions are
             # declared, parallel across executors instead of a single
             # driver-side pandas pull).
-            url = self._expand_source_path(str(conn["url"]))
+            url = self._expand_source_path(str(conn["url"]), strict=False)
             reader = self.spark.read.format("jdbc").option("url", url)
             if "query" not in conn:  # query and dbtable are exclusive in JDBC
                 reader = reader.option("dbtable", str(conn.get("dbtable") or table_name))
@@ -277,7 +283,9 @@ class FalSpark:
                         "partitionColumn", "lowerBound", "upperBound",
                         "numPartitions"):
                 if key in conn:
-                    reader = reader.option(key, os.path.expandvars(str(conn[key])))
+                    reader = reader.option(
+                        key, self._expand_source_path(str(conn[key]), strict=False)
+                    )
             reader.load().createOrReplaceTempView(view)
             return view
         if src.path:
@@ -795,17 +803,43 @@ class FalSpark:
         model = next(
             (m for m in self.manifest.models.values() if m.name == model_name), None
         )
+        # every declared layout must survive compaction — a rewrite that
+        # flattened a bucketed/partitioned/clustered table would heal the
+        # small files while silently voiding the zero-shuffle-join /
+        # partition-pruning / data-skipping contract the config declared
         sort_by = getattr(model, "sort_by", None)
+        bucket_by = getattr(model, "bucket_by", None)
+        partition_by = getattr(model, "partition_by", None)
+        if bucket_by:
+            # shuffle into exactly n_buckets tasks on the bucket cols so
+            # the rewrite emits one file per bucket (the minimal healed
+            # layout) instead of files × tasks
+            cols = [c.strip() for c in str(bucket_by["cols"]).split(",")]
+            n = int(bucket_by.get("n", 32))
+            out = df.repartition(n, *cols)
+            replace_relation_atomic(
+                self.spark, out, identifier,
+                bucket_by=bucket_by, partition_by=partition_by,
+            )
+            return n
         if sort_by:
-            # a clustered model must stay clustered through compaction —
-            # a plain coalesce would interleave ranges and silently void
-            # the data-skipping layout the config declared
             cols = [c.strip() for c in sort_by.split(",")]
             n = target_partitions or self.spark.sparkContext.defaultParallelism
             out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
-            replace_relation_atomic(self.spark, out, identifier)
+            replace_relation_atomic(
+                self.spark, out, identifier, partition_by=partition_by
+            )
             return n
         n = target_partitions or self.spark.sparkContext.defaultParallelism
+        if partition_by:
+            # co-locate each hive partition's rows so the rewrite emits
+            # few files per partition directory, not files × tasks
+            pcols = [c.strip() for c in partition_by.split(",")]
+            out = df.repartition(n, *pcols)
+            replace_relation_atomic(
+                self.spark, out, identifier, partition_by=partition_by
+            )
+            return n
         cur = df.rdd.getNumPartitions()
         # coalesce when shrinking (no shuffle); repartition only to grow
         out = df.coalesce(n) if n <= cur else df.repartition(n)
@@ -887,7 +921,9 @@ class _ModelTask:
         if mat == "incremental" and full_refresh:
             # rebuild: atomic swap (the table may feed the model's own SQL)
             if exists:
-                replace_relation_atomic(spark, df, identifier)
+                replace_relation_atomic(
+                    spark, df, identifier, partition_by=model.partition_by
+                )
             else:
                 write_table(df, identifier, mode="overwrite", partition_by=model.partition_by)
         elif mat == "incremental":
@@ -918,6 +954,7 @@ class _ModelTask:
                 replace_relation_atomic(
                     spark, df, identifier,
                     bucket_by=model.bucket_by, sort_by=model.sort_by,
+                    partition_by=model.partition_by,
                 )
             else:
                 write_table(

@@ -164,10 +164,22 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "maintenance":
-        names = args.select or [m.name for m in fal.list_models()]
-        # bulk mode silently skips views/ephemerals (no files to
-        # maintain); an explicit --select of one still errors clearly
-        names = [n for n in names if fal.is_table_model(n)] or names
+        if args.select:
+            known = {m.name for m in fal.list_models()}
+            unknown = [n for n in args.select if n not in known]
+            if unknown:
+                print(
+                    f"maintenance: unknown model(s): {', '.join(unknown)}",
+                    file=sys.stderr,
+                )
+                return 2
+            # an explicit --select of a view/ephemeral still errors
+            # clearly (inside compact/analyze)
+            names = args.select
+        else:
+            # bulk mode silently skips views/ephemerals (no files to
+            # maintain); a views-only project is a no-op, not an error
+            names = [m.name for m in fal.list_models() if fal.is_table_model(m.name)]
         for name in names:
             if args.maint_command == "compact":
                 n = fal.compact(name, target_partitions=args.partitions)

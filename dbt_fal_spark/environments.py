@@ -274,12 +274,22 @@ def replicate_local_deps() -> list[str]:
 
 
 def _spec_name(spec: str) -> str:
-    """Distribution name of a requirement spec ('' for path installs)."""
+    """Distribution name of a requirement spec ('' for path installs).
+    Extras (``pandas[performance]==2.2``) and environment markers
+    (``numpy==1.26; python_version<"3.12"``) must not hide the name —
+    otherwise a declared pin fails to suppress the replicated one and
+    pip receives two conflicting specs for the same distribution."""
     if os.sep in spec or spec.startswith("."):
         return ""
-    import re
+    try:
+        from packaging.requirements import Requirement
 
-    return re.split(r"==|>=|<=|~=|!=|<|>|=", spec, maxsplit=1)[0].strip().lower()
+        return Requirement(spec).name.strip().lower()
+    except Exception:
+        import re
+
+        head = re.split(r"==|>=|<=|~=|!=|<|>|=|\[|;|\s", spec, maxsplit=1)[0]
+        return head.strip().lower()
 
 
 def _merge_replicated(declared: list[str]) -> list[str]:

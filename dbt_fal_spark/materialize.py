@@ -100,17 +100,22 @@ def replace_relation_atomic(
     identifier: str,
     bucket_by: dict | None = None,
     sort_by: str | None = None,
+    partition_by: str | None = None,
 ) -> None:
     """Temp-table + swap: write to ``<name>__f__<uuid8>``, drop the
     original, rename — safe when ``df`` reads from ``identifier`` itself
     (reference: lib.py:286-329 overwrite_target / _replace_relation).
-    ``bucket_by``/``sort_by`` carry the declared layout through the
-    swap."""
+    ``bucket_by``/``sort_by``/``partition_by`` carry the declared layout
+    through the swap — a rebuild that silently flattened a hive-
+    partitioned or bucketed table would void the partition-pruning /
+    zero-shuffle-join contract the model config declared."""
     tmp = f"{identifier}__f__{uuid.uuid4().hex[:8]}"
     try:
         if sort_by and not bucket_by:
             df = _range_cluster(df, sort_by)
         writer = df.write.mode("overwrite").format("parquet")
+        if partition_by:
+            writer = writer.partitionBy(*[c.strip() for c in partition_by.split(",")])
         if bucket_by:
             cols = [c.strip() for c in str(bucket_by["cols"]).split(",")]
             writer = writer.bucketBy(int(bucket_by.get("n", 32)), *cols).sortBy(*cols)
@@ -121,6 +126,12 @@ def replace_relation_atomic(
         # LOCATION_ALREADY_EXISTS
         _clean_orphan_location(spark, identifier)
         spark.sql(f"ALTER TABLE {_q(tmp)} RENAME TO {_q(identifier)}")
+        if partition_by:
+            # RENAME moves the managed table's directory but the catalog's
+            # per-partition locations still point at the temp path — SYNC
+            # drops those dead entries and re-registers the moved
+            # directories (metadata-only; no data pass)
+            spark.sql(f"MSCK REPAIR TABLE {_q(identifier)} SYNC PARTITIONS")
     except Exception:
         spark.sql(f"DROP TABLE IF EXISTS {_q(tmp)}")
         raise
@@ -227,7 +238,7 @@ def incremental_merge(
     merged = old.join(new_rows.select(*keys).distinct(), on=keys, how="left_anti").unionByName(
         new_rows.select(*old.columns)
     )
-    replace_relation_atomic(spark, merged, identifier)
+    replace_relation_atomic(spark, merged, identifier, partition_by=partition_by)
 
 
 def apply_dtype_casts(df: DataFrame, dtype: dict[str, str] | None) -> DataFrame:

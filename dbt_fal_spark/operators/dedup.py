@@ -539,13 +539,16 @@ def d_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed in the same vectorized Arrow stage as t_rolling_fingerprint
     (~1/64 of windows survive, so the shuffle is 64× smaller than the
     window count). Pair generation is the bucket-emit shape of
-    _lsh_candidate_pairs: ONE shuffle of (h, doc_id) into per-hash
-    buckets, buckets over _WN_DOC_CAP docs dropped whole (oracle-
-    mirrored — fingerprint-overlap mass is quadratic in dup-cluster
-    size, and a real near-dup pair still surfaces through its other,
-    rarer fingerprints), then pairs expand map-side via a codegen'd HOF
-    — no self-join, no uncapped fan-out. Exactness: mod-each-step
-    Horner in int64, ord() == DuckDB ascii()."""
+    _lsh_candidate_pairs: (h, doc_id) shuffles into per-hash buckets,
+    with buckets over _WN_DOC_CAP docs dropped whole BEFORE any array is
+    collected — a count-only pre-gate (map-side combined, longs through
+    the wire) decides survival, so even a degenerate fingerprint shared
+    by millions of docs never materializes its doc list on a reducer
+    (oracle-mirrored — fingerprint-overlap mass is quadratic in
+    dup-cluster size, and a real near-dup pair still surfaces through
+    its other, rarer fingerprints). Pairs then expand map-side via a
+    codegen'd HOF — no self-join, no uncapped fan-out. Exactness:
+    mod-each-step Horner in int64, ord() == DuckDB ascii()."""
     k, base, mod, sample = _WN_K, _WN_B, _WN_M, _WN_SAMPLE
 
     def gen(batches):
@@ -577,13 +580,29 @@ def d_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = load_table(spark, sf_dir, "documents")
+    # persist: fp feeds both the cap gate and the collect — two longs per
+    # surviving window, far smaller than re-running the Python hashing
+    # pass over the raw text
     fp = spread(docs.select("doc_id", "text")).mapInPandas(
         gen, schema="doc_id long, h long"
+    ).persist()
+    # bound the aggregation buffer BEFORE collecting: a degenerate
+    # fingerprint shared by millions of docs must never build its full
+    # doc_id array on one reducer. The count pass shuffles only
+    # (h, partial-count) longs (map-side combine); the join then gates
+    # collect_list to keys already known to fit the cap — the Spark
+    # analogue of the oracle's HAVING, which never materializes the
+    # oversized bucket either.
+    ok_h = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n").between(2, _WN_DOC_CAP))
+        .select("h")
     )
     grouped = (
-        fp.groupBy("h")
+        fp.join(ok_h, "h")
+        .groupBy("h")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds").between(2, _WN_DOC_CAP))
     )
     pairs = F.expr(
         "flatten(transform(ds, (x, i) -> "
