@@ -1147,15 +1147,27 @@ def q02_min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "ntile"),
 )
 def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile bucketing via ntile over a TOTAL order (custkey tiebreak —
-    without it ntile's bucket assignment at equal balances would be
-    engine/partition dependent). The unpartitioned window sorts once;
-    at 100 TB swap ntile for approx_percentile boundaries + a broadcast
-    range join, which needs no global sort."""
+    """Decile bucketing over a TOTAL order (custkey tiebreak — without
+    it bucket assignment at equal balances would be engine/partition
+    dependent) — WITHOUT the single-partition ntile window: an exact
+    distributed rank (range-repartition + per-partition row_number +
+    partition-size prefix-sum, functions/rank.py) feeds SQL-standard
+    ntile arithmetic on driver-side constants. Same answer as
+    ``ntile(10) OVER (ORDER BY ...)`` (the oracle runs exactly that),
+    but every stage is parallel — the plan that survives 100×."""
+    from dbt_fal_spark.functions.rank import (
+        global_row_number_with_total,
+        ntile_from_rank,
+    )
+
     cust = load_table(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
+    ranked, n = global_row_number_with_total(
+        cust.select("c_acctbal", "c_custkey"),
+        ["c_acctbal", "c_custkey"],
+        out_col="__i",
+    )
     return (
-        cust.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+        ranked.select("c_acctbal", ntile_from_rank("__i", n, 10).alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

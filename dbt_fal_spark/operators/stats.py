@@ -528,21 +528,22 @@ def q_gini_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: per-customer values stay DECIMAL through both sums
     (Σx and the rank-weighted Σi·x are exact in any order); the rank
     is a total order (value, key); the final formula is the identical
-    single-op double sequence in both engines. The sort is
-    |customers|-sized — entity-, not fact-scaled.
+    single-op double sequence in both engines. The rank is computed
+    DISTRIBUTED (range-repartition + per-partition row_number +
+    partition-size prefix-sum, functions/rank.py) — no single-partition
+    window, so the plan holds at any |customers|.
     """
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     orders = load_table(spark, sf_dir, "orders")
     from dbt_fal_spark.functions.numeric import DEC, dec
+    from dbt_fal_spark.functions.rank import global_row_number
 
     v = (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .groupBy("c_custkey")
         .agg(F.sum(dec("o_totalprice")).cast(DEC).alias("x"))
     )
-    r = v.withColumn(
-        "i", F.row_number().over(W.orderBy(F.asc("x"), F.asc("c_custkey")))
-    )
+    r = global_row_number(v, ["x", "c_custkey"], out_col="i")
     n = F.count("*")
     total_d = F.sum("x").cast("double")
     sum_ix_d = F.sum(F.col("i") * F.col("x")).cast("double")

@@ -178,3 +178,64 @@ def test_winnow_count_gate_precedes_collect(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "Join" in plan, "count-gate join missing from winnow plan"
+
+
+# --- distributed global rank / ntile (VERDICT r6 item 2) ---------------------
+
+
+def test_global_row_number_matches_window_row_number(spark):
+    """Exact equivalence with row_number() OVER (ORDER BY ...) on
+    tie-heavy data spread over many range partitions — ties across a
+    partition boundary must still rank in (value, key) total order."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from dbt_fal_spark.functions.rank import global_row_number_with_total
+
+    df = spark.range(997).select(
+        (F.col("id") % 13).alias("v"), F.col("id").alias("k")
+    )
+    ranked, n = global_row_number_with_total(df, ["v", "k"], num_partitions=7)
+    assert n == 997
+    expected = df.withColumn(
+        "i", F.row_number().over(W.orderBy("v", "k")).cast("long")
+    )
+    got = {(r.v, r.k): r.i for r in ranked.collect()}
+    want = {(r.v, r.k): r.i for r in expected.collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("n_rows,k", [(997, 10), (1000, 10), (7, 10), (10, 10), (11, 4)])
+def test_ntile_from_rank_matches_spark_ntile(spark, n_rows, k):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from dbt_fal_spark.functions.rank import (
+        global_row_number_with_total,
+        ntile_from_rank,
+    )
+
+    df = spark.range(n_rows).select((F.col("id") * 37 % 101).alias("v"),
+                                    F.col("id").alias("key"))
+    ranked, n = global_row_number_with_total(df, ["v", "key"], num_partitions=5)
+    got = {r.key: r.b for r in ranked.select(
+        "key", ntile_from_rank("i", n, k).alias("b")).collect()}
+    want = {r.key: r.b for r in df.select(
+        "key", F.ntile(k).over(W.orderBy("v", "key")).alias("b")).collect()}
+    assert got == want
+
+
+def test_no_unpartitioned_window_in_flagged_entries(spark):
+    """The two entries the r6 verdict flagged must plan ZERO
+    single-partition WindowExec nodes (the 100TB scale killer)."""
+    from dbt_fal_spark.operators.relational import q_customer_value_deciles
+    from dbt_fal_spark.operators.stats import q_gini_customer_value
+
+    for fn in (q_customer_value_deciles, q_gini_customer_value):
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Window" in line:
+                assert "partitionBy" not in line or "__pid" in line, line
+                # a window spec with an empty partition list sorts
+                # globally on one task — none may remain
+                assert "Window [" not in line or "__pid" in line, line
