@@ -492,16 +492,25 @@ def st_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     if not versions:
         return spark.createDataFrame([], "user_id long, n_events long, total_value double")
-    final = spark.read.parquet(versions[-1]).select(
+    # promote the final copy-on-write version to a stable warehouse
+    # location and return the re-read DataFrame — the table never rides
+    # through the driver (no collect/createDataFrame round-trip; the
+    # target stays a real distributed table at any key cardinality)
+    import os
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    base = wh.path if wh.scheme in ("", "file") and wh.path else tempfile.gettempdir()
+    target = os.path.join(base, "st_upsert_stream_target")
+    shutil.rmtree(target, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    shutil.move(versions[-1], target)
+    shutil.rmtree(workdir, ignore_errors=True)
+    return spark.read.parquet(target).select(
         "user_id",
         "n_events",
         (F.col("cents").cast("double") / 100.0).alias("total_value"),
     )
-    # detach from the temp dir before cleanup; the target is driver-sized
-    # here (distinct keys at test SFs) — at scale it stays a real table
-    rows = final.collect()
-    shutil.rmtree(workdir, ignore_errors=True)
-    return spark.createDataFrame(rows, "user_id long, n_events long, total_value double")
 
 
 @query(
