@@ -168,9 +168,22 @@ class FalSpark:
         for model in self.manifest.models.values():
             if model.materialization in ("view", "ephemeral"):
                 continue
-            loc = db_dir / model.name
             identifier = f"{self.schema}.{model.name}"
-            if loc.is_dir() and any(loc.iterdir()) and not self.spark.catalog.tableExists(identifier):
+            if self.spark.catalog.tableExists(identifier):
+                continue
+            # the atomic swap leaves copy-on-write version dirs
+            # (<name>__v<uuid8>, see materialize.replace_relation_atomic)
+            # — the newest one with data is the live version. Dirs
+            # holding only _SUCCESS markers (interrupted writes) have no
+            # schema to infer and are skipped.
+            candidates = [db_dir / model.name] + [
+                p for p in db_dir.glob(f"{model.name}__v????????") if p.is_dir()
+            ]
+            live = [
+                c for c in candidates if c.is_dir() and any(c.rglob("*.parquet"))
+            ]
+            if live:
+                loc = max(live, key=lambda p: p.stat().st_mtime)
                 self.spark.sql(
                     f"CREATE TABLE {identifier} USING parquet LOCATION '{loc.resolve()}'"
                 )
@@ -374,18 +387,45 @@ class FalSpark:
         mode: str = "append",
     ) -> None:
         """Eager write into a declared source (reference: project.py:757-801;
-        default append)."""
+        default append). A JDBC external source is read-only unless its
+        connection block declares ``writable: true`` — then the write
+        goes through ``df.write.jdbc`` (reference write-back analogue:
+        support/postgres.py:33-88 pushes a relation through the DBAPI
+        engine; here the executors write in parallel, one connection per
+        partition — cap with ``numPartitions`` so a 1000-executor job
+        doesn't open 1000 connections against an operational database)."""
         src = self.manifest.source_by_name(source_name, table_name)
-        if (src.meta or {}).get("connection"):
-            # read-only on-ramp (mirrors the migration scope: reference
-            # write_df_to_relation pushes whole pandas frames through the
-            # warehouse driver — the Spark-native answer is to materialize
-            # a model and sync it, not to stream a cluster's output
-            # through one JDBC connection)
-            raise NotImplementedError(
-                f"source {source_name}.{table_name} is a JDBC external "
-                "source; write_to_source supports file/catalog sources only"
+        conn = (src.meta or {}).get("connection")
+        if conn:
+            if not conn.get("writable"):
+                # read-only by default (the migration on-ramp): pushing a
+                # curated table back into an operational warehouse is an
+                # explicit opt-in, never a side effect of a source block
+                raise NotImplementedError(
+                    f"source {source_name}.{table_name} is a JDBC external "
+                    "source declared read-only; set meta.connection."
+                    "writable: true to enable JDBC write-back"
+                )
+            if mode not in ("append", "overwrite"):
+                raise ValueError(
+                    f"JDBC write-back supports mode append/overwrite, got {mode!r}"
+                )
+            df = apply_dtype_casts(df, dtype)
+            url = self._expand_source_path(str(conn["url"]), strict=False)
+            writer = (
+                df.write.format("jdbc")
+                .option("url", url)
+                .option("dbtable", str(conn.get("dbtable") or table_name))
+                .mode(mode)
             )
+            for key in ("driver", "user", "password", "batchsize", "truncate",
+                        "numPartitions", "isolationLevel", "createTableOptions"):
+                if key in conn:
+                    writer = writer.option(
+                        key, self._expand_source_path(str(conn[key]), strict=False)
+                    )
+            writer.save()
+            return
         df = apply_dtype_casts(df, dtype)
         if src.path:
             path = self._expand_source_path(str(src.path))

@@ -94,6 +94,49 @@ def write_table(
     writer.saveAsTable(identifier)
 
 
+_VERSION_RE = r"__v[0-9a-f]{8}$"
+
+
+def _table_location(spark: SparkSession, identifier: str) -> str | None:
+    """Filesystem path of a table's current location (None if absent)."""
+    from urllib.parse import urlparse
+
+    if not spark.catalog.tableExists(identifier):
+        return None
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {_q(identifier)}").collect():
+        if r["col_name"] == "Location":
+            u = urlparse(r["data_type"])
+            return u.path if u.scheme in ("", "file") else r["data_type"]
+    return None
+
+
+def _table_bucket_spec(spark: SparkSession, identifier: str) -> tuple[int, tuple[str, ...]] | None:
+    """(num_buckets, bucket_cols) from the catalog, None if unbucketed."""
+    rows = {r["col_name"]: r["data_type"] for r in spark.sql(
+        f"DESCRIBE TABLE EXTENDED {_q(identifier)}").collect()}
+    n = rows.get("Num Buckets")
+    if not n:
+        return None
+    cols = tuple(
+        c.strip(" `") for c in rows.get("Bucket Columns", "").strip("[]").split(",")
+    )
+    return int(n), cols
+
+
+def _default_location(spark: SparkSession, identifier: str) -> str:
+    """Canonical warehouse path for a table name (version-suffix base)."""
+    import os
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    parts = identifier.split(".")
+    table = parts[-1].lower()
+    db = parts[-2].lower() if len(parts) > 1 else "default"
+    return os.path.join(
+        os.path.abspath(wh.path), f"{db}.db" if db != "default" else "", table
+    )
+
+
 def replace_relation_atomic(
     spark: SparkSession,
     df: DataFrame,
@@ -102,39 +145,115 @@ def replace_relation_atomic(
     sort_by: str | None = None,
     partition_by: str | None = None,
 ) -> None:
-    """Temp-table + swap: write to ``<name>__f__<uuid8>``, drop the
-    original, rename — safe when ``df`` reads from ``identifier`` itself
-    (reference: lib.py:286-329 overwrite_target / _replace_relation).
+    """Atomic table replacement, safe when ``df`` reads from
+    ``identifier`` itself (reference: lib.py:286-329 overwrite_target /
+    _replace_relation) AND against concurrent readers:
+
+    - Default (unpartitioned / bucketed, schema unchanged): copy-on-
+      write pointer flip. The new version is written to a fresh sibling
+      directory ``<table>__v<uuid8>``, then ONE metadata call (``ALTER
+      TABLE ... SET LOCATION``) switches the table to it. In-flight
+      readers keep scanning the previous version's files — which are
+      left on disk as a one-version grace window — so a racing read
+      resolves either the old or the new file set, never a deleted
+      file (tests/test_round7_fixes.py::test_compact_concurrent_reader).
+      Version dirs older than the grace window are vacuumed here.
+      This is the plain-parquet rendition of Delta/Iceberg snapshot
+      isolation; on a transactional lakehouse it is REPLACE TABLE.
+    - Hive-partitioned tables or a changed schema: drop-first temp-swap
+      (per-partition catalog locations and table schemas cannot be
+      flipped atomically in a v1 catalog) — use insert_overwrite for
+      reader-safe partitioned refreshes.
+
     ``bucket_by``/``sort_by``/``partition_by`` carry the declared layout
-    through the swap — a rebuild that silently flattened a hive-
-    partitioned or bucketed table would void the partition-pruning /
+    through the swap — a rebuild that silently flattened a partitioned
+    or bucketed table would void the partition-pruning /
     zero-shuffle-join contract the model config declared."""
+    import os
+    import re as _re
+    import shutil
+
     tmp = f"{identifier}__f__{uuid.uuid4().hex[:8]}"
-    try:
-        if sort_by and not bucket_by:
-            df = _range_cluster(df, sort_by)
-        writer = df.write.mode("overwrite").format("parquet")
+    if sort_by and not bucket_by:
+        df = _range_cluster(df, sort_by)
+
+    exists = spark.catalog.tableExists(identifier)
+    # nullability differs freely between plans; only name/type changes
+    # make the catalog schema stale for the pointer flip
+    _sig = lambda s: [(f.name, f.dataType) for f in s.fields]  # noqa: E731
+    schema_changed = exists and _sig(spark.table(identifier).schema) != _sig(df.schema)
+
+    def _layout(writer):
         if partition_by:
             writer = writer.partitionBy(*[c.strip() for c in partition_by.split(",")])
         if bucket_by:
             cols = [c.strip() for c in str(bucket_by["cols"]).split(",")]
             writer = writer.bucketBy(int(bucket_by.get("n", 32)), *cols).sortBy(*cols)
-        writer.saveAsTable(tmp)
-        spark.sql(f"DROP TABLE IF EXISTS {_q(identifier)}")
-        # dropping an EXTERNAL table (e.g. one re-attached after a process
-        # restart) leaves its files — clear them or RENAME collides with
-        # LOCATION_ALREADY_EXISTS
-        _clean_orphan_location(spark, identifier)
-        spark.sql(f"ALTER TABLE {_q(tmp)} RENAME TO {_q(identifier)}")
-        if partition_by:
-            # RENAME moves the managed table's directory but the catalog's
-            # per-partition locations still point at the temp path — SYNC
-            # drops those dead entries and re-registers the moved
-            # directories (metadata-only; no data pass)
-            spark.sql(f"MSCK REPAIR TABLE {_q(identifier)} SYNC PARTITIONS")
+        return writer
+
+    # the pointer flip reuses the live table's metadata, so the declared
+    # bucket layout must already match it (e.g. a table re-attached after
+    # a restart has no bucket spec) — otherwise rebuild the metadata too
+    want_buckets = (
+        (
+            int(bucket_by.get("n", 32)),
+            tuple(c.strip() for c in str(bucket_by["cols"]).split(",")),
+        )
+        if bucket_by
+        else None
+    )
+    bucket_mismatch = exists and _table_bucket_spec(spark, identifier) != want_buckets
+
+    if partition_by or schema_changed or bucket_mismatch or not exists:
+        # drop-first temp-swap (the pre-r7 flow)
+        try:
+            _layout(df.write.mode("overwrite").format("parquet")).saveAsTable(tmp)
+            spark.sql(f"DROP TABLE IF EXISTS {_q(identifier)}")
+            _clean_orphan_location(spark, identifier)
+            spark.sql(f"ALTER TABLE {_q(tmp)} RENAME TO {_q(identifier)}")
+            if partition_by:
+                # RENAME keeps per-partition catalog locations pointing at
+                # the temp path — SYNC re-registers the moved directories
+                spark.sql(f"MSCK REPAIR TABLE {_q(identifier)} SYNC PARTITIONS")
+        except Exception:
+            spark.sql(f"DROP TABLE IF EXISTS {_q(tmp)}")
+            raise
+        return
+
+    # copy-on-write pointer flip
+    old_loc = _table_location(spark, identifier)
+    base = (
+        _re.sub(_VERSION_RE, "", old_loc.rstrip("/"))
+        if old_loc
+        else _default_location(spark, identifier)
+    )
+    new_loc = f"{base}__v{uuid.uuid4().hex[:8]}"
+    try:
+        # option("path") makes tmp EXTERNAL: dropping it later removes
+        # only metadata, never the files the live table now points at
+        _layout(
+            df.write.mode("overwrite").format("parquet").option("path", new_loc)
+        ).saveAsTable(tmp)
+        spark.sql(f"ALTER TABLE {_q(identifier)} SET LOCATION '{new_loc}'")
+        spark.sql(f"REFRESH TABLE {_q(identifier)}")
     except Exception:
         spark.sql(f"DROP TABLE IF EXISTS {_q(tmp)}")
+        shutil.rmtree(new_loc, ignore_errors=True)
         raise
+    spark.sql(f"DROP TABLE IF EXISTS {_q(tmp)}")
+    # vacuum versions beyond the one-version grace window (everything
+    # that is neither the live dir nor the immediately previous one)
+    name = os.path.basename(base)
+    parent = os.path.dirname(base)
+    keep = {os.path.abspath(new_loc), os.path.abspath(old_loc or "")}
+    for d in os.listdir(parent) if os.path.isdir(parent) else []:
+        p = os.path.join(parent, d)
+        if (
+            (d == name or _re.fullmatch(_re.escape(name) + _VERSION_RE[:-1], d))
+            and os.path.abspath(p) not in keep
+            and os.path.isdir(p)
+        ):
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def _evolve_schema(
