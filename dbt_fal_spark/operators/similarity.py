@@ -200,21 +200,28 @@ def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH (8 sign bits) buckets
-    both sides; candidates only meet inside their bucket (equi-join, no
-    cross product). Recall < 1 by design — s_knn_bruteforce is the
-    oracle to measure it against.
+    both sides; candidates only meet inside their bucket. Recall < 1 by
+    design — s_knn_bruteforce is the oracle to measure it against.
 
-    The corpus-side work (8 hyperplane dots + norm for EVERY row) runs
-    as one Arrow numpy (N×64)@(64×8) matmul per batch — Catalyst does
-    not codegen higher-order lambdas, and interpreted per-row eval on
-    the full corpus is the throughput tax that survives at 100 TB. The
-    post-join pair scoring keeps the JVM expression: the bucket join has
-    already pruned candidates ~256× per query, so the interpreted dot
-    touches a tiny slice of the data — and avoiding a second Python
-    stage saves its Arrow round-trip and worker dispatch. Quantization
-    stays a Spark expression: round() is half-up in both engines while
-    np.round is banker's. Exactness: |qv| ≤ 2^13, plane weights ≤ 2^10,
-    so every dot < 2^33 — integer-exact in float64."""
+    Shape (r7, after the 1.25M-vector paired bench exposed the old
+    bucket-join plan): the N_QUERIES query vectors are collected (a
+    bounded driver read — the query set is tiny BY CONTRACT) and ride
+    into ONE Arrow pass over the corpus that quantizes, buckets, and
+    scores matching rows per batch with numpy matmuls, emitting ONLY
+    bucket-matched (query, neighbor, cosine) rows. The corpus streams
+    through Python once and nothing corpus-sized comes back: no
+    quantized-vector arrays through Arrow, no persist, no join — the
+    only shuffle is the final per-query top-k window over the ~N/2^8
+    surviving candidates. (The previous plan materialized + persisted
+    the full int64-quantized corpus just to equi-join it against 10
+    broadcast queries: 640 MB of Arrow traffic per 1.25M rows, 5.6× the
+    total runtime of this plan at that size — tools/ann_scale_bench.py.)
+
+    Exactness vs the SQL oracle: quantization is sign·floor(|x·1024|+.5)
+    == round() HALF_UP in both engines (np.round is banker's — avoided);
+    |qv| ≤ 2^13 and plane weights ≤ 2^10 keep every dot integer-exact;
+    the int64 dot and IEEE double divide/sqrt are the identical
+    operation sequence DuckDB runs."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -222,48 +229,62 @@ def s_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = np.array(PLANES, dtype=np.float64)  # (8, 64); pickled by value
     bits = np.array([1 << p for p in range(N_PLANES)], dtype=np.int64)
 
-    def add_bucket(batches):
-        import pandas as pd
+    def _quant(e: "np.ndarray") -> "np.ndarray":
+        # integral float64, NOT int64: every later product stays < 2^53
+        # (dots < 2^33) so float64 is exact, and float64 matmuls hit
+        # BLAS while int64 takes numpy's slow generic loop
+        e = e * 1024.0
+        out = np.abs(e)
+        out += 0.5
+        np.floor(out, out=out)
+        out *= np.sign(e)  # == round() HALF_UP
+        return out
 
-        for pdf in batches:
-            if not len(pdf):
+    out_schema = "query_id long, neighbor_id long, neighbor_label long, bucket long, cosine double"
+    qrows = raw.filter(F.col("vec_id") < N_QUERIES).collect()
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qm = _quant(np.array([r["embedding"] for r in qrows], dtype=np.float64))
+    q_nrm = (qm * qm).sum(axis=1)
+    q_bucket = ((qm @ planes.T) > 0) @ bits
+
+    def score(batches):
+        # mapInArrow: the embedding column is read as ONE flat zero-copy
+        # float buffer per batch (no per-row list objects — at 1.25M×64
+        # that materialization was the hot spot of the pandas variant)
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            e = np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
-            m = np.sign(e) * np.floor(np.abs(e) + 0.5)  # == round() HALF_UP
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "label": pdf["label"],
-                    "qv": list(m.astype(np.int64)),
-                    "nrm": (m * m).sum(axis=1).astype(np.int64),
-                    "bucket": ((m @ planes.T) > 0) @ bits,
-                }
-            )
+            emb_col = batch.column(batch.schema.get_field_index("embedding"))
+            flat = emb_col.flatten().to_numpy(zero_copy_only=False)
+            m = _quant(flat.astype(np.float64).reshape(batch.num_rows, -1))
+            nrm = np.einsum("ij,ij->i", m, m)  # exact: per-row ≤ 2^32
+            bucket = ((m @ planes.T) > 0) @ bits
+            ids = batch.column(batch.schema.get_field_index("vec_id")).to_numpy()
+            labels = batch.column(batch.schema.get_field_index("label")).to_numpy()
+            cols = {k: [] for k in ("query_id", "neighbor_id", "neighbor_label", "bucket", "cosine")}
+            for qi in range(len(q_ids)):
+                mask = (bucket == q_bucket[qi]) & (ids != q_ids[qi])
+                if not mask.any():
+                    continue
+                dots = m[mask] @ qm[qi]  # integral float64 — exact
+                cos = dots / (np.sqrt(float(q_nrm[qi])) * np.sqrt(nrm[mask]))
+                n_hit = int(mask.sum())
+                cols["query_id"].append(np.full(n_hit, q_ids[qi], dtype=np.int64))
+                cols["neighbor_id"].append(ids[mask].astype(np.int64))
+                cols["neighbor_label"].append(labels[mask].astype(np.int64))
+                cols["bucket"].append(np.full(n_hit, q_bucket[qi], dtype=np.int64))
+                cols["cosine"].append(cos)
+            if cols["query_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(v)) for v in cols.values()],
+                    names=list(cols.keys()),
+                )
 
-    # persist: the bucket/norm projection feeds BOTH the broadcast query
-    # side and the probe side — one evaluation instead of two.
-    n = spread(raw).mapInPandas(
-        add_bucket, schema="vec_id long, label long, qv array<long>, nrm long, bucket long"
-    ).persist()
-    queries = n.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("qv").alias("q_qv"),
-        F.col("nrm").alias("q_nrm"),
-        F.col("bucket").alias("q_bucket"),
-    )
-    dot = F.expr("aggregate(zip_with(q_qv, qv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
-    cosine = dot.cast("double") / (F.sqrt(F.col("q_nrm")) * F.sqrt(F.col("nrm")))
-    scored = (
-        F.broadcast(queries)
-        .join(n, (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("label").alias("neighbor_label"),
-            F.col("q_bucket").alias("bucket"),
-            cosine.alias("cosine"),
-        )
-    )
+    scored = spread(raw).mapInArrow(score, schema=out_schema)
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
 
