@@ -53,40 +53,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # p_flow_run_customer_stats) — lead r7 with those, then any entry whose
 # plan changes in r7, then rotate the r5-green t_*/e_* rows.
 #
-# r6 WINDOW (this round): lead with st_full_outer_interval_stream (the
-# one entry with zero driver evidence — added after the r5 window
-# froze), then every entry whose PLAN or SEMANTICS changed this round
-# (the winnowing _WN_DOC_CAP, the tfidf exchange fold, the multitable
-# single-pass rewrite, the triangles one-job plan, and the FINITE_EMB
-# null-element fix touching the whole embedding family), then the 25
-# entries whose last green driver row is r03 (events family, streaming
-# family, q14-q19), then the oldest r4 rows up to the 50-entry window.
+# r7 WINDOW (this round): lead with every entry whose PLAN or
+# SEMANTICS changed this round — the distributed-rank rewrites
+# (deciles/gini), the mapInArrow LSH rewrite, the winnow count-gate,
+# the streaming-upsert drain, and the lifecycle entry that exercises
+# the new copy-on-write swap — then the 36 entries whose last green
+# driver row is r4 (q03/q04/q06-q13/q16/q22, the q_* analytics
+# family, m_frame_sample), up to the 50-entry window. The remaining
+# r5-green t_*/e_* rows rotate in r8.
 _CHECK_FIRST = (
-    # never driver-checked — completes full driver coverage
-    "st_full_outer_interval_stream",
-    # plans/semantics changed in r6 — re-verify
-    "d_winnow_neardup", "t_tfidf_top_terms", "s_knn_lsh_multitable",
-    "d_neardup_triangles",
-    "s_knn_bruteforce", "s_knn_lsh_bucketed", "s_knn_ivf", "s_knn_int8",
-    "s_label_centroid_distance", "s_text_vector_join",
-    "d_embedding_neardup_pairs", "d_embedding_neardup_lsh",
-    # last green in r03 — refresh
-    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q19_disjunctive_predicates",
-    "e_sessionize", "e_hourly_rollup", "e_json_props_stats",
-    "e_user_activity_pivot", "e_purchase_gap_stats", "e_dau_hll_sketch",
-    "e_funnel_conversion", "e_retention_cohorts", "e_rolling_7d_revenue",
-    "e_resample_daily_fill", "e_sliding_window_traffic",
-    "e_forecast_daily_by_type", "e_anomaly_events",
-    "st_hourly_stream", "st_session_stream", "st_user_totals_stateful",
-    "st_enriched_stream", "st_interval_join_stream", "st_dedup_stream",
-    "st_upsert_stream",
-    # oldest r4 rows — refresh up to the 50-entry window
-    "d_containment_pairs", "q_profile_orders", "q_histogram_totalprice",
-    "q01_pricing_summary", "q05_region_nation_revenue",
-    "q02_min_cost_part_supplier", "d_decontaminate", "d_simhash",
-    "d_keep_best_per_key", "d_neardup_components",
-    "m_binary_metadata", "m_decode_pipeline",
+    # plans/semantics changed in r7 — re-verify
+    "q_customer_value_deciles", "q_gini_customer_value",
+    "s_knn_lsh_bucketed", "d_winnow_neardup", "st_upsert_stream",
+    "p_flow_run_customer_stats",
+    # last green in r4 — refresh (everything below)
+    "m_frame_sample",
+    "q03_topk_order_revenue", "q06_filtered_revenue",
+    "q_orders_daily_pivot", "q_customer_order_stats",
+    "q_date_filter_projection", "q_generic_tests",
+    "q_topk_orders_per_segment", "q_customer_running_total",
+    "q_repeat_customers_intersect", "q_lapsed_customers_except",
+    "q_priority_distinct_customers", "q_region_rollup_revenue",
+    "q_part_string_funcs", "q04_late_shipment_priority",
+    "q13_order_count_distribution", "q16_parts_not_recently_shipped",
+    "q22_lapsed_rich_customers", "q_cube_status_priority",
+    "q_paginate_orders", "q_grouping_sets_revenue",
+    "q_first_last_order_value", "q_pivot_priority_by_status",
+    "q_quantity_quartiles", "q_status_set_per_priority",
+    "q_revenue_trend_by_priority", "q_order_date_parts",
+    "q07_volume_shipping", "q08_market_share", "q09_product_profit",
+    "q10_returned_items", "q_corr_stats_by_flag",
+    "q_range_join_price_band", "q_mad_outlier_orders",
+    # r7 rewrites' immediate neighbors — same files, re-pin
+    "s_knn_bruteforce", "s_knn_ivf", "s_knn_int8",
+    "s_knn_lsh_multitable", "d_embedding_neardup_pairs",
+    "q_customer_value_percentile", "d_exact_dedup",
+    "st_dedup_stream", "st_hourly_stream", "st_left_outer_interval_stream",
 )
 
 
