@@ -295,3 +295,29 @@ def test_stale_handle_resolves_post_compact(spark, tmp_path):
     handle = spark.table(fal._identifier("wide"))
     fal.compact("wide", target_partitions=2)
     assert handle.count() == 3000
+
+
+def test_cow_swap_vacuums_old_versions(spark, tmp_path):
+    """Repeated rebuilds must keep at most the live version plus the
+    one-version grace window on disk — version dirs may not accumulate."""
+    import glob as _glob
+
+    from dbt_fal_spark.materialize import _table_location
+
+    proj = _proj(tmp_path, "vacproj", {
+        "t": "SELECT id AS k FROM range(100)",
+    })
+    fal = FalSpark(proj, spark=spark)
+    fal.run(select=["t"])
+    ident = fal._identifier("t")
+    for _ in range(4):
+        fal.compact("t", target_partitions=1)
+    loc = _table_location(spark, ident)
+    assert "__v" in loc  # pointer-flipped at least once
+    db_dir = os.path.dirname(loc)
+    versions = [
+        d for d in _glob.glob(os.path.join(db_dir, "t__v*")) + [os.path.join(db_dir, "t")]
+        if os.path.isdir(d)
+    ]
+    assert len(versions) <= 2, f"version dirs accumulated: {versions}"
+    assert spark.table(ident).count() == 100
