@@ -132,17 +132,23 @@ def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_k = TOP_K
 
     def local_topk(batches):
-        import pandas as pd
+        # mapInArrow: the embedding column arrives as ONE flat zero-copy
+        # float buffer per batch — no per-row list objects (measured hot
+        # spot at 1M+ rows, tools/ann_scale_bench.py)
+        import pyarrow as pa
 
         qids, qmat, qnrm = b_qids.value, b_qmat.value, b_qnrm.value
-        for pdf in batches:
-            if not len(pdf):
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            n_labels = pdf["label"].to_numpy(dtype=np.int64)
-            e = np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
+            idx = batch.schema.get_field_index
+            n_ids = batch.column(idx("vec_id")).to_numpy().astype(np.int64)
+            n_labels = batch.column(idx("label")).to_numpy().astype(np.int64)
+            flat = batch.column(idx("embedding")).flatten().to_numpy(zero_copy_only=False)
+            e = flat.astype(np.float64).reshape(batch.num_rows, -1)
+            e *= 1024.0
             n_mat = np.sign(e) * np.floor(np.abs(e) + 0.5)  # == round() HALF_UP
-            n_nrm = (n_mat * n_mat).sum(axis=1)
+            n_nrm = np.einsum("ij,ij->i", n_mat, n_mat)
             cos = (qmat @ n_mat.T) / (np.sqrt(qnrm)[:, None] * np.sqrt(n_nrm)[None, :])
             out_q, out_n, out_l, out_c = [], [], [], []
             for qi in range(len(qids)):
@@ -157,16 +163,17 @@ def s_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out_n.append(n_ids[cand])
                 out_l.append(n_labels[cand])
                 out_c.append(row[cand])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "neighbor_label": np.concatenate(out_l),
-                    "cosine": np.concatenate(out_c),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_n)),
+                    pa.array(np.concatenate(out_l)),
+                    pa.array(np.concatenate(out_c)),
+                ],
+                names=["query_id", "neighbor_id", "neighbor_label", "cosine"],
             )
 
-    scored = spread(raw).mapInPandas(local_topk, schema=knn_schema)
+    scored = spread(raw).mapInArrow(local_topk, schema=knn_schema)
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
 
@@ -424,19 +431,24 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_queries = N_QUERIES
 
     def partials_and_queries(batches):
-        import pandas as pd
+        # mapInArrow: flat zero-copy embedding buffer in; the output is
+        # k cells + nq query rows — partition-tiny by construction
+        import pyarrow as pa
 
         acc: dict = {}
         qids: list = []
         qlbl: list = []
         qvec: list = []
-        for pdf in batches:
-            if not len(pdf):
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            e = np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
+            idx = batch.schema.get_field_index
+            flat = batch.column(idx("embedding")).flatten().to_numpy(zero_copy_only=False)
+            e = flat.astype(np.float64).reshape(batch.num_rows, -1)
+            e *= 1024.0
             m = (np.sign(e) * np.floor(np.abs(e) + 0.5)).astype(np.int64)
-            labels = pdf["label"].to_numpy(dtype=np.int64)
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labels = batch.column(idx("label")).to_numpy().astype(np.int64)
+            ids = batch.column(idx("vec_id")).to_numpy().astype(np.int64)
             for i in np.nonzero(ids < n_queries)[0]:
                 qids.append(int(ids[i]))
                 qlbl.append(int(labels[i]))
@@ -446,19 +458,24 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cnt, vec = acc.get(int(lbl), (0, 0))
                 acc[int(lbl)] = (cnt + len(sel), vec + sel.sum(axis=0, dtype=np.int64))
         if acc or qids:
-            yield pd.DataFrame(
-                {
-                    "kind": [0] * len(acc) + [1] * len(qids),
-                    "label": list(acc) + qlbl,
-                    "cnt": [c for c, _ in acc.values()] + [0] * len(qids),
-                    "sv": [v for _, v in acc.values()] + qvec,
-                    "vec_id": [0] * len(acc) + qids,
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([0] * len(acc) + [1] * len(qids), type=pa.int32()),
+                    pa.array(list(acc) + qlbl, type=pa.int64()),
+                    pa.array([c for c, _ in acc.values()] + [0] * len(qids), type=pa.int64()),
+                    pa.array(
+                        [v.tolist() if hasattr(v, "tolist") else v for _, v in acc.values()]
+                        + [v.tolist() for v in qvec],
+                        type=pa.list_(pa.int64()),
+                    ),
+                    pa.array([0] * len(acc) + qids, type=pa.int64()),
+                ],
+                names=["kind", "label", "cnt", "sv", "vec_id"],
             )
 
     merged: dict = {}
     qrow_map: dict = {}
-    for r in base.mapInPandas(
+    for r in base.mapInArrow(
         partials_and_queries,
         schema="kind int, label long, cnt long, sv array<long>, vec_id long",
     ).collect():
@@ -518,40 +535,40 @@ def s_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_k = TOP_K
 
     def local_topk(batches):
-        import pandas as pd
+        import pyarrow as pa
 
         qids, qmat, qnrm, pmask = b_q.value
-        for pdf in batches:
-            if not len(pdf):
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            n_labels = pdf["label"].to_numpy(dtype=np.int64)
-            e = np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
+            idx = batch.schema.get_field_index
+            n_ids = batch.column(idx("vec_id")).to_numpy().astype(np.int64)
+            n_labels = batch.column(idx("label")).to_numpy().astype(np.int64)
+            flat = batch.column(idx("embedding")).flatten().to_numpy(zero_copy_only=False)
+            e = flat.astype(np.float64).reshape(batch.num_rows, -1)
+            e *= 1024.0
             m = np.sign(e) * np.floor(np.abs(e) + 0.5)  # == round() HALF_UP
-            nrm = (m * m).sum(axis=1)
+            nrm = np.einsum("ij,ij->i", m, m)
             cell_idx = cells_for(m, nrm)[:, 0]
             cos = (qmat @ m.T) / (np.sqrt(qnrm)[:, None] * np.sqrt(nrm)[None, :])
-            out = []
+            cols = {k: [] for k in ("query_id", "neighbor_id", "neighbor_label", "cell", "cosine")}
             for qi in range(len(qids)):
                 cand = np.nonzero(pmask[qi, cell_idx] & (n_ids != qids[qi]))[0]
                 row = cos[qi]
                 if len(cand) > top_k:
                     cand = cand[np.lexsort((n_ids[cand], -row[cand]))[:top_k]]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.full(len(cand), qids[qi]),
-                            "neighbor_id": n_ids[cand],
-                            "neighbor_label": n_labels[cand],
-                            "cell": c_labels[cell_idx[cand]],
-                            "cosine": row[cand],
-                        }
-                    )
+                cols["query_id"].append(np.full(len(cand), qids[qi], dtype=np.int64))
+                cols["neighbor_id"].append(n_ids[cand])
+                cols["neighbor_label"].append(n_labels[cand])
+                cols["cell"].append(c_labels[cell_idx[cand]].astype(np.int64))
+                cols["cosine"].append(row[cand])
+            if cols["query_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(v)) for v in cols.values()],
+                    names=list(cols.keys()),
                 )
-            if out:
-                yield pd.concat(out, ignore_index=True)
 
-    scored = base.mapInPandas(
+    scored = base.mapInArrow(
         local_topk,
         schema="query_id long, neighbor_id long, neighbor_label long, cell long, cosine double",
     )
@@ -642,27 +659,36 @@ def s_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_queries = N_QUERIES
 
     def partials_and_queries(batches):
-        import pandas as pd
+        # mapInArrow: flat zero-copy embedding buffer in; output is DIM
+        # stats rows + the contract-tiny query rows per batch
+        import pyarrow as pa
 
-        for pdf in batches:
-            if not len(pdf):
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            e = np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
+            idx = batch.schema.get_field_index
+            flat = batch.column(idx("embedding")).flatten().to_numpy(zero_copy_only=False)
+            e = flat.astype(np.float64).reshape(batch.num_rows, -1)
+            e *= 1024.0
             m = (np.sign(e) * np.floor(np.abs(e) + 0.5)).astype(np.int64)
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            ids = batch.column(idx("vec_id")).to_numpy().astype(np.int64)
             qsel = np.nonzero(ids < n_queries)[0]
-            yield pd.DataFrame(
-                {
-                    "kind": [0] * m.shape[1] + [1] * len(qsel),
-                    "d": list(range(m.shape[1])) + ids[qsel].tolist(),
-                    "mn": m.min(axis=0).tolist() + [0] * len(qsel),
-                    "mx": m.max(axis=0).tolist() + [0] * len(qsel),
-                    "qv": [None] * m.shape[1] + list(m[qsel]),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([0] * m.shape[1] + [1] * len(qsel), type=pa.int32()),
+                    pa.array(list(range(m.shape[1])) + ids[qsel].tolist(), type=pa.int64()),
+                    pa.array(m.min(axis=0).tolist() + [0] * len(qsel), type=pa.int64()),
+                    pa.array(m.max(axis=0).tolist() + [0] * len(qsel), type=pa.int64()),
+                    pa.array(
+                        [None] * m.shape[1] + [v.tolist() for v in m[qsel]],
+                        type=pa.list_(pa.int64()),
+                    ),
+                ],
+                names=["kind", "d", "mn", "mx", "qv"],
             )
 
     fused = (
-        raw.mapInPandas(
+        raw.mapInArrow(
             partials_and_queries,
             schema="kind int, d long, mn long, mx long, qv array<long>",
         )
@@ -691,39 +717,39 @@ def s_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_k = TOP_K
 
     def local_topk(batches):
-        import pandas as pd
+        import pyarrow as pa
 
         qids, qcodes, bmn, bspan = b_q.value
-        for pdf in batches:
-            if not len(pdf):
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            n_labels = pdf["label"].to_numpy(dtype=np.int64)
-            e = np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
+            idx = batch.schema.get_field_index
+            n_ids = batch.column(idx("vec_id")).to_numpy().astype(np.int64)
+            n_labels = batch.column(idx("label")).to_numpy().astype(np.int64)
+            flat = batch.column(idx("embedding")).flatten().to_numpy(zero_copy_only=False)
+            e = flat.astype(np.float64).reshape(batch.num_rows, -1)
+            e *= 1024.0
             m = (np.sign(e) * np.floor(np.abs(e) + 0.5)).astype(np.int64)
             codes = (m - bmn) * 255 // bspan
             # |qv| ≤ 2^13, code·span ≤ 255·2^14 < 2^22 → 64-term dot < 2^41
             score = qcodes @ (codes * bspan).T  # exact int64
-            out = []
+            cols = {k: [] for k in ("query_id", "neighbor_id", "neighbor_label", "qscore")}
             for qi in range(len(qids)):
                 cand = np.nonzero(n_ids != qids[qi])[0]
                 row = score[qi]
                 if len(cand) > top_k:
                     cand = cand[np.lexsort((n_ids[cand], -row[cand]))[:top_k]]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.full(len(cand), qids[qi]),
-                            "neighbor_id": n_ids[cand],
-                            "neighbor_label": n_labels[cand],
-                            "qscore": row[cand],
-                        }
-                    )
+                cols["query_id"].append(np.full(len(cand), qids[qi], dtype=np.int64))
+                cols["neighbor_id"].append(n_ids[cand])
+                cols["neighbor_label"].append(n_labels[cand])
+                cols["qscore"].append(row[cand])
+            if cols["query_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(v)) for v in cols.values()],
+                    names=list(cols.keys()),
                 )
-            if out:
-                yield pd.concat(out, ignore_index=True)
 
-    scored = raw.mapInPandas(
+    scored = raw.mapInArrow(
         local_topk, schema="query_id long, neighbor_id long, neighbor_label long, qscore long"
     )
     w = W.partitionBy("query_id").orderBy(F.desc("qscore"), F.asc("neighbor_id"))
@@ -846,20 +872,23 @@ def s_knn_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_k = TOP_K
 
     def local_topk(batches):
-        import pandas as pd
+        import pyarrow as pa
 
         qids, qmat, qnrm, qbkt = b_q.value
-        for pdf in batches:
-            if not len(pdf):
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            n_labels = pdf["label"].to_numpy(dtype=np.int64)
-            e = np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
+            idx = batch.schema.get_field_index
+            n_ids = batch.column(idx("vec_id")).to_numpy().astype(np.int64)
+            n_labels = batch.column(idx("label")).to_numpy().astype(np.int64)
+            flat = batch.column(idx("embedding")).flatten().to_numpy(zero_copy_only=False)
+            e = flat.astype(np.float64).reshape(batch.num_rows, -1)
+            e *= 1024.0
             m = np.sign(e) * np.floor(np.abs(e) + 0.5)
-            nrm = (m * m).sum(axis=1)
+            nrm = np.einsum("ij,ij->i", m, m)
             bkt = _buckets(m)  # (N, N_TABLES)
             cos = (qmat @ m.T) / (np.sqrt(qnrm)[:, None] * np.sqrt(nrm)[None, :])
-            out = []
+            cols = {k: [] for k in ("query_id", "neighbor_id", "neighbor_label", "cosine")}
             for qi in range(len(qids)):
                 # union over tables: collide in ANY table = candidate
                 mask = (bkt == qbkt[qi][None, :]).any(axis=1) & (n_ids != qids[qi])
@@ -867,19 +896,16 @@ def s_knn_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 row = cos[qi]
                 if len(cand) > top_k:
                     cand = cand[np.lexsort((n_ids[cand], -row[cand]))[:top_k]]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.full(len(cand), qids[qi]),
-                            "neighbor_id": n_ids[cand],
-                            "neighbor_label": n_labels[cand],
-                            "cosine": row[cand],
-                        }
-                    )
+                cols["query_id"].append(np.full(len(cand), qids[qi], dtype=np.int64))
+                cols["neighbor_id"].append(n_ids[cand])
+                cols["neighbor_label"].append(n_labels[cand])
+                cols["cosine"].append(row[cand])
+            if cols["query_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(v)) for v in cols.values()],
+                    names=list(cols.keys()),
                 )
-            if out:
-                yield pd.concat(out, ignore_index=True)
 
-    scored = spread(raw).mapInPandas(local_topk, schema=out_schema)
+    scored = spread(raw).mapInArrow(local_topk, schema=out_schema)
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
