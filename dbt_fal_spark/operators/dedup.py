@@ -977,10 +977,18 @@ def d_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_planes = N_PLANES
 
     def add_buckets(batches):
-        for pdf in batches:
-            if not len(pdf):
+        # mapInArrow: embedding column in as ONE flat zero-copy float
+        # buffer (no per-row list objects — the measured hot spot of the
+        # pandas variant at 1M+ rows, tools/ann_scale_bench.py)
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            e = np.array(list(pdf["embedding"]), dtype=np.float64) * 1024.0
+            idx = batch.schema.get_field_index
+            flat = batch.column(idx("embedding")).flatten().to_numpy(zero_copy_only=False)
+            e = flat.astype(np.float64).reshape(batch.num_rows, -1)
+            e *= 1024.0
             m = np.sign(e) * np.floor(np.abs(e) + 0.5)  # round() HALF_UP twin
             sig = (m @ planes.T) > 0
             # quantized vectors ride the shuffle PACKED as 8·DIM-byte
@@ -991,24 +999,32 @@ def d_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (tbl,bucket) exchange is this query's dominant movement)
             mi = m.astype(np.int64)
             qv_bytes = [mi[i].tobytes() for i in range(len(mi))]
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), n_tables),
-                    "label": np.repeat(pdf["label"].to_numpy(np.int64), n_tables),
-                    "qv": [b for b in qv_bytes for _ in range(n_tables)],
-                    "nrm": np.repeat((m * m).sum(axis=1).astype(np.int64), n_tables),
-                    "tbl": np.tile(np.arange(n_tables, dtype=np.int64), len(pdf)),
-                    "bucket": np.stack(
-                        [
-                            sig[:, t * n_planes : (t + 1) * n_planes] @ bits
-                            for t in range(n_tables)
-                        ],
-                        axis=1,
-                    ).reshape(-1),
-                }
+            ids = batch.column(idx("vec_id")).to_numpy().astype(np.int64)
+            labels = batch.column(idx("label")).to_numpy().astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, n_tables)),
+                    pa.array(np.repeat(labels, n_tables)),
+                    pa.array(
+                        [b for b in qv_bytes for _ in range(n_tables)],
+                        type=pa.binary(),
+                    ),
+                    pa.array(np.repeat(np.einsum("ij,ij->i", m, m).astype(np.int64), n_tables)),
+                    pa.array(np.tile(np.arange(n_tables, dtype=np.int64), batch.num_rows)),
+                    pa.array(
+                        np.stack(
+                            [
+                                sig[:, t * n_planes : (t + 1) * n_planes] @ bits
+                                for t in range(n_tables)
+                            ],
+                            axis=1,
+                        ).reshape(-1)
+                    ),
+                ],
+                names=["vec_id", "label", "qv", "nrm", "tbl", "bucket"],
             )
 
-    sig = spread(emb.filter(F.expr(FINITE_EMB)).select("vec_id", "label", "embedding")).mapInPandas(
+    sig = spread(emb.filter(F.expr(FINITE_EMB)).select("vec_id", "label", "embedding")).mapInArrow(
         add_buckets,
         schema="vec_id long, label long, qv binary, nrm long, tbl long, bucket long",
     )
