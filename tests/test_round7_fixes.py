@@ -321,3 +321,42 @@ def test_cow_swap_vacuums_old_versions(spark, tmp_path):
     ]
     assert len(versions) <= 2, f"version dirs accumulated: {versions}"
     assert spark.table(ident).count() == 100
+
+
+def test_incremental_merge_is_pointer_flipped(spark, tmp_path):
+    """Incremental merges go through the copy-on-write flip too: after a
+    second run the table lives in a versioned dir, the previous version
+    survives as the grace window, and a pre-merge handle still reads."""
+    from dbt_fal_spark.materialize import _table_location
+
+    proj = _proj(tmp_path, "incproj7", {
+        "inc": "{{ config(materialized='incremental', unique_key='k') }}\n"
+               "SELECT id AS k, 'v1' AS v FROM range(50)",
+    })
+    fal = FalSpark(proj, spark=spark)
+    fal.run(select=["inc"])
+    ident = fal._identifier("inc")
+    handle = spark.table(ident)
+    fal.run(select=["inc"])  # merge path (table exists, unique_key set)
+    loc = _table_location(spark, ident)
+    assert "__v" in loc, "merge did not pointer-flip"
+    assert handle.count() == 50  # pre-merge handle resolves post-swap
+    assert spark.table(ident).count() == 50
+
+
+def test_schema_change_rebuild_falls_back_and_lands(spark, tmp_path):
+    """A rebuild that changes columns cannot pointer-flip (stale catalog
+    schema) — it must take the drop-first flow and land the NEW schema."""
+    from dbt_fal_spark.materialize import replace_relation_atomic, write_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS r7schema")
+    t = "r7schema.evolve"
+    try:
+        write_table(spark.createDataFrame([(1, "a")], "k long, v string"), t)
+        df2 = spark.createDataFrame([(1, "a", 9.5)], "k long, v string, score double")
+        replace_relation_atomic(spark, df2, t)
+        got = spark.table(t)
+        assert got.columns == ["k", "v", "score"]
+        assert got.count() == 1
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS r7schema CASCADE")
