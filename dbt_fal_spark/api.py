@@ -886,6 +886,37 @@ class FalSpark:
         replace_relation_atomic(self.spark, out, identifier)
         return min(n, cur) if n <= cur else n
 
+    def vacuum(self, model_name: str) -> int:
+        """Delete a model's non-live copy-on-write version directories
+        (the atomic swap keeps ONE previous version as a grace window
+        for in-flight readers — see materialize.replace_relation_atomic;
+        Delta's VACUUM analogue). Call when no readers are active, e.g.
+        between pipeline runs. Returns the number of dirs removed."""
+        import re as _re
+        import shutil
+
+        from .materialize import _VERSION_RE, _table_location
+
+        self._require_table_model(model_name, "vacuum")
+        identifier = self._identifier(model_name)
+        live = _table_location(self.spark, identifier)
+        if live is None:
+            return 0
+        base = _re.sub(_VERSION_RE, "", live.rstrip("/"))
+        name = os.path.basename(base)
+        parent = os.path.dirname(base)
+        removed = 0
+        for d in os.listdir(parent) if os.path.isdir(parent) else []:
+            p = os.path.join(parent, d)
+            if (
+                (d == name or _re.fullmatch(_re.escape(name) + _VERSION_RE[:-1], d))
+                and os.path.abspath(p) != os.path.abspath(live)
+                and os.path.isdir(p)
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
+        return removed
+
     def analyze(self, model_name: str, columns: bool = True) -> None:
         """ANALYZE TABLE — compute row-count/size (and per-column NDV,
         min/max, null counts with ``columns=True``) into the catalog so

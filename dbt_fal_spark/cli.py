@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
     add_common(analyze)
     analyze.add_argument("--no-columns", action="store_true",
                          help="skip per-column NDV/min/max stats")
+    vacuum = maint_sub.add_parser(
+        "vacuum", help="delete non-live copy-on-write version dirs (grace window)"
+    )
+    add_common(vacuum)
 
     source = sub.add_parser("source", help="source verbs")
     source_sub = source.add_subparsers(dest="source_command", required=True)
@@ -184,6 +188,9 @@ def main(argv: list[str] | None = None) -> int:
             if args.maint_command == "compact":
                 n = fal.compact(name, target_partitions=args.partitions)
                 print(f"compacted {name} -> {n} partitions")
+            elif args.maint_command == "vacuum":
+                n = fal.vacuum(name)
+                print(f"vacuumed {name}: removed {n} version dir(s)")
             else:
                 fal.analyze(name, columns=not args.no_columns)
                 print(f"analyzed {name}")

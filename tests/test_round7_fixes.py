@@ -360,3 +360,32 @@ def test_schema_change_rebuild_falls_back_and_lands(spark, tmp_path):
         assert got.count() == 1
     finally:
         spark.sql("DROP DATABASE IF EXISTS r7schema CASCADE")
+
+
+def test_vacuum_removes_grace_window(spark, tmp_path, capsys):
+    """maintenance vacuum deletes the grace-window version dir, keeping
+    only the live one; the table still reads."""
+    import glob as _glob
+
+    from dbt_fal_spark.cli import main
+    from dbt_fal_spark.materialize import _table_location
+
+    proj = _proj(tmp_path, "vacproj2", {
+        "t": "SELECT id AS k FROM range(64)",
+    })
+    fal = FalSpark(proj, spark=spark)
+    fal.run(select=["t"])
+    fal.compact("t", target_partitions=1)  # creates one version + grace
+    ident = fal._identifier("t")
+    live = _table_location(spark, ident)
+    db_dir = os.path.dirname(live)
+    before = [d for d in _glob.glob(os.path.join(db_dir, "t__v*")) + [os.path.join(db_dir, "t")]
+              if os.path.isdir(d)]
+    assert len(before) == 2  # live + grace
+
+    rc = main(["maintenance", "vacuum", "--project-dir", str(proj), "--select", "t"])
+    assert rc == 0
+    after = [d for d in _glob.glob(os.path.join(db_dir, "t__v*")) + [os.path.join(db_dir, "t")]
+             if os.path.isdir(d)]
+    assert after == [live]
+    assert spark.table(ident).count() == 64
