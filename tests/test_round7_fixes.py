@@ -389,3 +389,52 @@ def test_vacuum_removes_grace_window(spark, tmp_path, capsys):
              if os.path.isdir(d)]
     assert after == [live]
     assert spark.table(ident).count() == 64
+
+
+def test_global_row_number_balances_skewed_keys(spark):
+    """A 90%-duplicate order value must not hot-spot one range partition:
+    the unique tiebreak column lets the lexicographic range partitioner
+    split ties, so the helper stays parallel under value skew."""
+    from pyspark.sql import functions as F
+
+    from dbt_fal_spark.functions.rank import global_row_number_with_total
+
+    df = spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("v"),
+        F.col("id").alias("k"),
+    )
+    ranked, n = global_row_number_with_total(df, ["v", "k"], num_partitions=8)
+    assert n == 10000
+    sizes = (
+        ranked.withColumn("p", F.spark_partition_id()).groupBy("p").count().collect()
+    )
+    largest = max(r["count"] for r in sizes)
+    assert largest < 10000 * 0.5, f"hot partition under skew: {sizes}"
+    # ranks are still a permutation of 1..N
+    assert ranked.agg(F.sum("i")).collect()[0][0] == n * (n + 1) // 2
+
+
+def test_bucketed_join_zero_shuffle_survives_compact(spark, tmp_path):
+    """The real bucket_by contract: after compact, a same-key equi-join
+    between two co-bucketed models still plans ZERO shuffle exchanges."""
+    proj = _proj(tmp_path, "bkflip", {
+        "left_t": "{{ config(bucket_by={'cols': 'k', 'n': 4}) }}\n"
+                  "SELECT id % 500 AS k, id AS a FROM range(2000)",
+        "right_t": "{{ config(bucket_by={'cols': 'k', 'n': 4}) }}\n"
+                   "SELECT id % 500 AS k, id * 2 AS b FROM range(1000)",
+    })
+    fal = FalSpark(proj, spark=spark)
+    fal.run(select=["left_t", "right_t"])
+    fal.compact("left_t")
+    fal.compact("right_t")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(fal._identifier("left_t")).join(
+            spark.table(fal._identifier("right_t")), "k"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "compact broke the co-bucketed join:\n" + plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
