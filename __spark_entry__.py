@@ -53,6 +53,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # p_flow_run_customer_stats) — lead r7 with those, then any entry whose
 # plan changes in r7, then rotate the r5-green t_*/e_* rows.
 #
+# r8 PLAN: assuming CORRECTNESS_r7 is green over this window, the
+# stalest remaining rows are the 39 r5 entries not refreshed here
+# (the t_* text family, d_exact_dedup/d_ngram_jaccard/d_minhash/
+# d_lsh_levenshtein/d_bloom_prefilter, m_chunk_dedup, the remaining
+# q_* analytics rows, e_asof/e_daily_active/e_interpolate/
+# e_changepoint/e_hll_register/e_rolling_median, q_salted_join) —
+# lead r8 with those, then any entry whose plan changes in r8, then
+# rotate the r6/r7-green rows.
+#
 # r7 WINDOW (this round): lead with every entry whose PLAN or
 # SEMANTICS changed this round — the distributed-rank rewrites
 # (deciles/gini), the mapInArrow LSH rewrite, the winnow count-gate,
