@@ -564,7 +564,13 @@ def d_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = len(text)
                 if n < k:
                     continue
-                codes = np.fromiter((ord(c) for c in text), dtype=np.int64, count=n)
+                b = text.encode("utf-8")
+                if len(b) == n:
+                    # pure ASCII: utf-8 byte == code point — one
+                    # frombuffer instead of a per-char Python loop
+                    codes = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                else:
+                    codes = np.fromiter((ord(c) for c in text), dtype=np.int64, count=n)
                 n_win = n - k + 1
                 h = np.zeros(n_win, dtype=np.int64)
                 for j in range(k):
