@@ -191,10 +191,15 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).astype("int64")
             yield out
 
+    # pair-stage width: 16 under the latency profile (8 shuffle
+    # partitions — measured best at small files), the session's
+    # shuffle-partition conf under the scale profile so the quadratic
+    # candidate stage runs cluster-wide, not 16-wide, at 100 TB
+    width = max(16, int(spark.conf.get("spark.sql.shuffle.partitions", "16")))
     sh = (
         spread(docs.select("doc_id", "text"))
         .mapInPandas(gen, schema="doc_id long, n long, sh long")
-        .repartition(16, "sh")
+        .repartition(width, "sh")
         .persist()
     )
     # Frequent-shingle cap: a shingle in > SHINGLE_DOC_CAP docs would emit
