@@ -72,6 +72,8 @@ def test_parser_maintenance_flags():
     assert args.select == ["wide"] and args.partitions == 4
     args = build_parser().parse_args(["maintenance", "analyze", "--no-columns"])
     assert args.maint_command == "analyze" and args.no_columns
+    args = build_parser().parse_args(["maintenance", "vacuum", "--select", "t"])
+    assert args.maint_command == "vacuum" and args.select == ["t"]
 
 
 def test_cli_maintenance_verbs(cli_env, capsys):
