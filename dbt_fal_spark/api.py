@@ -174,13 +174,25 @@ class FalSpark:
             # the atomic swap leaves copy-on-write version dirs
             # (<name>__v<uuid8>, see materialize.replace_relation_atomic)
             # — the newest one with data is the live version. Dirs
-            # holding only _SUCCESS markers (interrupted writes) have no
-            # schema to infer and are skipped.
+            # holding only _SUCCESS markers or _temporary staging files
+            # (interrupted writes — the one failure the in-process
+            # cleanup can't catch) have no committed data and are
+            # skipped; committed parquet never lives under a '_'/'.'
+            # prefixed path (hive partition dirs are 'col=value').
+            def _has_committed_parquet(root):
+                return any(
+                    not any(
+                        part.startswith(("_", "."))
+                        for part in f.relative_to(root).parts
+                    )
+                    for f in root.rglob("*.parquet")
+                )
+
             candidates = [db_dir / model.name] + [
                 p for p in db_dir.glob(f"{model.name}__v????????") if p.is_dir()
             ]
             live = [
-                c for c in candidates if c.is_dir() and any(c.rglob("*.parquet"))
+                c for c in candidates if c.is_dir() and _has_committed_parquet(c)
             ]
             if live:
                 loc = max(live, key=lambda p: p.stat().st_mtime)
@@ -259,10 +271,11 @@ class FalSpark:
         env_var in source definitions — A/cli_tests/projects/000_fal_run/
         models/schema.yml:5-8). ``$$`` escapes a literal ``$`` (generated
         JDBC passwords and URLs legitimately contain one). With
-        ``strict=True`` (paths) a residual ``$`` fails fast with the
-        variable name instead of handing Spark a literal ``$VAR`` path;
-        connection values use ``strict=False`` — expansion is
-        best-effort and a residual ``$`` passes through verbatim."""
+        ``strict=True`` (paths and JDBC urls) a residual ``$`` fails
+        fast with the variable name instead of handing Spark a literal
+        ``$VAR``; non-url connection values (passwords, users) use
+        ``strict=False`` — expansion is best-effort and a residual
+        ``$`` passes through verbatim."""
         sentinel = "\x00"
         path = os.path.expandvars(raw.replace("$$", sentinel))
         if strict and "$" in path:
@@ -288,7 +301,12 @@ class FalSpark:
             # partitionColumn/lowerBound/upperBound/numPartitions are
             # declared, parallel across executors instead of a single
             # driver-side pandas pull).
-            url = self._expand_source_path(str(conn["url"]), strict=False)
+            # the url keeps fail-fast on unset $VARs (a wrong host fails
+            # here with the variable named, not later with a cryptic
+            # driver error) — a literal dollar is declared as '$$';
+            # passwords/users are best-effort (generated secrets contain
+            # '$' too often to police)
+            url = self._expand_source_path(str(conn["url"]))
             reader = self.spark.read.format("jdbc").option("url", url)
             if "query" not in conn:  # query and dbtable are exclusive in JDBC
                 reader = reader.option("dbtable", str(conn.get("dbtable") or table_name))
@@ -411,7 +429,7 @@ class FalSpark:
                     f"JDBC write-back supports mode append/overwrite, got {mode!r}"
                 )
             df = apply_dtype_casts(df, dtype)
-            url = self._expand_source_path(str(conn["url"]), strict=False)
+            url = self._expand_source_path(str(conn["url"]))  # fail-fast like reads
             writer = (
                 df.write.format("jdbc")
                 .option("url", url)
@@ -893,9 +911,8 @@ class FalSpark:
         Delta's VACUUM analogue). Call when no readers are active, e.g.
         between pipeline runs. Returns the number of dirs removed."""
         import re as _re
-        import shutil
 
-        from .materialize import _VERSION_RE, _table_location
+        from .materialize import _VERSION_RE, _table_location, _vacuum_versions
 
         self._require_table_model(model_name, "vacuum")
         identifier = self._identifier(model_name)
@@ -903,19 +920,7 @@ class FalSpark:
         if live is None:
             return 0
         base = _re.sub(_VERSION_RE, "", live.rstrip("/"))
-        name = os.path.basename(base)
-        parent = os.path.dirname(base)
-        removed = 0
-        for d in os.listdir(parent) if os.path.isdir(parent) else []:
-            p = os.path.join(parent, d)
-            if (
-                (d == name or _re.fullmatch(_re.escape(name) + _VERSION_RE[:-1], d))
-                and os.path.abspath(p) != os.path.abspath(live)
-                and os.path.isdir(p)
-            ):
-                shutil.rmtree(p, ignore_errors=True)
-                removed += 1
-        return removed
+        return _vacuum_versions(base, keep={live})
 
     def analyze(self, model_name: str, columns: bool = True) -> None:
         """ANALYZE TABLE — compute row-count/size (and per-column NDV,

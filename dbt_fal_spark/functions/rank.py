@@ -41,7 +41,9 @@ def global_row_number_with_total(
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    # persist: the range shuffle feeds both the size pass and the rank
+    # persist: the range shuffle feeds both the size pass and the rank;
+    # the query harness's post-query cache clear releases it (same
+    # lifecycle as the tfidf/winnow persists)
     parts = (
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn("__pid", F.spark_partition_id())

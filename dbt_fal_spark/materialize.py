@@ -123,6 +123,30 @@ def _table_bucket_spec(spark: SparkSession, identifier: str) -> tuple[int, tuple
     return int(n), cols
 
 
+def _vacuum_versions(base: str, keep: set[str]) -> int:
+    """Delete copy-on-write version dirs of ``base`` (the un-suffixed
+    table path) except those whose abspath is in ``keep``. Shared by the
+    swap's grace-window tail and FalSpark.vacuum. Returns dirs removed."""
+    import os
+    import re as _re
+    import shutil
+
+    name = os.path.basename(base)
+    parent = os.path.dirname(base)
+    keep_abs = {os.path.abspath(k) for k in keep}
+    removed = 0
+    for d in os.listdir(parent) if os.path.isdir(parent) else []:
+        p = os.path.join(parent, d)
+        if (
+            (d == name or _re.fullmatch(_re.escape(name) + _VERSION_RE[:-1], d))
+            and os.path.abspath(p) not in keep_abs
+            and os.path.isdir(p)
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+            removed += 1
+    return removed
+
+
 def _default_location(spark: SparkSession, identifier: str) -> str:
     """Canonical warehouse path for a table name (version-suffix base)."""
     import os
@@ -178,9 +202,12 @@ def replace_relation_atomic(
         df = _range_cluster(df, sort_by)
 
     exists = spark.catalog.tableExists(identifier)
-    # nullability differs freely between plans; only name/type changes
-    # make the catalog schema stale for the pointer flip
-    _sig = lambda s: [(f.name, f.dataType) for f in s.fields]  # noqa: E731
+    # nullability differs freely between plans — including NESTED
+    # nullability (ArrayType.containsNull after transform()/collect_list,
+    # struct field nullables), which simpleString() strips and dataType
+    # equality would not; only name/type changes make the catalog schema
+    # stale for the pointer flip
+    _sig = lambda s: [(f.name, f.dataType.simpleString()) for f in s.fields]  # noqa: E731
     schema_changed = exists and _sig(spark.table(identifier).schema) != _sig(df.schema)
 
     def _layout(writer):
@@ -243,17 +270,7 @@ def replace_relation_atomic(
     spark.sql(f"DROP TABLE IF EXISTS {_q(tmp)}")
     # vacuum versions beyond the one-version grace window (everything
     # that is neither the live dir nor the immediately previous one)
-    name = os.path.basename(base)
-    parent = os.path.dirname(base)
-    keep = {os.path.abspath(new_loc), os.path.abspath(old_loc or "")}
-    for d in os.listdir(parent) if os.path.isdir(parent) else []:
-        p = os.path.join(parent, d)
-        if (
-            (d == name or _re.fullmatch(_re.escape(name) + _VERSION_RE[:-1], d))
-            and os.path.abspath(p) not in keep
-            and os.path.isdir(p)
-        ):
-            shutil.rmtree(p, ignore_errors=True)
+    _vacuum_versions(base, keep={new_loc, old_loc or ""})
 
 
 def _evolve_schema(

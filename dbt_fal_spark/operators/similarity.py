@@ -250,7 +250,8 @@ def s_knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = "query_id long, neighbor_id long, neighbor_label long, bucket long, cosine double"
     qrows = raw.filter(F.col("vec_id") < N_QUERIES).collect()
     if not qrows:
-        return spark.createDataFrame([], out_schema)
+        # must match the normal return path's schema, which adds rank
+        return spark.createDataFrame([], out_schema + ", rank int")
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qm = _quant(np.array([r["embedding"] for r in qrows], dtype=np.float64))
     q_nrm = (qm * qm).sum(axis=1)

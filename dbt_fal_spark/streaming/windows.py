@@ -492,17 +492,27 @@ def st_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     if not versions:
         return spark.createDataFrame([], "user_id long, n_events long, total_value double")
-    # promote the final copy-on-write version to a stable warehouse
-    # location and return the re-read DataFrame — the table never rides
-    # through the driver (no collect/createDataFrame round-trip; the
-    # target stays a real distributed table at any key cardinality)
+    # promote the final copy-on-write version to a per-invocation
+    # warehouse location and return the re-read DataFrame — the table
+    # never rides through the driver (no collect/createDataFrame
+    # round-trip; the target stays a real distributed table at any key
+    # cardinality). The suffix is unique per invocation so a re-run in
+    # the same session (driver re-verification, paired bench rounds)
+    # never clobbers files a previously returned DataFrame still reads;
+    # older targets beyond a one-dir grace window are cleaned here.
     import os
+    import uuid as _uuid
     from urllib.parse import urlparse
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
     base = wh.path if wh.scheme in ("", "file") and wh.path else tempfile.gettempdir()
-    target = os.path.join(base, "st_upsert_stream_target")
-    shutil.rmtree(target, ignore_errors=True)
+    prev = sorted(
+        (p for p in os.listdir(base) if p.startswith("st_upsert_stream_target")),
+        key=lambda p: os.path.getmtime(os.path.join(base, p)),
+    ) if os.path.isdir(base) else []
+    for stale in prev[:-1]:  # keep the newest previous target as grace
+        shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
+    target = os.path.join(base, f"st_upsert_stream_target_{_uuid.uuid4().hex[:8]}")
     os.makedirs(base, exist_ok=True)
     shutil.move(versions[-1], target)
     shutil.rmtree(workdir, ignore_errors=True)

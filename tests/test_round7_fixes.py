@@ -438,3 +438,39 @@ def test_bucketed_join_zero_shuffle_survives_compact(spark, tmp_path):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_reattach_skips_interrupted_version_dirs(spark, tmp_path):
+    """A crashed pointer-flip leaves a newest '<name>__v*' dir holding
+    only _temporary staging files — reattach must pick the older dir
+    with COMMITTED parquet, not the staging debris (and not fail)."""
+    import time as _time
+
+    proj = _proj(tmp_path, "crashproj", {
+        "t": "SELECT id AS k FROM range(40)",
+    })
+    fal = FalSpark(proj, spark=spark)
+    fal.run(select=["t"])
+    from dbt_fal_spark.materialize import _table_location
+
+    ident = fal._identifier("t")
+    live = _table_location(spark, ident)
+    db_dir = os.path.dirname(live)
+    import shutil as _shutil
+
+    saved = str(tmp_path / "saved_t")
+    _shutil.copytree(live, saved)  # before DROP deletes the managed dir
+    # forget the table (simulating a process restart losing the catalog)
+    spark.sql(f"DROP TABLE {ident}")
+    real = os.path.join(db_dir, "t")
+    if not os.path.isdir(real):
+        _shutil.copytree(saved, real)
+    # fabricate a NEWER crashed version dir: only staging files inside
+    _time.sleep(0.05)
+    crashed = os.path.join(db_dir, "t__vdeadbeef")
+    os.makedirs(os.path.join(crashed, "_temporary", "0"))
+    with open(os.path.join(crashed, "_temporary", "0", "part-0.parquet"), "wb") as f:
+        f.write(b"not real parquet")
+
+    fal2 = FalSpark(proj, spark=spark)  # triggers _reattach_catalog
+    assert spark.table(fal2._identifier("t")).count() == 40
