@@ -71,8 +71,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # family, m_frame_sample), up to the 50-entry window. The remaining
 # r5-green t_*/e_* rows rotate in r8.
 _CHECK_FIRST = (
-    # plans/semantics changed in r7 — re-verify
-    "q_customer_value_deciles", "q_gini_customer_value",
+    # plans/semantics changed or NEW in r7 — re-verify
+    "q_customer_value_deciles", "q_customer_value_deciles_ranged",
+    "q_gini_customer_value",
     "s_knn_lsh_bucketed", "d_winnow_neardup", "st_upsert_stream",
     "p_flow_run_customer_stats",
     # last green in r4 — refresh (everything below)
@@ -97,7 +98,7 @@ _CHECK_FIRST = (
     "s_knn_bruteforce", "s_knn_ivf", "s_knn_int8",
     "s_knn_lsh_multitable", "d_embedding_neardup_pairs",
     "q_customer_value_percentile", "d_exact_dedup",
-    "st_dedup_stream", "st_hourly_stream", "st_left_outer_interval_stream",
+    "st_dedup_stream", "st_left_outer_interval_stream",
 )
 
 

@@ -1178,6 +1178,77 @@ def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_customer_value_deciles_ranged",
+    oracle="""
+    WITH r AS (
+      SELECT c_acctbal,
+             row_number() OVER (ORDER BY c_acctbal, c_custkey) AS i,
+             count(*) OVER () AS n
+      FROM customer
+    ),
+    b AS (
+      SELECT r.c_acctbal AS bv
+      FROM r, (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) t(k)
+      WHERE (r.i - 1) * 10 < r.n * t.k AND r.n * t.k <= r.i * 10
+    )
+    SELECT decile,
+           count(*) AS n_customers,
+           min(c_acctbal) AS min_bal,
+           max(c_acctbal) AS max_bal
+    FROM (
+      SELECT c.c_acctbal,
+             1 + (SELECT count(*) FROM b WHERE b.bv < c.c_acctbal) AS decile
+      FROM customer c
+    ) t
+    GROUP BY decile
+    """,
+    tags=("decile", "range-join", "broadcast"),
+)
+def q_customer_value_deciles_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based deciles via boundary broadcast — the 100 TB histogram
+    pattern the r6 verdict asked to demonstrate: compute the 9 exact
+    decile boundary VALUES once (elements at ranks ceil(n·k/10) of the
+    distributed rank, functions/rank.py — 9 scalars collected), then
+    bucket the table MAP-SIDE with a codegen'd comparison chain against
+    the broadcast boundaries. Unlike ntile (rank-based; splits ties),
+    value-deciles put equal balances in the same bucket — the contract
+    dashboards usually want — and the fact-table pass has ZERO shuffles
+    before the final 10-group aggregate. Exact (boundaries from the
+    exact rank, not approx_percentile), so the oracle is hash-checked
+    like every other entry."""
+    from dbt_fal_spark.functions.rank import global_row_number_with_total
+
+    cust = load_table(spark, sf_dir, "customer")
+    out_schema = "decile long, n_customers long, min_bal double, max_bal double"
+    ranked, n = global_row_number_with_total(
+        cust.select("c_acctbal", "c_custkey"),
+        ["c_acctbal", "c_custkey"],
+        out_col="__i",
+    )
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    # rank of the k-th boundary: ceil(n·k/10); duplicates kept (small n)
+    ranks = [-(-n * k // 10) for k in range(1, 10)]
+    vals = {
+        r["__i"]: r["c_acctbal"]
+        for r in ranked.filter(F.col("__i").isin(sorted(set(ranks)))).collect()
+    }
+    bounds = [vals[r] for r in ranks]  # 9 scalars — the broadcast side
+    decile = F.lit(1)
+    for b in bounds:
+        decile = decile + F.when(F.col("c_acctbal") > F.lit(b), 1).otherwise(0)
+    return (
+        cust.select("c_acctbal", decile.cast("long").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+@query(
     "q_order_date_parts",
     oracle="""
     SELECT extract(year FROM o_orderdate) AS y,
