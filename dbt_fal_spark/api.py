@@ -908,8 +908,11 @@ class FalSpark:
         """Delete a model's non-live copy-on-write version directories
         (the atomic swap keeps ONE previous version as a grace window
         for in-flight readers — see materialize.replace_relation_atomic;
-        Delta's VACUUM analogue). Call when no readers are active, e.g.
-        between pipeline runs. Returns the number of dirs removed."""
+        Delta's VACUUM analogue). Call when no readers are active AND no
+        rebuild of this model is in flight (a concurrent swap's
+        half-written version dir is not yet the live location and would
+        be removed), e.g. between pipeline runs. Returns the number of
+        dirs removed."""
         import re as _re
 
         from .materialize import _VERSION_RE, _table_location, _vacuum_versions
