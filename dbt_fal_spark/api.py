@@ -172,11 +172,14 @@ class FalSpark:
             if self.spark.catalog.tableExists(identifier):
                 continue
             # the atomic swap leaves copy-on-write version dirs
-            # (<name>__v<uuid8>, see materialize.replace_relation_atomic)
-            # — the newest one with data is the live version. Dirs
-            # holding only _SUCCESS markers or _temporary staging files
-            # (interrupted writes — the one failure the in-process
-            # cleanup can't catch) have no committed data and are
+            # (<name>__v<uuid8>, see materialize.replace_relation_atomic).
+            # The live one is read from the sidecar pointer file each
+            # successful flip writes; absent a pointer (pre-pointer
+            # tables), fall back to newest-mtime-with-data — which can
+            # misidentify a version that committed its parquet but
+            # crashed before SET LOCATION, the gap the pointer closes.
+            # Dirs holding only _SUCCESS markers or _temporary staging
+            # files (interrupted writes) have no committed data and are
             # skipped; committed parquet never lives under a '_'/'.'
             # prefixed path (hive partition dirs are 'col=value').
             def _has_committed_parquet(root):
@@ -188,14 +191,28 @@ class FalSpark:
                     for f in root.rglob("*.parquet")
                 )
 
+            import re as _re
+
+            from .materialize import _VERSION_RE, _read_live_pointer
+
             candidates = [db_dir / model.name] + [
-                p for p in db_dir.glob(f"{model.name}__v????????") if p.is_dir()
+                p
+                for p in db_dir.glob(f"{model.name}__v*")
+                if p.is_dir()
+                and _re.fullmatch(_re.escape(model.name) + _VERSION_RE[:-1], p.name)
             ]
             live = [
                 c for c in candidates if c.is_dir() and _has_committed_parquet(c)
             ]
-            if live:
+            ptr = _read_live_pointer(str(db_dir / model.name))
+            loc = None
+            if ptr is not None:
+                p = Path(ptr)
+                if p.is_dir() and _has_committed_parquet(p):
+                    loc = p
+            if loc is None and live:
                 loc = max(live, key=lambda p: p.stat().st_mtime)
+            if loc is not None:
                 self.spark.sql(
                     f"CREATE TABLE {identifier} USING parquet LOCATION '{loc.resolve()}'"
                 )
@@ -908,14 +925,25 @@ class FalSpark:
         """Delete a model's non-live copy-on-write version directories
         (the atomic swap keeps ONE previous version as a grace window
         for in-flight readers — see materialize.replace_relation_atomic;
-        Delta's VACUUM analogue). Call when no readers are active AND no
-        rebuild of this model is in flight (a concurrent swap's
-        half-written version dir is not yet the live location and would
-        be removed), e.g. between pipeline runs. Returns the number of
-        dirs removed."""
+        Delta's VACUUM analogue). Call when no readers are active, e.g.
+        between pipeline runs; readers with long scans are additionally
+        protected by ``spark.falspark.vacuum.retainSeconds`` (version
+        dirs modified within the window survive, Delta's retention
+        check). A CONCURRENT rebuild is safe by construction: version
+        dirs newer than the last committed flip (the live pointer
+        file's mtime) are skipped, so a half-written swap target is
+        never deleted mid-flip. Returns the number of dirs removed."""
+        import os
         import re as _re
+        import time as _time
 
-        from .materialize import _VERSION_RE, _table_location, _vacuum_versions
+        from .materialize import (
+            RETAIN_CONF,
+            _VERSION_RE,
+            _live_pointer_path,
+            _table_location,
+            _vacuum_versions,
+        )
 
         self._require_table_model(model_name, "vacuum")
         identifier = self._identifier(model_name)
@@ -923,7 +951,14 @@ class FalSpark:
         if live is None:
             return 0
         base = _re.sub(_VERSION_RE, "", live.rstrip("/"))
-        return _vacuum_versions(base, keep={live})
+        try:
+            ref_mtime = os.path.getmtime(_live_pointer_path(base))
+        except OSError:  # pre-pointer table: fall back to the live dir
+            ref_mtime = os.path.getmtime(live) if os.path.isdir(live) else None
+        retain = float(self.spark.conf.get(RETAIN_CONF, "0") or "0")
+        if retain > 0 and ref_mtime is not None:
+            ref_mtime = min(ref_mtime, _time.time() - retain)
+        return _vacuum_versions(base, keep={live}, keep_newer_than=ref_mtime)
 
     def analyze(self, model_name: str, columns: bool = True) -> None:
         """ANALYZE TABLE — compute row-count/size (and per-column NDV,

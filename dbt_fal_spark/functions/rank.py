@@ -32,23 +32,30 @@ def global_row_number_with_total(
     order_cols: list[str],
     out_col: str = "i",
     num_partitions: int | None = None,
+    persist: bool = True,
 ) -> tuple[DataFrame, int]:
     """Rank rows 1..N in the total order of ``order_cols`` (which must be
     a unique key for a deterministic result). Returns (ranked df, N) —
     N comes free from the partition-size pass, saving callers that need
-    it (ntile arithmetic, Gini normalization) a separate count job."""
+    it (ntile arithmetic, Gini normalization) a separate count job.
+
+    Cache contract: with ``persist=True`` (default) the range-shuffled
+    input is cached so the size pass and the rank job share it; the
+    cache is released by the query harness's post-query
+    ``spark.catalog.clearCache()`` (registry.py's documented lifecycle).
+    Library callers OUTSIDE that harness (api/materialization code)
+    must pass ``persist=False`` — the rank job then recomputes the
+    range shuffle once (no cached partitions are left behind for the
+    session) — or clear the cache themselves."""
     spark = df.sparkSession
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    # persist: the range shuffle feeds both the size pass and the rank;
-    # the query harness's post-query cache clear releases it (same
-    # lifecycle as the tfidf/winnow persists)
-    parts = (
-        df.repartitionByRange(n_parts, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
+    parts = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
     )
+    if persist:
+        parts = parts.persist()
     sizes = parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect()
     offsets, acc = [], 0
     for row in sorted(sizes, key=lambda r: r["__pid"]):
@@ -70,8 +77,11 @@ def global_row_number(
     order_cols: list[str],
     out_col: str = "i",
     num_partitions: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
-    ranked, _ = global_row_number_with_total(df, order_cols, out_col, num_partitions)
+    ranked, _ = global_row_number_with_total(
+        df, order_cols, out_col, num_partitions, persist=persist
+    )
     return ranked
 
 

@@ -123,10 +123,59 @@ def _table_bucket_spec(spark: SparkSession, identifier: str) -> tuple[int, tuple
     return int(n), cols
 
 
-def _vacuum_versions(base: str, keep: set[str]) -> int:
+# Optional time-based retention for version dirs (Delta VACUUM's
+# retention-check analogue): version dirs modified within the last N
+# seconds are never deleted, so a reader whose scan spans several rapid
+# rebuilds keeps its file set. Default 0 = keep-live-plus-grace only
+# (test-friendly); production deployments with long scans should set it
+# to at least the longest expected scan duration.
+RETAIN_CONF = "spark.falspark.vacuum.retainSeconds"
+
+
+def _live_pointer_path(base: str) -> str:
+    """Sidecar file recording the live version dir (written after each
+    successful pointer flip). '_'-prefixed so a parquet reader listing
+    the parent never sees it as data; a plain file so _vacuum_versions
+    (dirs only) never removes it."""
+    import os
+
+    return os.path.join(os.path.dirname(base), f"_{os.path.basename(base)}.__live__")
+
+
+def _write_live_pointer(base: str, loc: str) -> None:
+    """Atomically persist the live location (tmp file + rename)."""
+    import os
+    import tempfile
+
+    try:
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(base), prefix=".__live_tmp_")
+        with os.fdopen(fd, "w") as f:
+            f.write(os.path.abspath(loc))
+        os.replace(tmp, _live_pointer_path(base))
+    except OSError:
+        pass  # pointer is an optimization; mtime fallback still works
+
+
+def _read_live_pointer(base: str) -> str | None:
+    import os
+
+    try:
+        with open(_live_pointer_path(base)) as f:
+            loc = f.read().strip()
+        return loc or None
+    except OSError:
+        return None
+
+
+def _vacuum_versions(base: str, keep: set[str], keep_newer_than: float | None = None) -> int:
     """Delete copy-on-write version dirs of ``base`` (the un-suffixed
-    table path) except those whose abspath is in ``keep``. Shared by the
-    swap's grace-window tail and FalSpark.vacuum. Returns dirs removed."""
+    table path) except those whose abspath is in ``keep`` or whose mtime
+    is strictly newer than ``keep_newer_than`` (epoch seconds). The
+    mtime guard serves two callers: the swap's grace-window tail passes
+    ``now - retainSeconds`` (time-based reader protection), and
+    FalSpark.vacuum passes the live pointer's mtime so a version dir a
+    CONCURRENT rebuild is still writing — newer than the last committed
+    flip — is never deleted mid-flip. Returns dirs removed."""
     import os
     import re as _re
     import shutil
@@ -142,6 +191,12 @@ def _vacuum_versions(base: str, keep: set[str]) -> int:
             and os.path.abspath(p) not in keep_abs
             and os.path.isdir(p)
         ):
+            if keep_newer_than is not None:
+                try:
+                    if os.path.getmtime(p) > keep_newer_than:
+                        continue
+                except OSError:
+                    continue  # vanished under us (another vacuum) — skip
             shutil.rmtree(p, ignore_errors=True)
             removed += 1
     return removed
@@ -245,6 +300,11 @@ def replace_relation_atomic(
         except Exception:
             spark.sql(f"DROP TABLE IF EXISTS {_q(tmp)}")
             raise
+        committed = _table_location(spark, identifier)
+        if committed:
+            _write_live_pointer(
+                _re.sub(_VERSION_RE, "", committed.rstrip("/")), committed
+            )
         return
 
     # copy-on-write pointer flip
@@ -255,6 +315,7 @@ def replace_relation_atomic(
         else _default_location(spark, identifier)
     )
     new_loc = f"{base}__v{uuid.uuid4().hex[:8]}"
+    flipped = False
     try:
         # option("path") makes tmp EXTERNAL: dropping it later removes
         # only metadata, never the files the live table now points at
@@ -262,15 +323,41 @@ def replace_relation_atomic(
             df.write.mode("overwrite").format("parquet").option("path", new_loc)
         ).saveAsTable(tmp)
         spark.sql(f"ALTER TABLE {_q(identifier)} SET LOCATION '{new_loc}'")
+        flipped = True
         spark.sql(f"REFRESH TABLE {_q(identifier)}")
     except Exception:
-        spark.sql(f"DROP TABLE IF EXISTS {_q(tmp)}")
-        shutil.rmtree(new_loc, ignore_errors=True)
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {_q(tmp)}")
+        except Exception:
+            pass  # cleanup must not mask the original error
+        # Only delete new_loc while the catalog does NOT reference it:
+        # after a committed SET LOCATION, a failure (e.g. in REFRESH)
+        # must roll the pointer back to old_loc first — rmtree'ing the
+        # directory the catalog points at would brick every later read.
+        safe_to_delete = not flipped
+        if flipped and old_loc:
+            try:
+                spark.sql(f"ALTER TABLE {_q(identifier)} SET LOCATION '{old_loc}'")
+                spark.sql(f"REFRESH TABLE {_q(identifier)}")
+                safe_to_delete = True
+            except Exception:
+                pass  # rollback failed: catalog still references new_loc — keep it
+        if safe_to_delete:
+            shutil.rmtree(new_loc, ignore_errors=True)
         raise
     spark.sql(f"DROP TABLE IF EXISTS {_q(tmp)}")
-    # vacuum versions beyond the one-version grace window (everything
-    # that is neither the live dir nor the immediately previous one)
-    _vacuum_versions(base, keep={new_loc, old_loc or ""})
+    _write_live_pointer(base, new_loc)
+    # vacuum versions beyond the grace window: always keep the live dir
+    # and the immediately previous one; with RETAIN_CONF set, also keep
+    # anything modified within the retention window (slow-reader cover)
+    import time as _time
+
+    retain = float(spark.conf.get(RETAIN_CONF, "0") or "0")
+    _vacuum_versions(
+        base,
+        keep={new_loc, old_loc or ""},
+        keep_newer_than=(_time.time() - retain) if retain > 0 else None,
+    )
 
 
 def _evolve_schema(

@@ -506,13 +506,18 @@ def st_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
     base = wh.path if wh.scheme in ("", "file") and wh.path else tempfile.gettempdir()
+    # namespace targets by Spark application id: cleanup may only touch
+    # THIS session's previous targets — two concurrent sessions sharing
+    # a warehouse/tmp dir must never delete each other's still-referenced
+    # target dirs (each app id is unique per SparkContext)
+    prefix = f"st_upsert_stream_target_{spark.sparkContext.applicationId}_"
     prev = sorted(
-        (p for p in os.listdir(base) if p.startswith("st_upsert_stream_target")),
+        (p for p in os.listdir(base) if p.startswith(prefix)),
         key=lambda p: os.path.getmtime(os.path.join(base, p)),
     ) if os.path.isdir(base) else []
     for stale in prev[:-1]:  # keep the newest previous target as grace
         shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
-    target = os.path.join(base, f"st_upsert_stream_target_{_uuid.uuid4().hex[:8]}")
+    target = os.path.join(base, f"{prefix}{_uuid.uuid4().hex[:8]}")
     os.makedirs(base, exist_ok=True)
     shutil.move(versions[-1], target)
     shutil.rmtree(workdir, ignore_errors=True)
