@@ -294,37 +294,126 @@ def e_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("e_dau_hll_sketch", tags=("distinct", "sketch", "events"))
+_HLL_SCALE = 562949953421312  # 2^49: fixed-point scale for the 2^-rho sum
+
+
+def _hll_estimate_sql(s: str, v: str) -> str:
+    """HyperLogLog estimate from exact register state, as SQL text BOTH
+    engines evaluate bit-identically: ``s`` is the 2^49-scaled harmonic
+    denominator (an exact BIGINT — integer sums are order-independent,
+    unlike a double sum of 2^-rho), ``v`` the count of zero registers.
+    Raw estimate alpha_m*m^2/Z with m=4096 (Flajolet et al. 2007), and
+    the standard linear-counting small-range correction m*ln(m/V) when
+    E <= 2.5m — the only branch with a transcendental, over ≤4096
+    discrete inputs. floor() before the BIGINT cast so DuckDB's
+    round-on-cast and Spark's truncate-on-cast agree."""
+    raw = (
+        "((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * "
+        f"562949953421312.0 / CAST({s} AS DOUBLE))"
+    )
+    return (
+        f"CAST(floor(CASE WHEN {raw} <= 10240.0 AND {v} > 0 "
+        f"THEN 4096.0 * ln(4096.0 / {v}) ELSE {raw} END) AS BIGINT)"
+    )
+
+
+@query(
+    "e_dau_hll_sketch",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(ts AS DATE) AS day,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+      FROM events
+    ), regs AS (
+      SELECT day, hv % 4096 AS bucket,
+             CAST(max(CASE WHEN hv // 4096 = 0 THEN 49
+                           ELSE 49 - length(bin(hv // 4096)) END) AS BIGINT) AS r
+      FROM h GROUP BY day, bucket
+    ), nev AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_events FROM events GROUP BY 1
+    ), dau AS (
+      SELECT day,
+             CAST(sum(CAST(1 AS BIGINT) << (49 - r))
+                  + (4096 - count(*)) * {_HLL_SCALE} AS BIGINT) AS s_d,
+             CAST(4096 - count(*) AS BIGINT) AS v_d
+      FROM regs GROUP BY day
+    ), w AS (
+      SELECT regs.day + CAST(g.off AS INTEGER) AS day, bucket, max(r) AS r
+      FROM regs, generate_series(0, 6) AS g(off)
+      GROUP BY 1, 2
+    ), wau AS (
+      SELECT day,
+             CAST(sum(CAST(1 AS BIGINT) << (49 - r))
+                  + (4096 - count(*)) * {_HLL_SCALE} AS BIGINT) AS s_w,
+             CAST(4096 - count(*) AS BIGINT) AS v_w
+      FROM w GROUP BY day
+    )
+    SELECT nev.day, nev.n_events,
+           {_hll_estimate_sql("s_d", "v_d")} AS dau_approx,
+           {_hll_estimate_sql("s_w", "v_w")} AS wau_approx_7d
+    FROM nev JOIN dau ON nev.day = dau.day JOIN wau ON nev.day = wau.day
+    """,
+    tags=("distinct", "sketch", "events"),
+)
 def e_dau_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB DAU path made concrete: per-day HLL sketches
-    (Datasketches ``hll_sketch_agg``) plus a rolling-week MERGE of the
-    daily sketches (``hll_union_agg``) — the operation exact distinct
-    fundamentally cannot do without re-scanning the week (sketches are
-    mergeable state; exact distincts are not). No SQL oracle exists for
-    approximate results (rows-only check); the accuracy contract
-    (±5% of exact at k=12 register density) is pinned by
-    tests/test_operators_unit-style assertions in tests/test_sketch.py."""
+    """The 100 TB DAU path made concrete: per-day HLL register state
+    (4096 registers from the md5-derived 60-bit hash — the same build
+    e_hll_register_state pins at 256 registers) plus a rolling-week
+    MERGE of the daily registers (element-wise max — sketches are
+    mergeable state; exact distincts are not), then the HLL estimate
+    computed from the registers in both engines. Unlike the earlier
+    Datasketches formulation (whose estimate no SQL oracle could
+    restate), every step here — hash, bucket, rho, element-wise max,
+    2^49-scaled harmonic sum — is exact integer math, so the estimate
+    itself is driver-hash-checkable; the accuracy contract (±5% of
+    exact) stays pinned by tests/test_sketch.py.
+
+    Scale shape: registers partial-aggregate map-side (max is
+    associative); per-day state is ≤4096 rows regardless of corpus
+    size; the 7-day union is a 7-way map-only expansion of bounded
+    state, never a re-scan of the week's raw events."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.expr("hll_sketch_agg(user_id, 12)").alias("sketch"),
-        F.count(F.lit(1)).alias("n_events"),
+    h = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
     )
+    rho = F.when(F.expr("hv div 4096") == 0, F.lit(49)).otherwise(
+        F.lit(49) - F.length(F.expr("bin(hv div 4096)"))
+    )
+    regs = h.groupBy("day", (F.col("hv") % 4096).alias("bucket")).agg(
+        F.max(rho).cast("bigint").alias("r")
+    )
+
+    def day_state(df, s_name, v_name):
+        return df.groupBy("day").agg(
+            (
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - r)"))
+                + (F.lit(4096) - F.count(F.lit(1))) * F.lit(_HLL_SCALE)
+            ).alias(s_name),
+            (F.lit(4096) - F.count(F.lit(1))).cast("bigint").alias(v_name),
+        )
+
+    dau = day_state(regs, "s_d", "v_d")
+    # 7-day register union: expand each day's registers to the 7 windows
+    # they participate in, then element-wise max per (day, bucket)
     w7 = (
-        "(PARTITION BY 1 ORDER BY CAST(day AS TIMESTAMP) "
-        "RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)"
+        regs.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "day", "bucket", "r"
+        )
+        .groupBy(F.date_add("day", F.col("off")).alias("day"), "bucket")
+        .agg(F.max("r").alias("r"))
     )
-    return daily.select(
+    wau = day_state(w7, "s_w", "v_w")
+    nev = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return nev.join(dau, "day").join(wau, "day").select(
         "day",
         "n_events",
-        F.expr("hll_sketch_estimate(sketch)").alias("dau_approx"),
-        F.expr(f"hll_sketch_estimate(hll_union_agg(sketch, true) OVER {w7})").alias(
-            "wau_approx_7d"
-        ),
-    ).select(
-        "day",
-        "n_events",
-        F.col("dau_approx").cast("long").alias("dau_approx"),
-        F.col("wau_approx_7d").cast("long").alias("wau_approx_7d"),
+        F.expr(_hll_estimate_sql("s_d", "v_d")).alias("dau_approx"),
+        F.expr(_hll_estimate_sql("s_w", "v_w")).alias("wau_approx_7d"),
     )
 
 
