@@ -26,7 +26,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     def add_common(sp: argparse.ArgumentParser) -> None:
         sp.add_argument("--project-dir", default=".", help="dbt-style project directory")
-        sp.add_argument("--select", nargs="*", default=None, help="node selectors (dbt syntax)")
+        sp.add_argument("-s", "--select", nargs="*", default=None, help="node selectors (dbt syntax)")
+        # dbt/reference parity (reference args.py:129-134): -m/--models is
+        # a plain alias of --select — same dest, last flag wins
+        sp.add_argument("-m", "--models", nargs="*", default=None, dest="select",
+                        help="alias of --select")
+        sp.add_argument("--selector", default=None,
+                        help="named selector from selectors.yml (reference args.py:135-138)")
         sp.add_argument("--exclude", nargs="*", default=None)
         sp.add_argument("--threads", type=int, default=None, help="parallelism (default: profiles.yml threads, else 4)")
         sp.add_argument("--vars", default="{}", help="JSON dict of project vars")
@@ -102,8 +108,60 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _selector_terms(d) -> list[str]:
+    """Translate a selectors.yml definition into selector-language terms
+    (dbt schema: a definition is a selector STRING, a LIST = union, or a
+    DICT — {union:[...]}, {intersection:[...]}, or a {method, value,
+    parents/children[, parents_depth/children_depth]} criterion). The
+    output feeds the same engine --select feeds: space-separated terms
+    are a union, ','-joined terms an intersection."""
+    if isinstance(d, str):
+        return d.split()
+    if isinstance(d, list):
+        return [t for item in d for t in _selector_terms(item)]
+    if isinstance(d, dict):
+        if "union" in d:
+            return [t for item in d["union"] for t in _selector_terms(item)]
+        if "intersection" in d:
+            parts = [t for item in d["intersection"] for t in _selector_terms(item)]
+            return [",".join(parts)]
+        if "method" in d:
+            method, value = d["method"], str(d.get("value", ""))
+            body = value if method in ("fqn", "path") else f"{method}:{value}"
+            pre = ("+" if d.get("parents_depth") is None else f"{d['parents_depth']}+") if d.get("parents") else ""
+            post = ("+" if d.get("children_depth") is None else f"+{d['children_depth']}") if d.get("children") else ""
+            return [f"{pre}{body}{post}"]
+    raise ValueError(f"unsupported selectors.yml definition: {d!r}")
+
+
+def resolve_named_selector(project_dir: str, name: str) -> list[str]:
+    """Load selectors.yml and resolve ``name`` to --select terms."""
+    from pathlib import Path
+
+    import yaml
+
+    path = Path(project_dir) / "selectors.yml"
+    if not path.is_file():
+        raise ValueError(f"--selector {name!r}: no selectors.yml in {project_dir}")
+    doc = yaml.safe_load(path.read_text()) or {}
+    for entry in doc.get("selectors", []):
+        if entry.get("name") == name:
+            return _selector_terms(entry.get("definition"))
+    known = ", ".join(e.get("name", "?") for e in doc.get("selectors", []))
+    raise ValueError(f"--selector {name!r} not found in selectors.yml (have: {known})")
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, "selector", None):
+        if args.select:
+            print("cannot pass both --select/--models and --selector", file=sys.stderr)
+            return 2
+        try:
+            args.select = resolve_named_selector(args.project_dir, args.selector)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 2
     # import late so `--help` works without a JVM
     from dbt_fal_spark.api import FalSpark
 

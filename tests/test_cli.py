@@ -93,3 +93,72 @@ def test_cli_maintenance_verbs(cli_env, capsys):
     with pytest.raises(ValueError, match="table-materialized"):
         main(["maintenance", "compact", "--project-dir", FIXTURE,
               "--select", "big_orders"])
+
+
+# --- -m/--models alias + named selectors (reference args.py:121-142) -------
+
+
+def test_parser_models_alias_and_short_select():
+    args = build_parser().parse_args(["flow", "run", "-m", "a", "b"])
+    assert args.select == ["a", "b"]
+    args = build_parser().parse_args(["flow", "run", "--models", "tag:x"])
+    assert args.select == ["tag:x"]
+    args = build_parser().parse_args(["flow", "run", "-s", "c+"])
+    assert args.select == ["c+"]
+
+
+def test_named_selector_resolution(tmp_path):
+    from dbt_fal_spark.cli import resolve_named_selector
+
+    (tmp_path / "selectors.yml").write_text(
+        """
+selectors:
+  - name: plain
+    definition: "tag:nightly stg_a+"
+  - name: listed
+    definition:
+      - model_a
+      - model_b
+  - name: both
+    definition:
+      intersection:
+        - tag:nightly
+        - state:modified
+  - name: crit
+    definition:
+      method: tag
+      value: nightly
+      parents: true
+      children: true
+      children_depth: 2
+"""
+    )
+    assert resolve_named_selector(str(tmp_path), "plain") == ["tag:nightly", "stg_a+"]
+    assert resolve_named_selector(str(tmp_path), "listed") == ["model_a", "model_b"]
+    assert resolve_named_selector(str(tmp_path), "both") == ["tag:nightly,state:modified"]
+    assert resolve_named_selector(str(tmp_path), "crit") == ["+tag:nightly+2"]
+    with pytest.raises(ValueError, match="not found"):
+        resolve_named_selector(str(tmp_path), "nope")
+
+
+def test_selector_flag_conflicts_and_e2e(cli_env, capsys, tmp_path):
+    import shutil
+
+    proj = tmp_path / "selproj"
+    shutil.copytree(FIXTURE, proj)
+    (proj / "selectors.yml").write_text(
+        "selectors:\n  - name: just_customers\n    definition: customers\n"
+    )
+    # both --select and --selector is an error (dbt parity)
+    assert main(["flow", "run", "--project-dir", str(proj),
+                 "--select", "customers", "--selector", "just_customers"]) == 2
+    # unknown selector name errors cleanly
+    assert main(["flow", "run", "--project-dir", str(proj),
+                 "--selector", "missing"]) == 2
+    # resolved selector runs exactly the named set
+    capsys.readouterr()
+    assert main(["flow", "run", "--project-dir", str(proj),
+                 "--selector", "just_customers"]) == 0
+    out = capsys.readouterr().out
+    assert "model.jaffle_spark.customers" in out
+    assert "orders_daily" not in out
