@@ -40,65 +40,60 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry entries not listed keep their registration order after
 # these.
 #
-# r5 WINDOW (this round): the 23 late-round-4 additions had only
-# local-gate greens after r4 — lead with them so every registry entry
-# gets at least one driver row (123/123 driver coverage). Then the
-# two entries whose plans changed this round (d_embedding_neardup_pairs
-# SRP-LSH prefilter, t_tfidf_top_terms exchange cut), then refresh the
-# oldest remaining driver rows (last green in r03).
+# (Window history r5-r7 lives in git; the standing rule: lead each
+# round with every entry whose plan/semantics/source changed since its
+# last driver row, then the stalest remaining rows.)
 #
-# r7 PLAN: assuming CORRECTNESS_r6 is green over this window, the
-# stalest remaining rows are the 37 r4 entries NOT refreshed here
-# (q03/q04/q06-q13/q16/q22, the q_* analytics family, m_frame_sample,
-# p_flow_run_customer_stats) — lead r7 with those, then any entry whose
-# plan changes in r7, then rotate the r5-green t_*/e_* rows.
+# r8 WINDOW (this round): lead with every entry whose PLAN, SEMANTICS,
+# or implementing-function source changed since its last driver row —
+# the two late-r7 rewrites that missed the r7 window
+# (d_embedding_neardup_lsh flat-buffer bucket stage,
+# d_ngram_jaccard_pairs conf-scaled width), the r8 rewrites
+# (e_dau_hll_sketch register-based oracle, d_containment_pairs
+# narrow pair exchange, st_upsert_stream namespaced cleanup), and the
+# three rank.py callers (persist-param signature change, plan
+# unchanged) — then the 35 entries whose last green driver row is r5
+# (the t_* text family, the r5 dedup rows, m_chunk_dedup, the
+# remaining q_* analytics rows, the e_* timeseries rows,
+# q_salted_join), filling the 50-entry window with the oldest r6
+# rows. Staging is now ALSO enforced mechanically: tools/
+# window_guard.py snapshots per-entry function-source+oracle hashes
+# (tools/plan_hashes.json, regenerated with --update at each window
+# staging) and tests/test_window_guard.py goes red if any entry's
+# hash changes without a leading window slot.
 #
-# r8 PLAN: assuming CORRECTNESS_r7 is green over this window, the
-# stalest remaining rows are the 39 r5 entries not refreshed here
-# (the t_* text family, d_exact_dedup/d_ngram_jaccard/d_minhash/
-# d_lsh_levenshtein/d_bloom_prefilter, m_chunk_dedup, the remaining
-# q_* analytics rows, e_asof/e_daily_active/e_interpolate/
-# e_changepoint/e_hll_register/e_rolling_median, q_salted_join) —
-# lead r8 with those, then any entry whose plan changes in r8, then
-# rotate the r6/r7-green rows.
-#
-# r7 WINDOW (this round): lead with every entry whose PLAN or
-# SEMANTICS changed this round — the distributed-rank rewrites
-# (deciles/gini), the mapInArrow LSH rewrite, the winnow count-gate,
-# the streaming-upsert drain, and the lifecycle entry that exercises
-# the new copy-on-write swap — then the 36 entries whose last green
-# driver row is r4 (q03/q04/q06-q13/q16/q22, the q_* analytics
-# family, m_frame_sample), up to the 50-entry window. The remaining
-# r5-green t_*/e_* rows rotate in r8.
+# r9 PLAN: assuming CORRECTNESS_r8 is green over this window, the
+# stalest remaining rows are the 33 r6 entries not refreshed here
+# (st_* streaming family, e_* event analytics, q01/q02/q05/q14/q15/
+# q17/q18/q19, m_binary_metadata, m_decode_pipeline,
+# s_label_centroid_distance, s_text_vector_join, q_histogram,
+# q_profile_orders) — lead r9 with any entry window_guard flags,
+# then those 33.
 _CHECK_FIRST = (
-    # plans/semantics changed or NEW in r7 — re-verify
+    # plans/semantics/source changed since last driver row — re-verify
+    "d_embedding_neardup_lsh", "d_ngram_jaccard_pairs",
+    "e_dau_hll_sketch", "d_containment_pairs", "st_upsert_stream",
     "q_customer_value_deciles", "q_customer_value_deciles_ranged",
     "q_gini_customer_value",
-    "s_knn_lsh_bucketed", "d_winnow_neardup", "st_upsert_stream",
-    "p_flow_run_customer_stats",
-    # last green in r4 — refresh (everything below)
-    "m_frame_sample",
-    "q03_topk_order_revenue", "q06_filtered_revenue",
-    "q_orders_daily_pivot", "q_customer_order_stats",
-    "q_date_filter_projection", "q_generic_tests",
-    "q_topk_orders_per_segment", "q_customer_running_total",
-    "q_repeat_customers_intersect", "q_lapsed_customers_except",
-    "q_priority_distinct_customers", "q_region_rollup_revenue",
-    "q_part_string_funcs", "q04_late_shipment_priority",
-    "q13_order_count_distribution", "q16_parts_not_recently_shipped",
-    "q22_lapsed_rich_customers", "q_cube_status_priority",
-    "q_paginate_orders", "q_grouping_sets_revenue",
-    "q_first_last_order_value", "q_pivot_priority_by_status",
-    "q_quantity_quartiles", "q_status_set_per_priority",
-    "q_revenue_trend_by_priority", "q_order_date_parts",
-    "q07_volume_shipping", "q08_market_share", "q09_product_profit",
-    "q10_returned_items", "q_corr_stats_by_flag",
-    "q_range_join_price_band", "q_mad_outlier_orders",
-    # r7 rewrites' immediate neighbors — same files, re-pin
-    "s_knn_bruteforce", "s_knn_ivf", "s_knn_int8",
-    "s_knn_lsh_multitable", "d_embedding_neardup_pairs",
-    "q_customer_value_percentile", "d_exact_dedup",
-    "st_dedup_stream", "st_left_outer_interval_stream",
+    # last green in r5 — refresh (everything below through q_salted)
+    "d_bloom_prefilter", "d_dup_ngram_fraction",
+    "d_lsh_levenshtein_refine", "d_minhash_lsh_pairs",
+    "e_asof_purchase_attribution", "e_changepoint_cusum",
+    "e_daily_active_users", "e_hll_register_state",
+    "e_interpolate_daily_user", "e_rolling_median_7d",
+    "m_chunk_dedup", "q_ab_test_proportions", "q_conditional_aggs",
+    "q_latest_order_per_customer", "q_revenue_share_by_nation",
+    "q_salted_join_supplier_volume", "q_unpivot_segment_metrics",
+    "t_cms_heavy_hitters", "t_domain_mix_sample", "t_fingerprint",
+    "t_gopher_quality", "t_lang_profile", "t_langid_naive",
+    "t_pack_emit", "t_pack_sequences", "t_quality_score",
+    "t_repetition_stats", "t_rolling_fingerprint",
+    "t_stratified_sample", "t_token_bpe", "t_token_stats",
+    "t_top_bigrams", "t_unk_replace", "t_vocab_coverage",
+    # oldest r6 rows — fill the window to 50
+    "d_decontaminate", "d_keep_best_per_key", "d_neardup_components",
+    "d_neardup_triangles", "d_simhash", "q01_pricing_summary",
+    "t_tfidf_top_terms", "e_sessionize",
 )
 
 
