@@ -62,38 +62,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # staging) and tests/test_window_guard.py goes red if any entry's
 # hash changes without a leading window slot.
 #
-# r9 PLAN: assuming CORRECTNESS_r8 is green over this window, the
-# stalest remaining rows are the 33 r6 entries not refreshed here
-# (st_* streaming family, e_* event analytics, q01/q02/q05/q14/q15/
-# q17/q18/q19, m_binary_metadata, m_decode_pipeline,
-# s_label_centroid_distance, s_text_vector_join, q_histogram,
-# q_profile_orders) — lead r9 with any entry window_guard flags,
-# then those 33.
+# r9 WINDOW (this round): CORRECTNESS_r08 was green over the full r8
+# window (50/50), so every r8-windowed entry's driver row is fresh.
+# Lead with the four entries whose plan/semantics/source changed this
+# round — st_upsert_stream (foreign-target age GC added to the
+# implementing function) and the three rank.py callers
+# (q_customer_value_deciles / _ranged / q_gini_customer_value:
+# functions/rank.py's persist=False path now pins partitioning via
+# localCheckpoint; their default persist=True plan is unchanged but
+# the hardened window guard hashes callee closures, so they stage).
+# Then the 30 rows whose last green driver row is r6 (computed from
+# CORRECTNESS_r0*.json — the st_*/e_* families, q02/q05/q14/q15/q17/
+# q18/q19, m_binary_metadata, m_decode_pipeline, s_label_* /
+# s_text_vector_join, q_histogram_totalprice, q_profile_orders), then
+# the 16 oldest r7 rows to fill the window to 50. After this round no
+# entry's driver evidence is older than r7.
 _CHECK_FIRST = (
-    # plans/semantics/source changed since last driver row — re-verify
-    "d_embedding_neardup_lsh", "d_ngram_jaccard_pairs",
-    "e_dau_hll_sketch", "d_containment_pairs", "st_upsert_stream",
-    "q_customer_value_deciles", "q_customer_value_deciles_ranged",
-    "q_gini_customer_value",
-    # last green in r5 — refresh (everything below through q_salted)
-    "d_bloom_prefilter", "d_dup_ngram_fraction",
-    "d_lsh_levenshtein_refine", "d_minhash_lsh_pairs",
-    "e_asof_purchase_attribution", "e_changepoint_cusum",
-    "e_daily_active_users", "e_hll_register_state",
-    "e_interpolate_daily_user", "e_rolling_median_7d",
-    "m_chunk_dedup", "q_ab_test_proportions", "q_conditional_aggs",
-    "q_latest_order_per_customer", "q_revenue_share_by_nation",
-    "q_salted_join_supplier_volume", "q_unpivot_segment_metrics",
-    "t_cms_heavy_hitters", "t_domain_mix_sample", "t_fingerprint",
-    "t_gopher_quality", "t_lang_profile", "t_langid_naive",
-    "t_pack_emit", "t_pack_sequences", "t_quality_score",
-    "t_repetition_stats", "t_rolling_fingerprint",
-    "t_stratified_sample", "t_token_bpe", "t_token_stats",
-    "t_top_bigrams", "t_unk_replace", "t_vocab_coverage",
-    # oldest r6 rows — fill the window to 50
-    "d_decontaminate", "d_keep_best_per_key", "d_neardup_components",
-    "d_neardup_triangles", "d_simhash", "q01_pricing_summary",
-    "t_tfidf_top_terms", "e_sessionize",
+    # source/helper changed since last driver row — re-verify first
+    "st_upsert_stream", "q_customer_value_deciles",
+    "q_customer_value_deciles_ranged", "q_gini_customer_value",
+    # last green in r6 — stalest evidence, refresh all 30
+    "e_anomaly_events", "e_forecast_daily_by_type",
+    "e_funnel_conversion", "e_hourly_rollup", "e_json_props_stats",
+    "e_purchase_gap_stats", "e_resample_daily_fill",
+    "e_retention_cohorts", "e_rolling_7d_revenue",
+    "e_sliding_window_traffic", "e_user_activity_pivot",
+    "m_binary_metadata", "m_decode_pipeline",
+    "q02_min_cost_part_supplier", "q05_region_nation_revenue",
+    "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_predicates", "q_histogram_totalprice",
+    "q_profile_orders", "s_label_centroid_distance",
+    "s_text_vector_join", "st_enriched_stream",
+    "st_full_outer_interval_stream", "st_hourly_stream",
+    "st_interval_join_stream", "st_session_stream",
+    "st_user_totals_stateful",
+    # oldest r7 rows — fill the window to 50
+    "d_embedding_neardup_pairs", "d_exact_dedup", "d_winnow_neardup",
+    "m_frame_sample", "p_flow_run_customer_stats",
+    "q03_topk_order_revenue", "q04_late_shipment_priority",
+    "q06_filtered_revenue", "q07_volume_shipping", "q08_market_share",
+    "q09_product_profit", "q10_returned_items",
+    "q13_order_count_distribution", "q16_parts_not_recently_shipped",
+    "q22_lapsed_rich_customers", "q_corr_stats_by_flag",
 )
 
 

@@ -929,10 +929,15 @@ class FalSpark:
         between pipeline runs; readers with long scans are additionally
         protected by ``spark.falspark.vacuum.retainSeconds`` (version
         dirs modified within the window survive, Delta's retention
-        check). A CONCURRENT rebuild is safe by construction: version
-        dirs newer than the last committed flip (the live pointer
-        file's mtime) are skipped, so a half-written swap target is
-        never deleted mid-flip. Returns the number of dirs removed."""
+        check). A CONCURRENT rebuild is guarded two ways: version dirs
+        newer than the last committed flip (the live pointer file's
+        mtime) are skipped, so a half-written swap target is never
+        deleted mid-flip; and because a flip can commit BETWEEN our
+        catalog read and the pointer-mtime read (making the new live
+        dir look both non-live and old), the pointer's CONTENT and the
+        catalog location are re-read AFTER capturing the mtime and
+        unioned into the keep set — the post-flip live dir can never
+        be deleted. Returns the number of dirs removed."""
         import os
         import re as _re
         import time as _time
@@ -941,6 +946,7 @@ class FalSpark:
             RETAIN_CONF,
             _VERSION_RE,
             _live_pointer_path,
+            _read_live_pointer,
             _table_location,
             _vacuum_versions,
         )
@@ -958,7 +964,19 @@ class FalSpark:
         retain = float(self.spark.conf.get(RETAIN_CONF, "0") or "0")
         if retain > 0 and ref_mtime is not None:
             ref_mtime = min(ref_mtime, _time.time() - retain)
-        return _vacuum_versions(base, keep={live}, keep_newer_than=ref_mtime)
+        # TOCTOU guard: a flip committing between the _table_location
+        # read above and the getmtime above leaves the NEW live dir
+        # outside keep with an mtime older than the fresh pointer. Re-
+        # read both sources now — after ref_mtime is pinned — so that
+        # dir is protected whichever side of our reads the flip landed.
+        keep = {live}
+        ptr = _read_live_pointer(base)
+        if ptr:
+            keep.add(ptr)
+        relive = _table_location(self.spark, identifier)
+        if relive:
+            keep.add(relive)
+        return _vacuum_versions(base, keep=keep, keep_newer_than=ref_mtime)
 
     def analyze(self, model_name: str, columns: bool = True) -> None:
         """ANALYZE TABLE — compute row-count/size (and per-column NDV,

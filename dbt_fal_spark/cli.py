@@ -123,8 +123,17 @@ def _selector_terms(d) -> list[str]:
         if "union" in d:
             return [t for item in d["union"] for t in _selector_terms(item)]
         if "intersection" in d:
-            parts = [t for item in d["intersection"] for t in _selector_terms(item)]
-            return [",".join(parts)]
+            # Each child resolves to a UNION of terms; distribute the
+            # intersection over those unions ((a∪b)∩c = (a∩c)∪(b∩c)) by
+            # cross-product — flattening all children into one ','-term
+            # would wrongly compute a∩b∩c. ',' composes associatively,
+            # so nested intersections inside a child stay correct.
+            from itertools import product as _product
+
+            child_unions = [_selector_terms(item) for item in d["intersection"]]
+            if not child_unions:
+                return []
+            return [",".join(combo) for combo in _product(*child_unions)]
         if "method" in d:
             method, value = d["method"], str(d.get("value", ""))
             body = value if method in ("fqn", "path") else f"{method}:{value}"

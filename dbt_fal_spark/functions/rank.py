@@ -39,14 +39,20 @@ def global_row_number_with_total(
     N comes free from the partition-size pass, saving callers that need
     it (ntile arithmetic, Gini normalization) a separate count job.
 
-    Cache contract: with ``persist=True`` (default) the range-shuffled
-    input is cached so the size pass and the rank job share it; the
-    cache is released by the query harness's post-query
-    ``spark.catalog.clearCache()`` (registry.py's documented lifecycle).
-    Library callers OUTSIDE that harness (api/materialization code)
-    must pass ``persist=False`` — the rank job then recomputes the
-    range shuffle once (no cached partitions are left behind for the
-    session) — or clear the cache themselves."""
+    Pinning contract: the size pass and the rank job MUST see the same
+    physical partitioning — RangePartitioner re-samples split points
+    per job (seeded from the fresh RDD id), so letting the two jobs
+    each run their own repartitionByRange can shift rows across
+    boundaries and duplicate/skip global ranks. With ``persist=True``
+    (default) the range-shuffled input is cached to pin it; the cache
+    is released by the query harness's post-query
+    ``spark.catalog.clearCache()`` (registry.py's documented
+    lifecycle). Library callers OUTSIDE that harness (api/
+    materialization code) pass ``persist=False`` — the partitioning is
+    then pinned with an eager ``localCheckpoint`` instead (materialized
+    on executors, lineage truncated, storage reclaimed by the context
+    cleaner when the DataFrame is GC'd), leaving no session-lifetime
+    cache entry behind. Recomputation is never the pinning strategy."""
     spark = df.sparkSession
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
@@ -56,6 +62,8 @@ def global_row_number_with_total(
     )
     if persist:
         parts = parts.persist()
+    else:
+        parts = parts.localCheckpoint(eager=True)
     sizes = parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect()
     offsets, acc = [], 0
     for row in sorted(sizes, key=lambda r: r["__pid"]):

@@ -147,13 +147,21 @@ def _write_live_pointer(base: str, loc: str) -> None:
     import os
     import tempfile
 
+    tmp = None
     try:
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(base), prefix=".__live_tmp_")
         with os.fdopen(fd, "w") as f:
             f.write(os.path.abspath(loc))
         os.replace(tmp, _live_pointer_path(base))
+        tmp = None  # consumed by the rename
     except OSError:
         pass  # pointer is an optimization; mtime fallback still works
+    finally:
+        if tmp is not None:  # write/rename failed after mkstemp: don't
+            try:  # leave .__live_tmp_* litter accumulating in the db dir
+                os.unlink(tmp)
+            except OSError:
+                pass
 
 
 def _read_live_pointer(base: str) -> str | None:

@@ -517,6 +517,22 @@ def st_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) if os.path.isdir(base) else []
     for stale in prev[:-1]:  # keep the newest previous target as grace
         shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
+    # App-id namespacing means a DEAD session's newest target is never
+    # inside our prefix, so without this it leaks forever in the shared
+    # warehouse/tmp. Reclaim foreign-prefix targets by age — 24h is far
+    # beyond any live session's read window, preserving the concurrent-
+    # session safety the namespacing bought while bounding the leak.
+    import time as _time
+
+    cutoff = _time.time() - 24 * 3600
+    for d in os.listdir(base) if os.path.isdir(base) else []:
+        if d.startswith("st_upsert_stream_target_") and not d.startswith(prefix):
+            p = os.path.join(base, d)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass  # vanished under us — another session's GC won
     target = os.path.join(base, f"{prefix}{_uuid.uuid4().hex[:8]}")
     os.makedirs(base, exist_ok=True)
     shutil.move(versions[-1], target)
