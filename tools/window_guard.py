@@ -16,14 +16,22 @@ Protocol:
   differs from the snapshot and fails unless each one sits inside the
   window (the first 50 names of the final queries() ordering).
 
-Granularity (hardened in r9, VERDICT r8 item 6): the hash covers the
-entry's own function source, its oracle string, AND the sources of its
-TRANSITIVE in-package callees — module-level names it references,
-``from dbt_fal_spark...`` imports inside its body, and attribute calls
-on in-package modules. Editing a SHARED helper (functions/rank.py,
-_minhash_sig, ...) therefore flips every calling entry's hash; no
-manual stage-the-callers step remains. Out-of-package calls (pyspark,
-stdlib) are deliberately excluded — their churn is not a plan change.
+Granularity (hardened in r9, VERDICT r8 item 6; widened in r10, ADVICE
+r9): the hash covers the entry's own function source, its oracle
+string, the sources of its TRANSITIVE in-package callees — module-level
+names it references, ``from dbt_fal_spark...`` imports inside its body,
+and attribute calls on in-package modules — AND the VALUES of
+in-package module-level data constants those functions reference
+(N_PERM, SHINGLE_DOC_CAP, PERMS, ...), fingerprinted deterministically
+for plain-data types (scalars / str / bytes and containers thereof).
+Editing a SHARED helper or a semantic constant therefore flips every
+calling entry's hash; no manual stage-the-callers step remains for
+functions, classes, or plain-data constants. Remaining manual-staging
+caveat: a constant of a non-plain-data type (compiled regex, custom
+object) has no deterministic fingerprint and is NOT hashed — changing
+one still requires staging its callers by hand. Out-of-package calls
+(pyspark, stdlib) are deliberately excluded — their churn is not a
+plan change.
 """
 
 from __future__ import annotations
@@ -46,7 +54,7 @@ SNAPSHOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plan_hashes
 WINDOW = 50  # the driver records exactly the first 50 queries() entries
 PKG = "dbt_fal_spark"
 
-_callee_cache: dict[tuple[str, str], list] = {}
+_ref_cache: dict[tuple[str, str], tuple[list, list]] = {}
 
 
 def _in_pkg(obj) -> bool:
@@ -55,20 +63,72 @@ def _in_pkg(obj) -> bool:
     )
 
 
-def _callees(fn) -> list:
-    """fn's directly-referenced in-package functions/classes: globals it
+_SCALARS = (bool, int, float, complex, str, bytes, type(None))
+
+
+def _const_fingerprint(val, depth: int = 0) -> str | None:
+    """Deterministic textual fingerprint for a plain-data constant, or
+    None when the value has no stable cross-run repr (objects print
+    memory addresses; set iteration order follows randomized string
+    hashing). Sets and dict items are sorted by element fingerprint so
+    the result is run-independent."""
+    if depth > 6:
+        return None
+    if isinstance(val, _SCALARS):
+        return repr(val)
+    if isinstance(val, (list, tuple)):
+        parts = [_const_fingerprint(v, depth + 1) for v in val]
+        if any(p is None for p in parts):
+            return None
+        lo, hi = ("[", "]") if isinstance(val, list) else ("(", ")")
+        return lo + ",".join(parts) + hi
+    if isinstance(val, (set, frozenset)):
+        parts = [_const_fingerprint(v, depth + 1) for v in val]
+        if any(p is None for p in parts):
+            return None
+        return "{" + ",".join(sorted(parts)) + "}"
+    if isinstance(val, dict):
+        items = []
+        for k, v in val.items():
+            kf = _const_fingerprint(k, depth + 1)
+            vf = _const_fingerprint(v, depth + 1)
+            if kf is None or vf is None:
+                return None
+            items.append(kf + ":" + vf)
+        return "{" + ",".join(sorted(items)) + "}"
+    return None
+
+
+def _module_ns(fn) -> dict:
+    """The module-global namespace fn's body resolves names in.
+    Functions carry it as __globals__; classes do not (ADVICE r9: the
+    old getattr(..., {}) truncated the closure at class boundaries), so
+    fall back to the defining module's __dict__."""
+    g = getattr(fn, "__globals__", None)
+    if g is not None:
+        return g
+    mod = sys.modules.get(getattr(fn, "__module__", ""))
+    return vars(mod) if mod is not None else {}
+
+
+def _refs(fn) -> tuple[list, list]:
+    """(callees, consts) directly referenced by fn's source: in-package
+    functions/classes it names, plus (qualified name, fingerprint) for
+    in-package module-level plain-data constants it reads — globals it
     names, ``from dbt_fal_spark.x import y`` bindings inside its body,
     and ``mod.attr`` access on in-package modules."""
     key = (getattr(fn, "__module__", ""), getattr(fn, "__qualname__", repr(fn)))
-    if key in _callee_cache:
-        return _callee_cache[key]
+    if key in _ref_cache:
+        return _ref_cache[key]
     out: list = []
-    _callee_cache[key] = out  # pre-seed: cycles terminate
+    consts: list = []
+    _ref_cache[key] = (out, consts)  # pre-seed: cycles terminate
     try:
         tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
     except (OSError, TypeError, SyntaxError):
-        return out
-    g = getattr(fn, "__globals__", {})
+        return out, consts
+    g = _module_ns(fn)
+    fn_mod = getattr(fn, "__module__", "")
     local: dict[str, object] = {}  # names bound by imports inside the body
     names: set[str] = set()
     attrs: set[tuple[str, str]] = set()  # (base name, attribute)
@@ -94,19 +154,35 @@ def _callees(fn) -> list:
                     except ImportError:
                         pass
     seen_ids = set()
+    _MISSING = object()
 
-    def _add(obj):
-        if _in_pkg(obj) and id(obj) not in seen_ids:
-            seen_ids.add(id(obj))
-            out.append(obj)
+    def _add(obj, qual):
+        if _in_pkg(obj):
+            if id(obj) not in seen_ids:
+                seen_ids.add(id(obj))
+                out.append(obj)
+        elif obj is not _MISSING and not isinstance(obj, types.ModuleType):
+            fp = _const_fingerprint(obj)
+            if fp is not None:
+                consts.append((qual, fp))
 
+    in_pkg_mod = fn_mod.startswith(PKG)
     for n in sorted(names):
-        _add(local.get(n, g.get(n)))
+        if n.startswith("__"):
+            continue
+        obj = local[n] if n in local else g.get(n, _MISSING)
+        if obj is _MISSING or (not in_pkg_mod and n not in local):
+            continue
+        _add(obj, f"{fn_mod}.{n}")
     for base, attr in sorted(attrs):
         holder = local.get(base, g.get(base))
         if isinstance(holder, types.ModuleType) and holder.__name__.startswith(PKG):
-            _add(getattr(holder, attr, None))
-    return out
+            _add(getattr(holder, attr, _MISSING), f"{holder.__name__}.{attr}")
+    return out, consts
+
+
+def _callees(fn) -> list:
+    return _refs(fn)[0]
 
 
 def closure_sources(fn) -> list[tuple[str, str]]:
@@ -132,6 +208,27 @@ def closure_sources(fn) -> list[tuple[str, str]]:
     return srcs
 
 
+def closure_consts(fn) -> list[tuple[str, str]]:
+    """Deterministic [(qualified name, fingerprint)] for every in-package
+    plain-data constant referenced by fn or any member of its transitive
+    in-package callee closure (fn itself INCLUDED — its own constants
+    are semantics too)."""
+    visited: set[tuple[str, str]] = set()
+    stack = [fn]
+    merged: dict[str, str] = {}
+    while stack:
+        f = stack.pop()
+        key = (getattr(f, "__module__", ""), getattr(f, "__qualname__", repr(f)))
+        if key in visited:
+            continue
+        visited.add(key)
+        callees, consts = _refs(f)
+        for qual, fp in consts:
+            merged[qual] = fp
+        stack.extend(callees)
+    return sorted(merged.items())
+
+
 def closure_hash(fn, oracle: str | None) -> str:
     h = hashlib.sha256()
     try:
@@ -145,6 +242,11 @@ def closure_hash(fn, oracle: str | None) -> str:
         h.update(qual.encode())
         h.update(b"\x1f")
         h.update(src.encode())
+    for qual, fp in closure_consts(fn):
+        h.update(b"\x1d")
+        h.update(qual.encode())
+        h.update(b"\x1f")
+        h.update(fp.encode())
     return h.hexdigest()
 
 
