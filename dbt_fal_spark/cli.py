@@ -108,6 +108,9 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+_MAX_DNF_TERMS = 10_000
+
+
 def _selector_terms(d) -> list[str]:
     """Translate a selectors.yml definition into selector-language terms
     (dbt schema: a definition is a selector STRING, a LIST = union, or a
@@ -129,10 +132,23 @@ def _selector_terms(d) -> list[str]:
             # would wrongly compute a∩b∩c. ',' composes associatively,
             # so nested intersections inside a child stay correct.
             from itertools import product as _product
+            from math import prod as _prod
 
             child_unions = [_selector_terms(item) for item in d["intersection"]]
             if not child_unions:
                 return []
+            # DNF term count is the product of child union sizes —
+            # bound it so a pathological selectors.yml fails fast with
+            # a clear message instead of materializing millions of
+            # --select terms (ADVICE r9)
+            n_terms = _prod(len(u) for u in child_unions)
+            if n_terms > _MAX_DNF_TERMS:
+                raise ValueError(
+                    f"selectors.yml intersection expands to {n_terms} terms "
+                    f"(> {_MAX_DNF_TERMS}): distributing the intersection over "
+                    "its child unions is combinatorial — simplify the nested "
+                    "union/intersection structure"
+                )
             return [",".join(combo) for combo in _product(*child_unions)]
         if "method" in d:
             method, value = d["method"], str(d.get("value", ""))

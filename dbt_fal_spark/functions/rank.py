@@ -52,7 +52,19 @@ def global_row_number_with_total(
     then pinned with an eager ``localCheckpoint`` instead (materialized
     on executors, lineage truncated, storage reclaimed by the context
     cleaner when the DataFrame is GC'd), leaving no session-lifetime
-    cache entry behind. Recomputation is never the pinning strategy."""
+    cache entry behind. Recomputation is never the pinning strategy.
+
+    Fault-tolerance trade-off of the persist=False path (ADVICE r9):
+    localCheckpoint blocks are executor-local and NOT replicated, and
+    lineage truncation means they cannot be recomputed — losing an
+    executor mid-job fails the whole job (persist=True can recompute;
+    localCheckpoint cannot). persist+unpersist is NOT a fix: the
+    returned DataFrame is lazy, so an unpersist before the caller's
+    action would un-pin the partitioning and reintroduce the
+    rank-misalignment bug this path exists to prevent. On a cluster
+    where executor loss is routine, callers should prefer persist=True
+    and release the cache themselves, or set a reliable checkpoint dir
+    and swap ``localCheckpoint`` for ``checkpoint`` at the call site."""
     spark = df.sparkSession
     n_parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")

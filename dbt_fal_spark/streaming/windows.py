@@ -519,20 +519,33 @@ def st_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(os.path.join(base, stale), ignore_errors=True)
     # App-id namespacing means a DEAD session's newest target is never
     # inside our prefix, so without this it leaks forever in the shared
-    # warehouse/tmp. Reclaim foreign-prefix targets by age — 24h is far
-    # beyond any live session's read window, preserving the concurrent-
-    # session safety the namespacing bought while bounding the leak.
+    # warehouse/tmp. Reclaim foreign-prefix targets by age, lease-style
+    # (ADVICE r9): the retention window is a session conf (the vacuum
+    # retainSeconds analogue, default 24h), and every invocation
+    # re-touches THIS session's surviving targets below — so any session
+    # that keeps running keeps renewing its lease, and only sessions
+    # idle past the window can lose a target. A session that merely
+    # HOLDS a returned DataFrame without re-invoking for longer than the
+    # window is still exposed — raise the conf in that deployment.
     import time as _time
 
-    cutoff = _time.time() - 24 * 3600
+    retain = int(
+        spark.conf.get("spark.dbt_fal_spark.streaming.upsertTargetRetainSeconds", str(24 * 3600))
+    )
+    cutoff = _time.time() - retain
     for d in os.listdir(base) if os.path.isdir(base) else []:
+        p = os.path.join(base, d)
         if d.startswith("st_upsert_stream_target_") and not d.startswith(prefix):
-            p = os.path.join(base, d)
             try:
                 if os.path.getmtime(p) < cutoff:
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 pass  # vanished under us — another session's GC won
+        elif d.startswith(prefix):
+            try:
+                os.utime(p)  # renew this session's lease on its live targets
+            except OSError:
+                pass
     target = os.path.join(base, f"{prefix}{_uuid.uuid4().hex[:8]}")
     os.makedirs(base, exist_ok=True)
     shutil.move(versions[-1], target)
