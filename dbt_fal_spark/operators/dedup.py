@@ -238,10 +238,14 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def _minhash_sig(docs: DataFrame) -> DataFrame:
-    """(doc_id, m0..m15) MinHash signatures computed ENTIRELY map-side in
-    one Arrow-batched ``mapInPandas`` stage: shingle → md5 → vectorized
-    per-permutation mins in numpy. Two prior shapes lost to this one:
+def _minhash_sig(docs: DataFrame, with_len: bool = False) -> DataFrame:
+    """(doc_id, m0..m15[, n_chars]) MinHash signatures computed ENTIRELY
+    map-side in one Arrow-batched ``mapInPandas`` stage: shingle → md5 →
+    vectorized per-permutation mins in numpy. ``with_len=True`` adds the
+    document's char length as a free ride-along (text is already in hand
+    in the same Arrow batch — consumers that need lengths downstream,
+    like the Levenshtein length-bound gate, would otherwise pay a
+    doc_id join against a second scan). Two prior shapes lost to this one:
     explode+groupBy shuffles a row per shingle (~10²× the corpus) just to
     re-group what was already grouped, and the pure-expression variant
     (md5 inside ``transform`` lambdas) runs interpreted — Catalyst does
@@ -266,7 +270,7 @@ def _minhash_sig(docs: DataFrame) -> DataFrame:
         a_vec = np.array([a for a, _ in perms], dtype=np.int64)[:, None]
         b_vec = np.array([b for _, b in perms], dtype=np.int64)[:, None]
         for pdf in batches:
-            ids, sigs = [], []
+            ids, sigs, lens = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:  # null text: excluded, matching split(NULL) SQL semantics
                     continue
@@ -280,14 +284,19 @@ def _minhash_sig(docs: DataFrame) -> DataFrame:
                     count=len(shs),
                 )
                 ids.append(doc_id)
+                lens.append(len(text))
                 sigs.append(((a_vec * (hs[None, :] % p) + b_vec) % p).min(axis=1))
             mat = np.vstack(sigs) if sigs else np.empty((0, len(perms)), dtype=np.int64)
-            yield pd.DataFrame(
-                {"doc_id": pd.Series(ids, dtype="int64")}
-                | {f"m{i}": mat[:, i] for i in range(len(perms))}
-            )
+            out = {"doc_id": pd.Series(ids, dtype="int64")} | {
+                f"m{i}": mat[:, i] for i in range(len(perms))
+            }
+            if with_len:
+                out["n_chars"] = pd.Series(lens, dtype="int32")
+            yield pd.DataFrame(out)
 
     schema = "doc_id long, " + ", ".join(f"m{i} long" for i in range(len(perms)))
+    if with_len:
+        schema += ", n_chars int"
     return spread(docs.select("doc_id", "text")).mapInPandas(gen, schema=schema)
 
 
@@ -464,12 +473,48 @@ def d_lsh_levenshtein_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT edit distance, keeping pairs whose normalized Levenshtein ≤
     0.4. The expensive O(len²) DP runs only on the ~linear candidate
     set, never the corpus square; both engines' levenshtein() is the
-    classic integer DP, so the gate is engine-exact. At 100 TB the text
-    join stays proportional to candidates (broadcast the candidate ids,
-    shuffle only matching docs)."""
+    classic integer DP, so the gate is engine-exact.
+
+    r10 plan iteration (VERDICT r9 item 4): document char lengths ride
+    through the band-bucket shuffle inside the member structs (4 ints/
+    doc on top of the band signature — text itself never enters the
+    bucket exchange), so the Levenshtein LENGTH LOWER BOUND
+    ``lev(a,b) >= |len(a)-len(b)|`` prunes candidate pairs BEFORE any
+    text bytes move: a pair with |la-lb| > 0.4*max(la,lb) cannot pass
+    the final edit_ratio <= 0.4 filter, so dropping it is semantics-
+    free (oracle unchanged). Only surviving pairs join text back for
+    the DP stage — at 100 TB that join stays proportional to GATED
+    candidates (broadcast the pair ids, shuffle only matching docs)."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = _minhash_sig(docs)
-    cand = _lsh_candidate_pairs(sig)
+    sig = _minhash_sig(docs, with_len=True)
+    band_structs = [
+        F.struct(F.lit(band).alias("band_id"), _band_sig_spark(band).alias("bsig"))
+        for band in range(N_BANDS)
+    ]
+    bands = sig.select(
+        F.struct("doc_id", F.col("n_chars").alias("n")).alias("m"),
+        F.explode(F.array(*band_structs)).alias("b"),
+    ).select("m", "b.band_id", "b.bsig")
+    grouped = (
+        bands.groupBy("band_id", "bsig")
+        .agg(F.array_sort(F.collect_list("m")).alias("ds"))
+        .filter(F.size("ds").between(2, LSH_BUCKET_CAP))
+    )
+    pairs = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> "
+        "struct(x.doc_id as doc_a, y.doc_id as doc_b, x.n as len_a, y.n as len_b))))"
+    )
+    cand = (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.len_a", "p.len_b")
+        .filter(
+            F.abs(F.col("len_a") - F.col("len_b"))
+            <= 0.4 * F.greatest("len_a", "len_b")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     da = docs.select(F.col("doc_id").alias("da_id"), F.col("text").alias("text_a"))
     db = docs.select(F.col("doc_id").alias("db_id"), F.col("text").alias("text_b"))
     lev = F.levenshtein("text_a", "text_b")

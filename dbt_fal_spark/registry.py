@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from dbt_fal_spark.operators import (  # noqa: F401
         curation,
         dedup,
+        inference,
         multimodal,
         project_ops,
         relational,
