@@ -889,7 +889,9 @@ class FalSpark:
             # shuffle into exactly n_buckets tasks on the bucket cols so
             # the rewrite emits one file per bucket (the minimal healed
             # layout) instead of files × tasks
-            cols = [c.strip() for c in str(bucket_by["cols"]).split(",")]
+            from .materialize import layout_cols
+
+            cols = layout_cols(bucket_by["cols"])
             n = int(bucket_by.get("n", 32))
             out = df.repartition(n, *cols)
             replace_relation_atomic(
@@ -898,7 +900,9 @@ class FalSpark:
             )
             return n
         if sort_by:
-            cols = [c.strip() for c in sort_by.split(",")]
+            from .materialize import layout_cols
+
+            cols = layout_cols(sort_by)
             n = target_partitions or self.spark.sparkContext.defaultParallelism
             out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
             replace_relation_atomic(
@@ -909,7 +913,9 @@ class FalSpark:
         if partition_by:
             # co-locate each hive partition's rows so the rewrite emits
             # few files per partition directory, not files × tasks
-            pcols = [c.strip() for c in partition_by.split(",")]
+            from .materialize import layout_cols
+
+            pcols = layout_cols(partition_by)
             out = df.repartition(n, *pcols)
             replace_relation_atomic(
                 self.spark, out, identifier, partition_by=partition_by

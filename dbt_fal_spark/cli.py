@@ -35,7 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="named selector from selectors.yml (reference args.py:135-138)")
         sp.add_argument("--exclude", nargs="*", default=None)
         sp.add_argument("--threads", type=int, default=None, help="parallelism (default: profiles.yml threads, else 4)")
-        sp.add_argument("--vars", default="{}", help="JSON dict of project vars")
+        # reference parity (args.py:107-117): --vars is a YAML string,
+        # e.g. '{my_variable: my_value}' — JSON is a YAML subset, so
+        # JSON callers keep working
+        sp.add_argument("--vars", default="{}",
+                        help="YAML dict of project vars, e.g. '{key: value}'")
         sp.add_argument("--target", default=None, help="profiles.yml target (e.g. dev, prod)")
         sp.add_argument("--state", default=None, help="external artifact dir for state: selectors / --defer")
 
@@ -176,6 +180,27 @@ def resolve_named_selector(project_dir: str, name: str) -> list[str]:
     raise ValueError(f"--selector {name!r} not found in selectors.yml (have: {known})")
 
 
+def _parse_cli_vars(raw: str) -> dict:
+    """dbt/reference parity (reference args.py:107-117 + dbt
+    parse_cli_vars): ``--vars`` is a YAML string — ``'{key: value}'``
+    without JSON quoting must work; JSON is a YAML subset so JSON
+    callers keep working. Non-dict YAML is a clear usage error, not a
+    traceback."""
+    import yaml
+
+    try:
+        parsed = yaml.safe_load(raw)
+    except yaml.YAMLError as e:
+        raise ValueError(f"--vars is not valid YAML: {e}") from e
+    if parsed is None:
+        return {}
+    if not isinstance(parsed, dict):
+        raise ValueError(
+            f"--vars must be a YAML dict like '{{key: value}}', got: {raw!r}"
+        )
+    return parsed
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if getattr(args, "selector", None):
@@ -187,12 +212,17 @@ def main(argv: list[str] | None = None) -> int:
         except ValueError as e:
             print(str(e), file=sys.stderr)
             return 2
+    try:
+        cli_vars = _parse_cli_vars(args.vars)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
     # import late so `--help` works without a JVM
     from dbt_fal_spark.api import FalSpark
 
     fal = FalSpark(
         args.project_dir,
-        vars=json.loads(args.vars),
+        vars=cli_vars,
         target=getattr(args, "target", None),
         state_path=getattr(args, "state", None),
         defer=getattr(args, "defer_", False),

@@ -51,7 +51,22 @@ def _clean_orphan_location(spark: SparkSession, identifier: str) -> None:
         shutil.rmtree(loc, ignore_errors=True)
 
 
-def _range_cluster(df: DataFrame, sort_by: str) -> DataFrame:
+def layout_cols(spec) -> list[str]:
+    """Column list from a layout config value. dbt accepts BOTH the
+    comma-string form (``"k1, k2"``) and the YAML/Jinja list form
+    (``["k1", "k2"]``) for partition_by / sort_by / bucket_by-cols /
+    unique_key (reference: dbt-core node config); normalizing here means
+    every writer and maintenance path handles both — a list previously
+    reached ``str(x).split(',')`` and produced bracketed garbage column
+    names (r10 adversarial review finding)."""
+    if spec is None:
+        return []
+    if isinstance(spec, (list, tuple)):
+        return [str(c).strip() for c in spec if str(c).strip()]
+    return [c.strip() for c in str(spec).split(",") if c.strip()]
+
+
+def _range_cluster(df: DataFrame, sort_by) -> DataFrame:
     """Range-partition + sort-within on the given column(s): every file
     then covers a DISJOINT value range, so parquet row-group min/max
     stats let any range/point predicate skip whole files at scan time —
@@ -60,7 +75,7 @@ def _range_cluster(df: DataFrame, sort_by: str) -> DataFrame:
     (Orthogonal to bucket_by, which optimizes equi-JOINS by hash;
     sort_by optimizes range FILTERS by order. bucketBy already sorts
     within buckets, so the two are mutually exclusive at the writer.)"""
-    cols = [c.strip() for c in sort_by.split(",")]
+    cols = layout_cols(sort_by)
     return df.repartitionByRange(*cols).sortWithinPartitions(*cols)
 
 
@@ -87,9 +102,9 @@ def write_table(
     _clean_orphan_location(df.sparkSession, identifier)
     writer = df.write.mode(mode).format("parquet")
     if partition_by:
-        writer = writer.partitionBy(*[c.strip() for c in partition_by.split(",")])
+        writer = writer.partitionBy(*layout_cols(partition_by))
     if bucket_by:
-        cols = [c.strip() for c in str(bucket_by["cols"]).split(",")]
+        cols = layout_cols(bucket_by["cols"])
         writer = writer.bucketBy(int(bucket_by.get("n", 32)), *cols).sortBy(*cols)
     writer.saveAsTable(identifier)
 
@@ -275,9 +290,9 @@ def replace_relation_atomic(
 
     def _layout(writer):
         if partition_by:
-            writer = writer.partitionBy(*[c.strip() for c in partition_by.split(",")])
+            writer = writer.partitionBy(*layout_cols(partition_by))
         if bucket_by:
-            cols = [c.strip() for c in str(bucket_by["cols"]).split(",")]
+            cols = layout_cols(bucket_by["cols"])
             writer = writer.bucketBy(int(bucket_by.get("n", 32)), *cols).sortBy(*cols)
         return writer
 
@@ -287,7 +302,7 @@ def replace_relation_atomic(
     want_buckets = (
         (
             int(bucket_by.get("n", 32)),
-            tuple(c.strip() for c in str(bucket_by["cols"]).split(",")),
+            tuple(layout_cols(bucket_by["cols"])),
         )
         if bucket_by
         else None
@@ -465,7 +480,7 @@ def incremental_merge(
     # old rows whose key is absent from the new batch, append the batch,
     # and swap atomically. The config name a dbt user writes must work.
     old = spark.table(identifier)
-    keys = [k.strip() for k in unique_key.split(",")]
+    keys = layout_cols(unique_key)  # dbt unique_key: str OR list
     merged = old.join(new_rows.select(*keys).distinct(), on=keys, how="left_anti").unionByName(
         new_rows.select(*old.columns)
     )

@@ -32,6 +32,75 @@ def test_selector_terms_dnf_cap_fails_fast():
     assert _MAX_DNF_TERMS >= 1000  # cap must not bite realistic projects
 
 
+# --- r10 adversarial review: --vars is a YAML string (reference parity) -----
+
+
+def test_cli_vars_accepts_yaml_and_json():
+    from dbt_fal_spark.cli import _parse_cli_vars
+
+    # the reference's documented example: a YAML string, not JSON
+    assert _parse_cli_vars("{my_variable: my_value}") == {"my_variable": "my_value"}
+    assert _parse_cli_vars('{"k": 1}') == {"k": 1}  # JSON still works
+    assert _parse_cli_vars("{}") == {}
+    assert _parse_cli_vars("") == {}
+    with pytest.raises(ValueError, match="YAML dict"):
+        _parse_cli_vars("[1, 2]")
+    with pytest.raises(ValueError, match="not valid YAML"):
+        _parse_cli_vars("{unclosed: [")
+
+
+# --- r10 adversarial review: layout configs accept dbt's list form ----------
+
+
+def test_layout_cols_accepts_both_forms():
+    from dbt_fal_spark.materialize import layout_cols
+
+    assert layout_cols("k1, k2") == ["k1", "k2"]
+    assert layout_cols(["k1", "k2"]) == ["k1", "k2"]
+    assert layout_cols(("k1",)) == ["k1"]
+    assert layout_cols(None) == []
+    assert layout_cols("") == []
+    # the pre-fix failure: str(list).split(",") produced "['k1'" garbage
+    assert "[" not in "".join(layout_cols(["k1", "k2"]))
+
+
+def test_list_form_layout_survives_run_and_compact(spark, tmp_path):
+    """dbt users write partition_by/bucket_by cols as YAML/Jinja LISTS as
+    often as comma strings; both must materialize AND survive compact
+    with the declared layout intact (pre-fix: bracketed garbage column
+    names -> AnalysisException)."""
+    from dbt_fal_spark.api import FalSpark
+    from dbt_fal_spark.materialize import _table_bucket_spec
+
+    spark.sql("DROP DATABASE IF EXISTS listlayout CASCADE")
+    proj = tmp_path / "listlayout"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text("name: listlayout\n")
+    (proj / "models" / "bkt.sql").write_text(
+        "{{ config(materialized='table', bucket_by={'cols': ['k', 'v'], 'n': 4}) }}\n"
+        "SELECT id AS k, id % 7 AS v FROM range(50)"
+    )
+    (proj / "models" / "parted.sql").write_text(
+        "{{ config(materialized='table', partition_by=['p']) }}\n"
+        "SELECT id AS x, id % 3 AS p FROM range(30)"
+    )
+    fal = FalSpark(proj, spark=spark)
+    statuses = fal.run()
+    assert all(s == "success" for s in statuses.values()), statuses
+    assert _table_bucket_spec(spark, fal._identifier("bkt")) == (4, ("k", "v"))
+    assert fal.compact("bkt") == 4
+    assert _table_bucket_spec(spark, fal._identifier("bkt")) == (4, ("k", "v"))
+    fal.compact("parted", target_partitions=2)
+    assert spark.table(fal._identifier("parted")).count() == 30
+    assert "p" in [
+        r.col_name
+        for r in spark.sql(
+            f"DESCRIBE TABLE {fal._identifier('parted')}"
+        ).collect()
+    ]
+    spark.sql("DROP DATABASE IF EXISTS listlayout CASCADE")
+
+
 # --- VERDICT r9 item 5: pandas_udf batch-inference entry --------------------
 
 
