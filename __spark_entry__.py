@@ -62,49 +62,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # staging) and tests/test_window_guard.py goes red if any entry's
 # hash changes without a leading window slot.
 #
-# r9 WINDOW (this round): CORRECTNESS_r08 was green over the full r8
-# window (50/50), so every r8-windowed entry's driver row is fresh.
-# Lead with the four entries whose plan/semantics/source changed this
-# round — st_upsert_stream (foreign-target age GC added to the
-# implementing function) and the three rank.py callers
-# (q_customer_value_deciles / _ranged / q_gini_customer_value:
-# functions/rank.py's persist=False path now pins partitioning via
-# localCheckpoint; their default persist=True plan is unchanged but
-# the hardened window guard hashes callee closures, so they stage).
-# Then the 30 rows whose last green driver row is r6 (computed from
-# CORRECTNESS_r0*.json — the st_*/e_* families, q02/q05/q14/q15/q17/
-# q18/q19, m_binary_metadata, m_decode_pipeline, s_label_* /
-# s_text_vector_join, q_histogram_totalprice, q_profile_orders), then
-# the 16 oldest r7 rows to fill the window to 50. After this round no
-# entry's driver evidence is older than r7.
+# (Window history r5-r9 lives in git; standing rule unchanged: lead
+# each round with every entry whose plan/semantics/source changed
+# since its last driver row, then the stalest remaining rows.)
+#
+# r10 WINDOW (this round): CORRECTNESS_r09 was green over the full r9
+# window (50/50). Lead with the 9 entries whose source/closure changed
+# this round — st_upsert_stream (GC retention conf + lease touch), the
+# three rank.py callers (docstring-only rank change, closure-hashed),
+# d_lsh_levenshtein_refine (length-bound gate before the text join),
+# d_minhash_lsh_pairs / d_neardup_components / d_neardup_triangles
+# (_minhash_sig signature change, plans unchanged), and the NEW
+# p_sentiment_batch_inference — then the 30 rows whose last green
+# driver row is r7 (computed from CORRECTNESS_r0*.json: the q_*
+# analytics family, the five s_knn_* entries, st_dedup_stream,
+# st_left_outer_interval_stream), then the 11 alphabetically-first r8
+# rows to fill the window to 50. After this round no entry's driver
+# evidence is older than r8.
 _CHECK_FIRST = (
-    # source/helper changed since last driver row — re-verify first
+    # source/helper/closure changed since last driver row — verify first
     "st_upsert_stream", "q_customer_value_deciles",
     "q_customer_value_deciles_ranged", "q_gini_customer_value",
-    # last green in r6 — stalest evidence, refresh all 30
-    "e_anomaly_events", "e_forecast_daily_by_type",
-    "e_funnel_conversion", "e_hourly_rollup", "e_json_props_stats",
-    "e_purchase_gap_stats", "e_resample_daily_fill",
-    "e_retention_cohorts", "e_rolling_7d_revenue",
-    "e_sliding_window_traffic", "e_user_activity_pivot",
-    "m_binary_metadata", "m_decode_pipeline",
-    "q02_min_cost_part_supplier", "q05_region_nation_revenue",
-    "q14_promo_revenue", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_disjunctive_predicates", "q_histogram_totalprice",
-    "q_profile_orders", "s_label_centroid_distance",
-    "s_text_vector_join", "st_enriched_stream",
-    "st_full_outer_interval_stream", "st_hourly_stream",
-    "st_interval_join_stream", "st_session_stream",
-    "st_user_totals_stateful",
-    # oldest r7 rows — fill the window to 50
-    "d_embedding_neardup_pairs", "d_exact_dedup", "d_winnow_neardup",
-    "m_frame_sample", "p_flow_run_customer_stats",
-    "q03_topk_order_revenue", "q04_late_shipment_priority",
-    "q06_filtered_revenue", "q07_volume_shipping", "q08_market_share",
-    "q09_product_profit", "q10_returned_items",
-    "q13_order_count_distribution", "q16_parts_not_recently_shipped",
-    "q22_lapsed_rich_customers", "q_corr_stats_by_flag",
+    "d_lsh_levenshtein_refine", "d_minhash_lsh_pairs",
+    "d_neardup_components", "d_neardup_triangles",
+    "p_sentiment_batch_inference",
+    # last green in r7 — stalest evidence, refresh all 30
+    "q_cube_status_priority", "q_customer_order_stats",
+    "q_customer_running_total", "q_customer_value_percentile",
+    "q_date_filter_projection", "q_first_last_order_value",
+    "q_generic_tests", "q_grouping_sets_revenue",
+    "q_lapsed_customers_except", "q_mad_outlier_orders",
+    "q_order_date_parts", "q_orders_daily_pivot",
+    "q_paginate_orders", "q_part_string_funcs",
+    "q_pivot_priority_by_status", "q_priority_distinct_customers",
+    "q_quantity_quartiles", "q_range_join_price_band",
+    "q_region_rollup_revenue", "q_repeat_customers_intersect",
+    "q_revenue_trend_by_priority", "q_status_set_per_priority",
+    "q_topk_orders_per_segment", "s_knn_bruteforce", "s_knn_int8",
+    "s_knn_ivf", "s_knn_lsh_bucketed", "s_knn_lsh_multitable",
+    "st_dedup_stream", "st_left_outer_interval_stream",
+    # oldest r8 rows — fill the window to 50
+    "d_bloom_prefilter", "d_containment_pairs", "d_decontaminate",
+    "d_dup_ngram_fraction", "d_embedding_neardup_lsh",
+    "d_keep_best_per_key", "d_ngram_jaccard_pairs", "d_simhash",
+    "e_asof_purchase_attribution", "e_changepoint_cusum",
+    "e_daily_active_users",
 )
 
 
