@@ -32,6 +32,13 @@ object) has no deterministic fingerprint and is NOT hashed — changing
 one still requires staging its callers by hand. Out-of-package calls
 (pyspark, stdlib) are deliberately excluded — their churn is not a
 plan change.
+
+Hashes are defined AT IMPORT TIME OF A FRESH PROCESS: module-level
+runtime caches (e.g. readers._SCAN_CACHE) are legitimate referenced
+globals that mutate as queries run, so computing hashes mid-session
+(e.g. inside a pytest process that already ran Spark tests) would
+flip every caller. The CLI is always a fresh process;
+tests/test_window_guard.py shells out for the same reason.
 """
 
 from __future__ import annotations
