@@ -36,6 +36,9 @@ HEADLINE = [
     "q_customer_running_total",
     "q_priority_distinct_customers",
     "q_region_rollup_revenue",
+    # one entry for the batch-inference family (iterator pandas_udf);
+    # p_ prefix is not swept so it is listed explicitly
+    "p_sentiment_batch_inference",
 ]
 
 
