@@ -65,7 +65,15 @@ def parallel_executor(
             if not futures:
                 if scheduler.is_done:
                     break
-                continue
+                # nothing in flight AND nothing launchable AND not done:
+                # the scheduler state machine is wedged (should be
+                # impossible — cycles are rejected at DAG build, failures
+                # transitively skip dependents). Fail loudly rather than
+                # busy-spin this loop at 100% CPU forever.
+                raise RuntimeError(
+                    "executor deadlock: no runnable groups, none in flight, "
+                    "scheduler not done"
+                )
             done, _ = wait(list(futures), return_when=FIRST_COMPLETED)
             for fut in done:
                 group = futures.pop(fut)

@@ -94,12 +94,19 @@ def render_model_sql(
 
 
 def extract_dependencies(
-    raw_sql: str, macros: list[str] | None = None
+    raw_sql: str,
+    macros: list[str] | None = None,
+    vars: dict[str, Any] | None = None,
 ) -> tuple[list[str], list[tuple[str, str]], dict[str, Any]]:
     """Parse-phase dependency extraction: render with no-op resolvers and
     collect the ref()/source()/config() calls. Rendered under both
     is_incremental branches so deps inside ``{% if is_incremental() %}``
-    blocks are not missed."""
+    blocks are not missed. ``vars`` must be the PROJECT-MERGED vars (dbt
+    parses with real var values): a ref inside
+    ``{% if var('flag') %}...{% endif %}`` where the project sets the
+    flag true was invisible to a var-less parse — the DAG then missed
+    the edge and could schedule the dependency after its consumer
+    (r10 adversarial-review finding)."""
     refs: list[str] = []
     sources: list[tuple[str, str]] = []
     config: dict[str, Any] = {}
@@ -109,6 +116,7 @@ def extract_dependencies(
             resolve_ref=lambda name: f"__ref__{name}",
             resolve_source=lambda s, t: f"__source__{s}__{t}",
             this_name="__this__",
+            vars=vars,
             is_incremental=inc,
             macros=macros,
         )

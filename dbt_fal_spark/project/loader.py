@@ -230,7 +230,9 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
             continue
         for spath in sorted(mdir.rglob("*.sql")):
             raw = spath.read_text()
-            refs, sources, config = extract_dependencies(raw, macros=manifest.macros)
+            refs, sources, config = extract_dependencies(
+                raw, macros=manifest.macros, vars=merged_vars
+            )
             mname = spath.stem
             props = model_props.get(mname, {})
             meta = {**(props.get("meta", {}) or {}), **(config.get("meta", {}) or {})}
@@ -284,7 +286,9 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
     if tdir.exists():
         for spath in sorted(tdir.glob("*.sql")):
             raw = spath.read_text()
-            refs, srcs, _ = extract_dependencies(raw, macros=manifest.macros)
+            refs, srcs, _ = extract_dependencies(
+                raw, macros=manifest.macros, vars=merged_vars
+            )
             uid = f"test.{name}.{spath.stem}"
             t = DbtTest(
                 name=spath.stem,

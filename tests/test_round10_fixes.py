@@ -101,6 +101,39 @@ def test_list_form_layout_survives_run_and_compact(spark, tmp_path):
     spark.sql("DROP DATABASE IF EXISTS listlayout CASCADE")
 
 
+# --- r10 adversarial review: var-conditional refs reach the DAG -------------
+
+
+def test_var_conditional_ref_is_a_dag_edge(spark, tmp_path):
+    """dbt parses with real project vars: a ref inside
+    {% if var('flag') %} where dbt_project.yml sets the flag true MUST
+    become a DAG edge (pre-fix: var-less parse took the else-branch,
+    missed the edge, and the dependency could build after its
+    consumer)."""
+    from dbt_fal_spark.api import FalSpark
+
+    spark.sql("DROP DATABASE IF EXISTS varcond CASCADE")
+    proj = tmp_path / "varcond"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text(
+        "name: varcond\nvars:\n  enable_extra: true\n"
+    )
+    (proj / "models" / "base.sql").write_text("SELECT id AS k FROM range(5)")
+    (proj / "models" / "top.sql").write_text(
+        "{% if var('enable_extra') %}\n"
+        "SELECT k FROM {{ ref('base') }}\n"
+        "{% else %}\nSELECT 99 AS k\n{% endif %}"
+    )
+    fal = FalSpark(proj, spark=spark)
+    top = next(m for m in fal.manifest.models.values() if m.name == "top")
+    assert "model.varcond.base" in top.depends_on, top.depends_on
+    statuses = fal.run()
+    assert all(s == "success" for s in statuses.values()), statuses
+    rows = sorted(r.k for r in fal.ref("top").collect())
+    assert rows == [0, 1, 2, 3, 4]  # the TRUE branch ran against base
+    spark.sql("DROP DATABASE IF EXISTS varcond CASCADE")
+
+
 # --- VERDICT r9 item 5: pandas_udf batch-inference entry --------------------
 
 
