@@ -67,16 +67,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # since its last driver row, then the stalest remaining rows.)
 #
 # r10 WINDOW (this round): CORRECTNESS_r09 was green over the full r9
-# window (50/50). Lead with the 9 entries whose source/closure changed
+# window (50/50). Lead with the 10 entries whose source/closure changed
 # this round — st_upsert_stream (GC retention conf + lease touch), the
 # three rank.py callers (docstring-only rank change, closure-hashed),
 # d_lsh_levenshtein_refine (length-bound gate before the text join),
 # d_minhash_lsh_pairs / d_neardup_components / d_neardup_triangles
 # (_minhash_sig signature change, plans unchanged), and the NEW
-# p_sentiment_batch_inference — then the 30 rows whose last green
+# p_sentiment_batch_inference / q_pii_masked_customers — then the 30
+# rows whose last green
 # driver row is r7 (computed from CORRECTNESS_r0*.json: the q_*
 # analytics family, the five s_knn_* entries, st_dedup_stream,
-# st_left_outer_interval_stream), then the 11 alphabetically-first r8
+# st_left_outer_interval_stream), then the 10 alphabetically-first r8
 # rows to fill the window to 50. After this round no entry's driver
 # evidence is older than r8.
 _CHECK_FIRST = (
@@ -85,7 +86,7 @@ _CHECK_FIRST = (
     "q_customer_value_deciles_ranged", "q_gini_customer_value",
     "d_lsh_levenshtein_refine", "d_minhash_lsh_pairs",
     "d_neardup_components", "d_neardup_triangles",
-    "p_sentiment_batch_inference",
+    "p_sentiment_batch_inference", "q_pii_masked_customers",
     # last green in r7 — stalest evidence, refresh all 30
     "q_cube_status_priority", "q_customer_order_stats",
     "q_customer_running_total", "q_customer_value_percentile",
@@ -106,7 +107,6 @@ _CHECK_FIRST = (
     "d_dup_ngram_fraction", "d_embedding_neardup_lsh",
     "d_keep_best_per_key", "d_ngram_jaccard_pairs", "d_simhash",
     "e_asof_purchase_attribution", "e_changepoint_cusum",
-    "e_daily_active_users",
 )
 
 

@@ -576,6 +576,46 @@ def q_part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_pii_masked_customers",
+    oracle="""
+    SELECT md5(c_name) AS surrogate_key,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS acctbal_band,
+           c_mktsegment,
+           c_nationkey
+    FROM customer
+    """,
+    tags=("string", "pii", "curation"),
+)
+def q_pii_masked_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-safe dimension export — the masking pass every shared
+    training-data/analytics extract needs (GDPR-style pseudonymization):
+    direct identifiers become a deterministic md5 surrogate (joinable
+    across extracts, irreversible), embedded digits are redacted, and
+    the quasi-identifying numeric is GENERALIZED to coarse bands (the
+    k-anonymity move — exact balances re-identify, bands aggregate).
+    All JVM-side codegen'd expressions (md5 / regexp_replace / CASE):
+    map-only, zero shuffles, scales with executors; the Spark
+    regexp_replace replaces all matches, mirrored by DuckDB's 'g'
+    flag."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return cust.select(
+        F.md5(F.col("c_name").cast("binary")).alias("surrogate_key"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("name_masked"),
+        band.alias("acctbal_band"),
+        "c_mktsegment",
+        "c_nationkey",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semi / anti joins, correlated subqueries (TPC-H Q4/Q13/Q16/Q22 shapes)
 # ---------------------------------------------------------------------------
