@@ -22,6 +22,7 @@ src/fal/dbt/cli/selectors.py:13-65 plan build, :156-226 SelectorPlan,
 
 from __future__ import annotations
 
+import fnmatch
 import hashlib
 import re
 from dataclasses import dataclass
@@ -82,6 +83,15 @@ class SelectorPlan:
         return cls(body=body, **ops)
 
 
+def _name_match(name: str, pattern: str) -> bool:
+    """dbt selector name matching: plain equality, or fnmatch when the
+    pattern carries glob characters (dbt supports `--select staging_*`,
+    `tag:night*`)."""
+    if "*" in pattern or "?" in pattern or "[" in pattern:
+        return fnmatch.fnmatchcase(name, pattern)
+    return name == pattern
+
+
 def _match_nodes(graph: NodeGraph, plan: SelectorPlan, state: dict[str, str] | None = None) -> set[str]:
     out: set[str] = set()
     for node in graph.graph.nodes:
@@ -99,7 +109,9 @@ def _match_nodes(graph: NodeGraph, plan: SelectorPlan, state: dict[str, str] | N
                 out.add(node)
             continue
         if plan.is_tag:
-            if model is not None and plan.body in (model.tags or []):
+            if model is not None and any(
+                _name_match(t, plan.body) for t in (model.tags or [])
+            ):
                 out.add(node)
             continue
         if attrs.get("kind") == "fal_script":
@@ -108,8 +120,18 @@ def _match_nodes(graph: NodeGraph, plan: SelectorPlan, state: dict[str, str] | N
                 out.add(node)
             continue
         short = node.split(".")[-1]
-        if short == plan.body:
+        if _name_match(short, plan.body):
             out.add(node)
+            continue
+        # path-form selector (dbt `path:` method / bare path terms like
+        # models/staging/orders.sql): match the model file's trailing path
+        if model is not None and "/" in plan.body:
+            p = getattr(model, "path", None)
+            if p is not None and (
+                str(p).endswith("/" + plan.body.lstrip("/"))
+                or fnmatch.fnmatchcase(str(p), "*/" + plan.body.lstrip("/"))
+            ):
+                out.add(node)
     return out
 
 

@@ -101,6 +101,47 @@ def test_list_form_layout_survives_run_and_compact(spark, tmp_path):
     spark.sql("DROP DATABASE IF EXISTS listlayout CASCADE")
 
 
+# --- r10 dbt parity: glob + path selectors ----------------------------------
+
+
+def test_selector_glob_and_path_matching(spark, tmp_path):
+    from dbt_fal_spark.api import FalSpark
+
+    proj = tmp_path / "globsel"
+    (proj / "models" / "staging").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text("name: globsel\n")
+    (proj / "models" / "staging" / "stg_orders.sql").write_text(
+        "{{ config(tags=['nightly_a']) }} SELECT 1 AS x"
+    )
+    (proj / "models" / "staging" / "stg_items.sql").write_text(
+        "{{ config(tags=['nightly_b']) }} SELECT 2 AS x"
+    )
+    (proj / "models" / "final.sql").write_text(
+        "SELECT * FROM {{ ref('stg_orders') }}"
+    )
+    fal = FalSpark(proj, spark=spark)
+    from dbt_fal_spark.plans.node_graph import NodeGraph
+    from dbt_fal_spark.plans.selectors import select_nodes
+
+    graph = NodeGraph.from_manifest(fal.manifest)
+    short = lambda ns: {n.split(".")[-1] for n in ns}  # noqa: E731
+    # name glob (dbt: --select stg_*)
+    assert short(select_nodes(graph, ["stg_*"])) == {"stg_orders", "stg_items"}
+    # tag glob (dbt: --select tag:nightly*)
+    assert short(select_nodes(graph, ["tag:nightly_*"])) == {
+        "stg_orders", "stg_items",
+    }
+    # path form (dbt path: method emits bare paths)
+    assert short(select_nodes(graph, ["staging/stg_orders.sql"])) == {"stg_orders"}
+    assert short(select_nodes(graph, ["models/staging/*.sql"])) == {
+        "stg_orders", "stg_items",
+    }
+    # graph ops compose with globs: descendants of the glob match
+    assert "final" in short(select_nodes(graph, ["stg_*+"]))
+    # exact names keep exact semantics (no accidental glob)
+    assert short(select_nodes(graph, ["stg_orders"])) == {"stg_orders"}
+
+
 # --- r10 adversarial review: var-conditional refs reach the DAG -------------
 
 
