@@ -67,7 +67,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # since its last driver row, then the stalest remaining rows.)
 #
 # r10 WINDOW (this round): CORRECTNESS_r09 was green over the full r9
-# window (50/50). Lead with the 11 entries whose source/closure changed
+# window (50/50). Lead with the 12 entries whose source/closure changed
 # this round — st_upsert_stream (GC retention conf + lease touch), the
 # three rank.py callers (docstring-only rank change, closure-hashed),
 # d_lsh_levenshtein_refine (length-bound gate before the text join),
@@ -77,7 +77,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows whose last green
 # driver row is r7 (computed from CORRECTNESS_r0*.json: the q_*
 # analytics family, the five s_knn_* entries, st_dedup_stream,
-# st_left_outer_interval_stream), then the 9 alphabetically-first r8
+# st_left_outer_interval_stream), then the 8 alphabetically-first r8
 # rows to fill the window to 50. After this round no entry's driver
 # evidence is older than r8.
 _CHECK_FIRST = (
@@ -88,6 +88,7 @@ _CHECK_FIRST = (
     "d_neardup_components", "d_neardup_triangles",
     "p_sentiment_batch_inference", "q_pii_masked_customers",
     "p_flow_run_customer_stats",  # selector-engine change in its closure
+    "q_salted_join_supplier_volume",  # salted_join outer-shape guard in closure
     # last green in r7 — stalest evidence, refresh all 30
     "q_cube_status_priority", "q_customer_order_stats",
     "q_customer_running_total", "q_customer_value_percentile",
@@ -107,7 +108,6 @@ _CHECK_FIRST = (
     "d_bloom_prefilter", "d_containment_pairs", "d_decontaminate",
     "d_dup_ngram_fraction", "d_embedding_neardup_lsh",
     "d_keep_best_per_key", "d_ngram_jaccard_pairs", "d_simhash",
-    "e_asof_purchase_attribution",
 )
 
 

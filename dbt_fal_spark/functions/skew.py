@@ -35,7 +35,22 @@ def salted_join(
     ``small`` is replicated ``salts``× (keep it dimension-sized); ``big``
     rows are salted uniformly at random — randomness only affects task
     placement, never results.
+
+    Only big-side-preserving join types are valid: with the small side
+    replicated per salt, a right/full outer join would emit every
+    UNMATCHED small-side row once per salt value — ``salts`` phantom
+    copies (r10 adversarial-review finding). Flip the sides (salt the
+    other table) or use a plain join for those shapes.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "semi",
+               "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+               "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: join type {how!r} is not big-side-preserving — "
+            f"the replicated small side would duplicate unmatched rows "
+            f"{salts}x. Salt the other side instead."
+        )
     salted_big = big.withColumn(SALT, (F.rand() * salts).cast("int"))
     replicated = small.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))

@@ -101,6 +101,30 @@ def test_list_form_layout_survives_run_and_compact(spark, tmp_path):
     spark.sql("DROP DATABASE IF EXISTS listlayout CASCADE")
 
 
+# --- r10 adversarial review: salted_join rejects small-side-preserving joins
+
+
+def test_salted_join_rejects_outer_shapes(spark):
+    """A right/full outer salted join would emit unmatched small-side
+    rows once PER SALT (the small side is replicated) — phantom rows.
+    Big-side-preserving types stay result-invariant."""
+    from dbt_fal_spark.functions.skew import salted_join
+
+    big = spark.range(100).selectExpr("id % 10 AS k", "id AS v")
+    small = spark.range(5).selectExpr("id AS k", "id * 10 AS w")
+    for bad in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="not big-side-preserving"):
+            salted_join(big, small, on="k", how=bad)
+    # left outer on the BIG side stays exact: row count = plain join's
+    plain = big.join(small, on="k", how="left").count()
+    assert salted_join(big, small, on="k", how="left").count() == plain
+    # semi/anti preserved too
+    assert (
+        salted_join(big, small, on="k", how="left_semi").count()
+        == big.join(small, on="k", how="left_semi").count()
+    )
+
+
 # --- r10 dbt parity: glob + path selectors ----------------------------------
 
 
