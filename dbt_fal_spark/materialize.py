@@ -534,6 +534,16 @@ def snapshot_scd2(
     """
     from pyspark.sql import functions as F
 
+    if not isinstance(unique_key, str):
+        # dbt 1.9+ allows list unique_key for snapshots; this renderer
+        # keys the SCD machinery on one column throughout (joins, scd_id,
+        # dedup window). Fail with the workaround instead of a TypeError
+        # deep inside the join builder.
+        raise ValueError(
+            f"snapshot {identifier}: unique_key must be a single column "
+            f"name (got {unique_key!r}); for a composite key, project a "
+            "concatenated key column in the snapshot's select and use that"
+        )
     key = F.col(unique_key).cast("string")
     if strategy == "timestamp":
         if not updated_at:

@@ -101,6 +101,20 @@ def test_list_form_layout_survives_run_and_compact(spark, tmp_path):
     spark.sql("DROP DATABASE IF EXISTS listlayout CASCADE")
 
 
+# --- r10 adversarial review: snapshot composite-key contract error ----------
+
+
+def test_snapshot_list_unique_key_errors_clearly(spark):
+    from dbt_fal_spark.materialize import snapshot_scd2
+
+    staged = spark.range(3).selectExpr("id AS k", "id AS v", "timestamp'2024-01-01' AS ts")
+    with pytest.raises(ValueError, match="single column name"):
+        snapshot_scd2(
+            spark, staged, "default.snap_badkey", ["k", "v"],
+            strategy="timestamp", updated_at="ts",
+        )
+
+
 # --- r10 adversarial review: salted_join rejects small-side-preserving joins
 
 
