@@ -393,20 +393,34 @@ class FalSpark:
         dtype: dict[str, str] | None = None,
         mode: str = "overwrite",
     ) -> None:
-        """Eager write (reference: project.py:803-853; default overwrite)."""
+        """Eager write (reference: project.py:803-853; default overwrite).
+        Writes carry the target model's DECLARED layout (partition_by /
+        bucket_by / sort_by) — a script overwrite must not flatten a
+        bucketed/partitioned table — and appends are column-name-aligned
+        before the positional insertInto (a reordered-column df
+        previously appended values into the wrong columns)."""
         name = target_2 or target_1
         df = apply_dtype_casts(df, dtype)
         identifier = f"{self.schema}.{name}"
+        model = next(
+            (m for m in self.manifest.models.values() if m.name == name), None
+        )
+        layout = {
+            "partition_by": getattr(model, "partition_by", None),
+            "bucket_by": getattr(model, "bucket_by", None),
+            "sort_by": getattr(model, "sort_by", None),
+        }
         if mode == "overwrite":
             if self.spark.catalog.tableExists(identifier):
-                replace_relation_atomic(self.spark, df, identifier)
+                replace_relation_atomic(self.spark, df, identifier, **layout)
             else:
-                write_table(df, identifier, mode="overwrite")
+                write_table(df, identifier, mode="overwrite", **layout)
         else:
             if self.spark.catalog.tableExists(identifier):
-                df.write.mode("append").format("parquet").insertInto(identifier)
+                cols = self.spark.table(identifier).columns  # insertInto is positional
+                df.select(*cols).write.mode("append").format("parquet").insertInto(identifier)
             else:
-                write_table(df, identifier, mode="overwrite")
+                write_table(df, identifier, mode="overwrite", **layout)
         try:
             self.manifest.model_by_name(name).status = "success"
         except KeyError:

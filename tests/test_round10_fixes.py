@@ -101,6 +101,54 @@ def test_list_form_layout_survives_run_and_compact(spark, tmp_path):
     spark.sql("DROP DATABASE IF EXISTS listlayout CASCADE")
 
 
+# --- r10 adversarial review: write_to_model alignment + layout --------------
+
+
+def test_write_to_model_append_aligns_columns(spark, tmp_path):
+    """insertInto is positional: appending a df whose columns arrive in a
+    different order previously wrote values into the wrong columns."""
+    from dbt_fal_spark.api import FalSpark
+
+    spark.sql("DROP DATABASE IF EXISTS wtmalign CASCADE")
+    proj = tmp_path / "wtmalign"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text("name: wtmalign\n")
+    (proj / "models" / "t.sql").write_text("SELECT id AS a, id * 100 AS b FROM range(3)")
+    fal = FalSpark(proj, spark=spark)
+    fal.run()
+    # reordered columns: b first
+    extra = spark.createDataFrame([(300, 3), (400, 4)], "b long, a long")
+    fal.write_to_model(extra, "t", mode="append")
+    rows = {(r.a, r.b) for r in fal.ref("t").collect()}
+    assert (3, 300) in rows and (4, 400) in rows, rows
+    assert (300, 3) not in rows, "append wrote columns positionally, not by name"
+    spark.sql("DROP DATABASE IF EXISTS wtmalign CASCADE")
+
+
+def test_write_to_model_overwrite_keeps_declared_layout(spark, tmp_path):
+    """A script's write_to_model overwrite must not flatten the model's
+    declared bucket layout."""
+    from dbt_fal_spark.api import FalSpark
+    from dbt_fal_spark.materialize import _table_bucket_spec
+
+    spark.sql("DROP DATABASE IF EXISTS wtmlayout CASCADE")
+    proj = tmp_path / "wtmlayout"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text("name: wtmlayout\n")
+    (proj / "models" / "bk.sql").write_text(
+        "{{ config(materialized='table', bucket_by={'cols': 'k', 'n': 4}) }}\n"
+        "SELECT id AS k, id AS v FROM range(20)"
+    )
+    fal = FalSpark(proj, spark=spark)
+    fal.run()
+    ident = fal._identifier("bk")
+    assert _table_bucket_spec(spark, ident) == (4, ("k",))
+    fal.write_to_model(spark.range(30).selectExpr("id AS k", "id*2 AS v"), "bk")
+    assert spark.table(ident).count() == 30
+    assert _table_bucket_spec(spark, ident) == (4, ("k",)), "overwrite flattened the bucket layout"
+    spark.sql("DROP DATABASE IF EXISTS wtmlayout CASCADE")
+
+
 # --- r10 adversarial review: snapshot composite-key contract error ----------
 
 
