@@ -57,14 +57,20 @@ class DbtModel:
     def get_scripts(self, *, before: bool) -> list[str]:
         """meta.fal.scripts — plain list means after-scripts
         (reference: project.py:256-308)."""
-        scripts = (self.meta or {}).get("fal", {}).get("scripts", [])
+        fal = (self.meta or {}).get("fal") or {}  # `fal:` with no body parses as None
+        scripts = fal.get("scripts") or []
+        if isinstance(scripts, str):  # single-script shorthand
+            scripts = [scripts]
         if isinstance(scripts, list):
             return [] if before else list(scripts)
         key = "before" if before else "after"
-        return list(scripts.get(key, []))
+        return list(scripts.get(key) or [])
 
     def get_hooks(self, *, pre: bool) -> list[Hook]:
-        raw = (self.meta or {}).get("fal", {}).get("pre-hook" if pre else "post-hook", [])
+        fal = (self.meta or {}).get("fal") or {}
+        raw = fal.get("pre-hook" if pre else "post-hook") or []
+        if isinstance(raw, str):
+            raw = [raw]
         out = []
         for h in raw:
             if isinstance(h, str):
