@@ -142,6 +142,12 @@ class VirtualEnvironment(_ScriptRunner):
                 text=True,
             )
             if proc.returncode != 0:
+                # Remove the half-built venv: its interpreter already
+                # exists, so leaving it would make every retry hit the
+                # python.exists() fast path and silently run scripts
+                # against system-site-packages versions instead of the
+                # declared pins (conda's ensure has the same cleanup).
+                shutil.rmtree(self.env_dir, ignore_errors=True)
                 raise RuntimeError(
                     f"environment {self.name!r}: pip install failed "
                     f"(offline container or bad pin?):\n{proc.stderr[-2000:]}"
@@ -232,7 +238,10 @@ class CondaEnvironment(_ScriptRunner):
                 "conda-pack is required to ship a conda environment to "
                 "executors via spark.archives; pip install conda-pack"
             ) from exc
-        out = self.env_dir.with_suffix(".tar.gz")
+        # NOT with_suffix: a dotted env name ("py3.10") has a bogus
+        # Path suffix, and with_suffix would truncate at the last dot —
+        # colliding archives across environments that share the prefix.
+        out = Path(str(self.env_dir) + ".tar.gz")
         if not out.exists():
             conda_pack.pack(prefix=str(self.env_dir), output=str(out))
         return out

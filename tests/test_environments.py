@@ -305,3 +305,58 @@ def test_replicate_deps_conda_drops_path_installs(tmp_path):
     assert f"numpy=={metadata.version('numpy')}" in pkgs
     # a dev-checkout path (no distribution name) cannot go to conda
     assert all("/" not in p for p in pkgs)
+
+
+def test_venv_pip_failure_removes_halfbuilt_env(tmp_path, monkeypatch):
+    """A failed pip install must not leave a venv whose interpreter
+    exists: ensure()'s python.exists() fast path would then silently run
+    scripts against system-site-packages versions instead of the
+    declared pins (conda's ensure already had this cleanup)."""
+    import subprocess as sp
+
+    import dbt_fal_spark.environments as envmod
+
+    env = VirtualEnvironment(
+        name="broken",
+        requirements=["definitely-not-a-real-package==1"],
+        base_dir=tmp_path / "envs",
+    )
+
+    def fake_create(env_dir, **kwargs):
+        Path(env_dir, "bin").mkdir(parents=True)
+        Path(env_dir, "bin", "python").write_text("")
+
+    monkeypatch.setattr(envmod.venv, "create", fake_create)
+    monkeypatch.setattr(
+        envmod.subprocess,
+        "run",
+        lambda *a, **k: sp.CompletedProcess(a, 1, stdout="", stderr="no network"),
+    )
+    with pytest.raises(RuntimeError, match="pip install failed"):
+        env.ensure()
+    assert not env.env_dir.exists()
+    # the retry re-attempts the install instead of reusing the stale env
+    with pytest.raises(RuntimeError, match="pip install failed"):
+        env.ensure()
+
+
+def test_conda_archive_path_keeps_dotted_names(tmp_path, fake_conda, monkeypatch):
+    """Path.with_suffix truncates at the last dot, so a dotted env name
+    ("py3.10-...") used to collapse to a colliding archive path; the
+    archive must append .tar.gz to the FULL prefix dir name."""
+    import types
+
+    from dbt_fal_spark.environments import CondaEnvironment
+
+    env = CondaEnvironment(name="py3.10-ship", packages=[], base_dir=tmp_path / "envs")
+    fake = types.ModuleType("conda_pack")
+
+    def pack(prefix, output):
+        Path(output).write_bytes(b"tar")
+
+    fake.pack = pack
+    monkeypatch.setitem(sys.modules, "conda_pack", fake)
+    out = env.archive_for_spark()
+    assert out == Path(str(env.env_dir) + ".tar.gz")
+    assert out.name.startswith("py3.10-ship-conda-")
+    assert out.exists()
