@@ -426,6 +426,63 @@ def st_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_dedup_within_watermark_stream",
+    oracle="""
+    SELECT event_type, count(*) AS n_keys
+    FROM (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def st_dedup_within_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state — dropDuplicatesWithinWatermark,
+    the at-scale variant st_dedup_stream's plain dropDuplicates is not:
+    a key's dedup state is EVICTED once the watermark passes its event
+    time + delay, so state is (keys per 2-hour horizon), not (all keys
+    ever seen) — the only dedup shape that survives an unbounded
+    100 TB/day stream where cumulative key cardinality has no ceiling.
+
+    The price is the weaker contract: dedup is guaranteed only within
+    the delay threshold of the FIRST occurrence (the state TTL is
+    first-occurrence event time + delay, NOT extended by suppressed
+    duplicates; a re-occurrence after eviction re-emits — both
+    demonstrated across microbatches in
+    tests/test_streaming_watermark.py). The entry makes that contract
+    EXACT rather than approximate by putting the event-time hour in the
+    dedup key: every duplicate of (user, type, hour) is < 1 h after the
+    key's first occurrence, strictly inside the 2 h delay, so
+    bounded-state dedup equals batch DISTINCT and the DuckDB oracle is
+    precise. Deduped
+    rows emit immediately (append mode), drain to a sink, and the
+    per-type rollup runs on the materialized result — same
+    post-aggregation shape as the stream-stream joins."""
+    events = read_events_stream(spark, sf_dir)
+    deduped = (
+        events.select("user_id", "event_type", "ts")
+        .withColumn("hr", F.date_trunc("hour", F.col("ts")))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "hr"])
+    )
+    name = f"ddww_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+@query(
     "st_upsert_stream",
     oracle=f"""
     SELECT user_id,
