@@ -1098,6 +1098,8 @@ class _ModelTask:
                 strategy=model.incremental_strategy,
                 partition_by=model.partition_by,
                 on_schema_change=model.on_schema_change,
+                bucket_by=model.bucket_by,
+                sort_by=model.sort_by,
             )
             if exists:
                 df.unpersist()

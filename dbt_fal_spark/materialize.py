@@ -433,6 +433,8 @@ def incremental_merge(
     strategy: str | None = None,
     partition_by: str | None = None,
     on_schema_change: str = "ignore",
+    bucket_by: dict | None = None,
+    sort_by: str | None = None,
 ) -> None:
     """Incremental strategies (reference: C5 — the adapter declares
     append / delete+insert / merge / insert_overwrite, fal/python/impl.py:
@@ -450,9 +452,19 @@ def incremental_merge(
 
     ``on_schema_change`` handles models that grow columns between runs
     (see `_evolve_schema`).
+
+    ``bucket_by``/``sort_by`` carry the model's declared layout through
+    the first-run write and the merge swap — without them an
+    incremental model's bucket/cluster contract was silently flattened
+    (the append path needs nothing: insertInto on a bucketed table
+    honors the catalog's bucket spec, verified by bucket-suffixed
+    output files in tests/test_round10_fixes.py).
     """
     if not spark.catalog.tableExists(identifier):
-        write_table(new_rows, identifier, mode="overwrite", partition_by=partition_by)
+        write_table(
+            new_rows, identifier, mode="overwrite",
+            partition_by=partition_by, bucket_by=bucket_by, sort_by=sort_by,
+        )
         return
     strategy = strategy or ("merge" if unique_key else "append")
     new_rows = _evolve_schema(spark, new_rows, identifier, on_schema_change)
@@ -484,7 +496,10 @@ def incremental_merge(
     merged = old.join(new_rows.select(*keys).distinct(), on=keys, how="left_anti").unionByName(
         new_rows.select(*old.columns)
     )
-    replace_relation_atomic(spark, merged, identifier, partition_by=partition_by)
+    replace_relation_atomic(
+        spark, merged, identifier,
+        partition_by=partition_by, bucket_by=bucket_by, sort_by=sort_by,
+    )
 
 
 def apply_dtype_casts(df: DataFrame, dtype: dict[str, str] | None) -> DataFrame:

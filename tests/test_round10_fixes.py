@@ -346,3 +346,55 @@ def test_upsert_stream_touches_own_targets_as_lease(spark):
         for d in os.listdir(base):
             if d.startswith(prefix):
                 shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+
+
+def test_incremental_model_keeps_declared_bucket_layout(spark, tmp_path):
+    """An incremental model's declared bucket layout must survive BOTH
+    the first-run write and the merge swap (pre-fix: incremental_merge
+    never received bucket_by/sort_by — the table was created unbucketed,
+    and a bucketed table hitting the merge path was silently flattened
+    by the swap, voiding the zero-shuffle-join contract). Also verifies
+    the append strategy maintains bucketing via insertInto (bucket spec
+    comes from the catalog there)."""
+    import re
+
+    from dbt_fal_spark.api import FalSpark
+    from dbt_fal_spark.materialize import _table_bucket_spec, _table_location
+
+    spark.sql("DROP DATABASE IF EXISTS incbkt CASCADE")
+    proj = tmp_path / "incbkt"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text("name: incbkt\n")
+    (proj / "models" / "merged.sql").write_text(
+        "{{ config(materialized='incremental', unique_key='k',"
+        " bucket_by={'cols': 'k', 'n': 4}) }}\n"
+        "SELECT id AS k, id % 7 AS v FROM range(50)"
+    )
+    (proj / "models" / "appended.sql").write_text(
+        "{{ config(materialized='incremental', incremental_strategy='append',"
+        " bucket_by={'cols': 'k', 'n': 4}) }}\n"
+        "SELECT id AS k, id % 7 AS v FROM range(20)"
+    )
+    fal = FalSpark(proj, spark=spark)
+    statuses = fal.run()
+    assert all(s == "success" for s in statuses.values()), statuses
+    # first run creates the bucket layout
+    for m in ("merged", "appended"):
+        assert _table_bucket_spec(spark, fal._identifier(m)) == (4, ("k",)), m
+    # second run: merge swap and append must both keep it
+    statuses = fal.run()
+    assert all(s == "success" for s in statuses.values()), statuses
+    for m in ("merged", "appended"):
+        assert _table_bucket_spec(spark, fal._identifier(m)) == (4, ("k",)), (
+            f"{m}: incremental rerun flattened the bucket layout"
+        )
+    # the appended files are REALLY bucketed (bucket-id suffix), not just
+    # catalog metadata over unbucketed data
+    loc = _table_location(spark, fal._identifier("appended"))
+    import os
+
+    data_files = [f for f in os.listdir(loc) if f.endswith(".parquet")]
+    assert data_files and all(re.search(r"_\d{5}\.c\d+", f) for f in data_files)
+    assert spark.table(fal._identifier("merged")).count() == 50
+    assert spark.table(fal._identifier("appended")).count() == 40
+    spark.sql("DROP DATABASE IF EXISTS incbkt CASCADE")
