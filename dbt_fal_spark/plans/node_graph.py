@@ -63,7 +63,16 @@ class NodeGraph:
     # --- traversal (reference: node_graph.py:147-249) ---
 
     def sort_nodes(self) -> list[str]:
-        return list(nx.topological_sort(self.graph))
+        try:
+            return list(nx.topological_sort(self.graph))
+        except nx.NetworkXUnfeasible:
+            # circular refs are a user error — report the cycle in dbt's
+            # words instead of leaking a networkx exception type
+            cyc = nx.find_cycle(self.graph)
+            path = " --> ".join(edge[0] for edge in cyc) + f" --> {cyc[0][0]}"
+            raise ValueError(
+                f"Found a cycle in the model dependency graph: {path}"
+            ) from None
 
     def get_successors(self, node: str, levels: int | None = None) -> list[str]:
         return self._neighborhood(node, levels, forward=True)

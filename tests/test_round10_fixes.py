@@ -398,3 +398,21 @@ def test_incremental_model_keeps_declared_bucket_layout(spark, tmp_path):
     assert spark.table(fal._identifier("merged")).count() == 50
     assert spark.table(fal._identifier("appended")).count() == 40
     spark.sql("DROP DATABASE IF EXISTS incbkt CASCADE")
+
+
+def test_circular_ref_reports_cycle_clearly(spark, tmp_path):
+    """Two models ref'ing each other must fail with dbt's 'Found a cycle'
+    wording naming the nodes, not a raw networkx.NetworkXUnfeasible
+    leaking out of topological_sort."""
+    import pytest as _pytest
+
+    from dbt_fal_spark.api import FalSpark
+
+    proj = tmp_path / "cyc"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text("name: cyc\n")
+    (proj / "models" / "a.sql").write_text("SELECT * FROM {{ ref('b') }}")
+    (proj / "models" / "b.sql").write_text("SELECT * FROM {{ ref('a') }}")
+    fal = FalSpark(proj, spark=spark)
+    with _pytest.raises(ValueError, match="Found a cycle.*-->"):
+        fal.run()
