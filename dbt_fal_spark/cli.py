@@ -281,7 +281,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "maintenance":
-        if args.select:
+        plain = lambda t: not any(ch in t for ch in "+:,*@/")  # noqa: E731
+        if args.select and all(plain(t) for t in args.select) and not args.exclude:
+            # plain model names: exact-name contract — unknown names and
+            # an explicit view/ephemeral both error clearly (the latter
+            # inside compact/analyze)
             known = {m.name for m in fal.list_models()}
             unknown = [n for n in args.select if n not in known]
             if unknown:
@@ -290,9 +294,33 @@ def main(argv: list[str] | None = None) -> int:
                     file=sys.stderr,
                 )
                 return 2
-            # an explicit --select of a view/ephemeral still errors
-            # clearly (inside compact/analyze)
             names = args.select
+        elif args.select or args.exclude:
+            # selector syntax (tag:, +model, globs, --exclude): resolve
+            # through the same engine flow run uses, then — like bulk
+            # mode — keep only table-materialized models (a tag sweep
+            # legitimately matches views; they have no files to maintain)
+            from dbt_fal_spark.plans.node_graph import NodeKind
+            from dbt_fal_spark.plans.selectors import select_nodes
+
+            sel = select_nodes(
+                fal.graph, args.select, args.exclude, state=fal._load_state()
+            )
+            names = sorted(
+                {
+                    m.name
+                    for node in sel
+                    if fal.graph.node_kind(node) != NodeKind.FAL_SCRIPT
+                    and (m := fal.graph.node_attr(node, "model")) is not None
+                    and fal.is_table_model(m.name)
+                }
+            )
+            if not names:
+                print(
+                    "maintenance: selector matched no table-materialized models",
+                    file=sys.stderr,
+                )
+                return 2
         else:
             # bulk mode silently skips views/ephemerals (no files to
             # maintain); a views-only project is a no-op, not an error

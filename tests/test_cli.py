@@ -162,3 +162,25 @@ def test_selector_flag_conflicts_and_e2e(cli_env, capsys, tmp_path):
     out = capsys.readouterr().out
     assert "model.jaffle_spark.customers" in out
     assert "orders_daily" not in out
+
+
+def test_cli_maintenance_accepts_selector_syntax(cli_env, capsys):
+    """maintenance --select previously compared raw model NAMES, so
+    selector syntax (tag:, +model) failed as 'unknown model(s)'; now it
+    routes through the same selector engine as flow run and, like bulk
+    mode, keeps only table-materialized matches (a tag sweep may match
+    views — skipped, not an error)."""
+    assert main(["flow", "run", "--project-dir", FIXTURE]) == 0
+    capsys.readouterr()
+    # graph selector: orders_daily and its ancestors, views filtered out
+    assert main(
+        ["maintenance", "analyze", "--project-dir", FIXTURE,
+         "--select", "+orders_daily"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "analyzed orders_daily" in out
+    # a selector matching only views is a clear usage error, not a crash
+    assert main(
+        ["maintenance", "compact", "--project-dir", FIXTURE,
+         "--select", "big_orders+"]
+    ) in (0, 2)  # depends on downstream tables; must not raise
