@@ -302,3 +302,102 @@ def m_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dup.cast("double") / F.count("*")).alias("dedup_ratio"),
         )
     )
+
+
+THUMB = 224  # classic preprocessing box; must match the oracle SQL
+
+
+@query(
+    "m_resize_pipeline",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             (octet_length(encode(text)) % 640) + 1 AS in_w,
+             ((octet_length(encode(text)) * 7) % 480) + 1 AS in_h
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    sized AS (
+      SELECT doc_id, in_w, in_h,
+             CASE WHEN GREATEST(in_w, in_h) <= {THUMB} THEN in_w
+                  WHEN in_w >= in_h THEN {THUMB}
+                  ELSE GREATEST(1, (in_w * {THUMB}) // in_h) END AS out_w,
+             CASE WHEN GREATEST(in_w, in_h) <= {THUMB} THEN in_h
+                  WHEN in_w >= in_h THEN GREATEST(1, (in_h * {THUMB}) // in_w)
+                  ELSE {THUMB} END AS out_h
+      FROM dims
+    )
+    SELECT doc_id,
+           CAST(in_w AS BIGINT) AS in_w, CAST(in_h AS BIGINT) AS in_h,
+           CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
+           CAST(out_w * out_h * 3 AS BIGINT) AS n_out_bytes
+    FROM sized
+    """,
+    tags=("multimodal", "resize", "pandas-udf"),
+)
+def m_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize (aspect-preserving thumbnail into a 224x224 box, never
+    upscaling) over opaque binary payloads — the remaining op of the
+    brief's decode / feature-extract / resize / frame-sample quartet.
+    Same certification pattern as m_decode_pipeline: each payload first
+    tries a REAL PIL decode + Image.thumbnail (import-guarded per
+    worker); unrecognizable payloads (all of this testdata) fall back to
+    the deterministic fake whose INTEGER thumbnail arithmetic —
+    out = 224 on the long side, GREATEST(1, short*224 div long) on the
+    short side — is restated exactly in the oracle SQL, so the gate
+    certifies the Arrow plumbing and the resize math while a
+    PIL-equipped environment runs the real op through the identical
+    plan. n_out_bytes is the RGB buffer size of the resized frame (the
+    number that drives downstream batch-memory budgeting at 100 TB).
+    Map-only: blobs never shuffle; only dims flow on."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).filter(F.col("payload").isNotNull())
+
+    def resize_batch(batches):
+        # self-contained: executors may not be able to import this package
+        import pandas as pd
+
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError:
+            Image = None
+
+        T = 224  # keep in sync with THUMB/oracle (closure must be self-contained)
+
+        def _fit(w: int, h: int) -> tuple[int, int]:
+            if max(w, h) <= T:
+                return w, h
+            if w >= h:
+                return T, max(1, (h * T) // w)
+            return max(1, (w * T) // h), T
+
+        def _dims(payload: bytes) -> tuple[int, int, int, int]:
+            if Image is not None:
+                try:
+                    with Image.open(io.BytesIO(payload)) as im:
+                        orig = im.size  # thumbnail() mutates in place
+                        im.thumbnail((T, T))  # real resize, real dims
+                        return *orig, *im.size  # type: ignore[return-value]
+                except Exception:
+                    pass  # not an image this codec recognizes → fake path
+            n = len(payload)
+            w, h = (n % 640) + 1, ((n * 7) % 480) + 1
+            return w, h, *_fit(w, h)
+
+        for pdf in batches:
+            rows = [_dims(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                rows, columns=["in_w", "in_h", "out_w", "out_h"], dtype="int64"
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out["n_out_bytes"] = out["out_w"] * out["out_h"] * 3
+            yield out
+
+    return with_payload.mapInPandas(
+        resize_batch,
+        schema="doc_id long, in_w long, in_h long, out_w long, out_h long, n_out_bytes long",
+    )

@@ -126,3 +126,91 @@ def test_decode_pipeline_on_generated_png(spark):
         assert (row["width"], row["height"], row["format"]) == (
             meta["width"], meta["height"], meta["format"],
         )
+
+
+def test_resize_math_thumbnail_contract(spark):
+    """m_resize_pipeline's integer thumbnail math: long side capped at
+    224, short side scaled by integer division with a floor of 1, no
+    upscaling of small images — verified directly over the registry
+    entry's real plan at sf0.001."""
+    from dbt_fal_spark.registry import all_queries
+
+    spec = all_queries()["m_resize_pipeline"]
+    rows = spec.fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["out_w"] <= 224 and 1 <= r["out_h"] <= 224
+        if max(r["in_w"], r["in_h"]) <= 224:  # never upscale
+            assert (r["out_w"], r["out_h"]) == (r["in_w"], r["in_h"])
+        elif r["in_w"] >= r["in_h"]:
+            assert r["out_w"] == 224
+            assert r["out_h"] == max(1, (r["in_h"] * 224) // r["in_w"])
+        else:
+            assert r["out_h"] == 224
+            assert r["out_w"] == max(1, (r["in_w"] * 224) // r["in_h"])
+        assert r["n_out_bytes"] == r["out_w"] * r["out_h"] * 3
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="requires PIL")
+def test_resize_pipeline_real_codec_keeps_original_dims():
+    """The PIL branch must report the ORIGINAL dims as in_w/in_h
+    (Image.thumbnail mutates in place — a naive im.size read after
+    would lose them) and the thumbnailed dims as out_w/out_h."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (448, 224)).save(buf, format="PNG")
+    # the entry fn is sf-bound and the container has no PIL, so the PIL
+    # branch is pinned via a faithful mirror of the self-contained
+    # closure (the fake path + plumbing are covered by the oracle gate)
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [buf.getvalue()]})
+    out = None
+    for chunk in _resize_batches_for_test(pdf):
+        out = chunk
+    assert out is not None
+    row = out.iloc[0]
+    assert (row["in_w"], row["in_h"]) == (448, 224)
+    assert (row["out_w"], row["out_h"]) == (224, 112)
+
+
+def _resize_batches_for_test(pdf):
+    """Mirror of the entry's self-contained closure for direct testing."""
+    import io
+
+    import pandas as pd
+
+    try:
+        from PIL import Image
+    except ImportError:
+        Image = None
+    T = 224
+
+    def _fit(w, h):
+        if max(w, h) <= T:
+            return w, h
+        if w >= h:
+            return T, max(1, (h * T) // w)
+        return max(1, (w * T) // h), T
+
+    def _dims(payload):
+        if Image is not None:
+            try:
+                with Image.open(io.BytesIO(payload)) as im:
+                    orig = im.size
+                    im.thumbnail((T, T))
+                    return *orig, *im.size
+            except Exception:
+                pass
+        n = len(payload)
+        w, h = (n % 640) + 1, ((n * 7) % 480) + 1
+        return w, h, *_fit(w, h)
+
+    rows = [_dims(p) for p in pdf["payload"]]
+    out = pd.DataFrame(rows, columns=["in_w", "in_h", "out_w", "out_h"], dtype="int64")
+    out.insert(0, "doc_id", pdf["doc_id"].values)
+    out["n_out_bytes"] = out["out_w"] * out["out_h"] * 3
+    yield out
