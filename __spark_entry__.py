@@ -87,7 +87,8 @@ _CHECK_FIRST = (
     "d_lsh_levenshtein_refine", "d_minhash_lsh_pairs",
     "d_neardup_components", "d_neardup_triangles",
     "p_sentiment_batch_inference", "q_pii_masked_customers",
-    "st_dedup_within_watermark_stream", "m_resize_pipeline",  # new this round
+    "st_dedup_within_watermark_stream", "m_resize_pipeline",
+    "m_byte_histogram_features",  # new entries this round
     "p_flow_run_customer_stats",  # selector-engine change in its closure
     "q_salted_join_supplier_volume",  # salted_join outer-shape guard in closure
     # last green in r7 — stalest evidence, refresh all 30
@@ -108,10 +109,9 @@ _CHECK_FIRST = (
     # oldest r8 rows — fill the window to 50
     "d_bloom_prefilter", "d_containment_pairs", "d_decontaminate",
     "d_dup_ngram_fraction", "d_embedding_neardup_lsh",
-    "d_ngram_jaccard_pairs",
-    # (d_simhash and d_keep_best_per_key rotated out to keep the staged
-    # window at exactly 50 for the two new entries — their r8 rows stay
-    # the latest evidence, 2 rounds old at r10)
+    # (d_simhash, d_keep_best_per_key, d_ngram_jaccard_pairs rotated out
+    # to keep the staged window at exactly 50 for the three new entries —
+    # their r8 rows stay the latest evidence, 2 rounds old at r10)
 )
 
 

@@ -401,3 +401,67 @@ def m_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_batch,
         schema="doc_id long, in_w long, in_h long, out_w long, out_h long, n_out_bytes long",
     )
+
+
+@query(
+    "m_byte_histogram_features",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(ascii(substring(text, i, 1)) // 16 AS BIGINT) AS bin,
+           count(*) AS n
+    FROM pos
+    GROUP BY doc_id, bin
+    """,
+    tags=("multimodal", "features", "pandas-udf"),
+)
+def m_byte_histogram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over opaque binary payloads — the explicit
+    feature-extract member of the brief's decode / feature-extract /
+    resize / frame-sample quartet. Each payload yields its 16-bin
+    byte-class histogram (bin = byte >> 4): the standard cheap content
+    signature behind format sniffing, charset detection, and
+    binary-vs-text classification in curation pipelines. Counts are
+    INTEGER (no normalization) so the oracle compare is exact; rows are
+    (doc_id, bin, n) with zero bins absent — the sparse layout both
+    engines produce naturally. The histogram is computed with
+    numpy frombuffer + bincount over Arrow batches (vectorized, no
+    per-byte Python); the oracle re-derives it per-character, valid
+    because the corpus is ASCII (byte == char code — the same identity
+    m_frame_sample relies on). Map-only: blobs never shuffle; 16
+    numbers per doc flow on."""
+    import numpy as np  # noqa: F401 — imported in the closure too
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    ).filter(F.length(F.col("payload")) > 0)
+
+    def hist_batch(batches):
+        # self-contained: executors may not be able to import this package
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, bins, counts = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h = np.bincount(
+                    np.frombuffer(payload, dtype=np.uint8) >> 4, minlength=16
+                )
+                nz = np.nonzero(h)[0]
+                ids.extend([doc_id] * len(nz))
+                bins.extend(nz.tolist())
+                counts.extend(h[nz].tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "bin": pd.Series(bins, dtype="int64"),
+                    "n": pd.Series(counts, dtype="int64"),
+                }
+            )
+
+    return with_payload.mapInPandas(hist_batch, schema="doc_id long, bin long, n long")
