@@ -281,7 +281,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "maintenance":
-        plain = lambda t: not any(ch in t for ch in "+:,*@/")  # noqa: E731
+        # every character selectors.py treats as syntax: graph operators
+        # (+ @), tag:/path:/state: prefixes, comma-intersections, path
+        # separators, AND the fnmatch glob set (* ? [) honored by
+        # _name_match — 'stg_?' must route through the selector engine,
+        # not the exact-name branch (ADVICE r10)
+        plain = lambda t: not any(ch in t for ch in "+:,*@/?[")  # noqa: E731
         if args.select and all(plain(t) for t in args.select) and not args.exclude:
             # plain model names: exact-name contract — unknown names and
             # an explicit view/ephemeral both error clearly (the latter

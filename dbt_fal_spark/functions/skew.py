@@ -42,9 +42,12 @@ def salted_join(
     copies (r10 adversarial-review finding). Flip the sides (salt the
     other table) or use a plain join for those shapes.
     """
+    # NOTE: "cross" is deliberately absent — salted_join always joins on
+    # [on, SALT], and Spark treats how='cross' with an on-condition as a
+    # conditioned (inner-semantics) join, so accepting it would only
+    # mislead (ADVICE r10); a true cross join has no key to salt.
     allowed = {"inner", "left", "leftouter", "left_outer", "semi",
-               "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
-               "cross"}
+               "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
     if how.lower() not in allowed:
         raise ValueError(
             f"salted_join: join type {how!r} is not big-side-preserving — "

@@ -455,7 +455,16 @@ def st_dedup_within_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFr
     dedup key: every duplicate of (user, type, hour) is < 1 h after the
     key's first occurrence, strictly inside the 2 h delay, so
     bounded-state dedup equals batch DISTINCT and the DuckDB oracle is
-    precise. Deduped
+    precise.
+
+    That exactness additionally assumes the WHOLE source lands in ONE
+    microbatch (ADVICE r10): with multiple files or maxFilesPerTrigger,
+    a key's first occurrence could arrive in a later batch AFTER the
+    watermark already passed its event time, be dropped as late, and
+    diverge from the oracle. Holds here by construction — the source is
+    the single `events.parquet` glob under availableNow with no
+    per-file trigger option; a multi-file deployment keeps only the
+    within-delay dedup contract, not batch-DISTINCT equality. Deduped
     rows emit immediately (append mode), drain to a sink, and the
     per-type rollup runs on the materialized result — same
     post-aggregation shape as the stream-stream joins."""

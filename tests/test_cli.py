@@ -184,3 +184,37 @@ def test_cli_maintenance_accepts_selector_syntax(cli_env, capsys):
         ["maintenance", "compact", "--project-dir", FIXTURE,
          "--select", "big_orders+"]
     ) in (0, 2)  # depends on downstream tables; must not raise
+
+
+def test_cli_maintenance_glob_routes_through_selectors(cli_env, capsys):
+    """ADVICE r10: '?' and '[' are fnmatch glob characters honored by
+    selectors._name_match, so 'orders_dail?' must route through the
+    selector engine (previously it took the exact-name branch and failed
+    as 'unknown model(s)')."""
+    assert main(["flow", "run", "--project-dir", FIXTURE]) == 0
+    capsys.readouterr()
+    assert main(
+        ["maintenance", "analyze", "--project-dir", FIXTURE,
+         "--select", "orders_dail?"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "analyzed orders_daily" in out
+    capsys.readouterr()
+    assert main(
+        ["maintenance", "analyze", "--project-dir", FIXTURE,
+         "--select", "orders_dail[xy]"]
+    ) == 0
+    assert "analyzed orders_daily" in capsys.readouterr().out
+
+
+def test_salted_join_rejects_cross(spark):
+    """ADVICE r10: salted_join always joins on [on, SALT]; how='cross'
+    degenerates to a conditioned join and is not big-side-preserving in
+    any meaningful sense — reject it like right/full."""
+    import pytest as _pytest
+    from dbt_fal_spark.functions.skew import salted_join
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError, match="not big-side-preserving"):
+        salted_join(big, small, on="k", how="cross")

@@ -169,6 +169,14 @@ def _refs(fn) -> tuple[list, list]:
                 seen_ids.add(id(obj))
                 out.append(obj)
         elif obj is not _MISSING and not isinstance(obj, types.ModuleType):
+            # underscore-prefixed module globals are runtime caches /
+            # private mutable state by package convention (e.g.
+            # readers._SCAN_CACHE) — fresh-process runs see them empty
+            # today, but an env-derived private value would make
+            # plan_hashes.json machine-dependent, so exclude the whole
+            # naming class from fingerprinting (ADVICE r10)
+            if qual.rsplit(".", 1)[-1].startswith("_"):
+                return
             fp = _const_fingerprint(obj)
             if fp is not None:
                 consts.append((qual, fp))
