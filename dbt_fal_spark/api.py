@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 import os
 import re
 import time
@@ -42,6 +43,10 @@ from dbt_fal_spark.environments import load_environments
 from dbt_fal_spark.project.loader import load_profile, load_project
 from dbt_fal_spark.project.manifest import DbtModel, DbtTest
 from dbt_fal_spark.session import get_spark
+
+# `--debug` CLI flag opens this logger up (reference: args.py:205-276);
+# default WARNING keeps programmatic use silent
+log = logging.getLogger("dbt_fal_spark")
 
 
 # --- script/hook context (reference: fal_script.py:86-153 Context) ---
@@ -90,6 +95,7 @@ class FalSpark:
         target: str | None = None,
         state_path: str | Path | None = None,
         defer: bool = False,
+        profiles_dir: str | Path | None = None,
     ) -> None:
         self.project_dir = Path(project_dir)
         # --state PATH: external artifact dir for state: selectors and
@@ -102,7 +108,7 @@ class FalSpark:
         # location, thread default and per-target Spark conf (reference:
         # parse.py:59-98 + load_db_profile.py:40-60); absent profiles.yml
         # everything keeps its project-derived defaults.
-        profile = load_profile(project_dir, target=target) or {}
+        profile = load_profile(project_dir, target=target, profiles_dir=profiles_dir) or {}
         self.target_name: str | None = profile.get("target")
         self.threads: int = int(profile.get("threads", 4))
         self._warehouse_dir: Path | None = (
@@ -282,6 +288,36 @@ class FalSpark:
     def _resolve_ref(self, name: str) -> str:
         return self._identifier(name)
 
+    # URL schemes teleport/source paths accept verbatim (reference:
+    # A/src/dbt/fal/adapters/teleport/info.py:32-73 builds local and
+    # s3:// URLs). Spark's Hadoop layer binds S3 through the s3a
+    # connector, so the reference's s3:// spelling is normalized to
+    # s3a:// — everything else (gs://, abfss://, hdfs://, file://, and
+    # s3a itself) passes through untouched. A scheme'd path is by
+    # definition absolute: it must never be joined onto project_dir.
+    _URL_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+    @classmethod
+    def _normalize_storage_url(cls, url: str) -> str | None:
+        """The url with its scheme normalized for Spark, or None when
+        ``url`` is a plain filesystem path (no scheme)."""
+        if not cls._URL_SCHEME.match(url):
+            return None
+        if url.startswith("s3://"):
+            return "s3a://" + url[len("s3://"):]
+        return url
+
+    def _resolve_path_or_url(self, raw: str) -> str:
+        """$VAR-expand ``raw``, then: scheme'd URL → normalized
+        passthrough; relative local path → anchored at project_dir."""
+        path = self._expand_source_path(raw)
+        url = self._normalize_storage_url(path)
+        if url is not None:
+            return url
+        if not os.path.isabs(path):
+            path = str(self.project_dir / path)
+        return path
+
     @staticmethod
     def _expand_source_path(raw: str, strict: bool = True) -> str:
         """Expand $VARs in a declared source value (the reference allows
@@ -337,9 +373,7 @@ class FalSpark:
             reader.load().createOrReplaceTempView(view)
             return view
         if src.path:
-            path = self._expand_source_path(str(src.path))
-            if not os.path.isabs(path):
-                path = str(self.project_dir / path)
+            path = self._resolve_path_or_url(str(src.path))
             reader = self.spark.read
             if src.format == "csv":
                 df = reader.csv(path, header=True, inferSchema=True)
@@ -477,9 +511,7 @@ class FalSpark:
             return
         df = apply_dtype_casts(df, dtype)
         if src.path:
-            path = self._expand_source_path(str(src.path))
-            if not os.path.isabs(path):
-                path = str(self.project_dir / path)
+            path = self._resolve_path_or_url(str(src.path))
             df.write.mode(mode).format(src.format if src.format != "csv" else "parquet").save(path)
         else:
             df.write.mode(mode).format("parquet").saveAsTable(table_name)
@@ -520,6 +552,10 @@ class FalSpark:
         # resolve against the state environment (when --defer is on)
         self._run_selected = {n.split(".")[-1] for n in selected}
         order = [n for n in self.graph.sort_nodes() if n in selected]
+        log.debug(
+            "run: %d/%d nodes selected (select=%r exclude=%r threads=%d full_refresh=%s)",
+            len(order), len(self.graph.sort_nodes()), select, exclude, threads, full_refresh,
+        )
         groups: dict[str, TaskGroup] = {}
         for node in order:
             kind = self.graph.node_kind(node)
@@ -605,14 +641,26 @@ class FalSpark:
         """Export a relation to interchange parquet at ``url`` (reference
         B6/B7: teleport write, fal_experimental/teleport.py:59-74 +
         teleport_to_external_storage — there a COPY dance per warehouse;
-        here one distributed write, since parquet IS the native format)."""
+        here one distributed write, since parquet IS the native format).
+
+        ``url`` takes either form the reference's TeleportInfo builds
+        (A/src/dbt/fal/adapters/teleport/info.py:32-73): a local path
+        (relative → anchored at project_dir) or an object-store /
+        remote-fs URL — s3:// is normalized to Spark's s3a:// connector,
+        gs://, abfss://, hdfs://, file:// pass through. $VARs expand
+        with the same fail-fast contract as source paths, so a bucket
+        name living in an env var works: ``s3://$DATA_BUCKET/exports``.
+        Returns the resolved URL actually written (the executors write
+        directly against the store; nothing routes through the driver)."""
+        url = self._resolve_path_or_url(url)
         self.spark.table(self._identifier(name)).write.mode("overwrite").parquet(url)
         return url
 
     def teleport_import(self, url: str, name: str) -> None:
         """Import interchange parquet at ``url`` as a model table
-        (reference: teleport read, teleport.py:43-56)."""
-        df = self.spark.read.parquet(url)
+        (reference: teleport read, teleport.py:43-56). Accepts the same
+        local-path / object-store URL forms as ``teleport_export``."""
+        df = self.spark.read.parquet(self._resolve_path_or_url(url))
         write_table(df, f"{self.schema}.{name}", mode="overwrite")
 
     def _load_state(self) -> dict[str, str]:
@@ -1043,6 +1091,7 @@ class _ModelTask:
         fal = self.fal
         model: DbtModel = fal.graph.node_attr(self.node, "model")
         spark = fal.spark
+        log.debug("executing model %s (%s)", model.name, model.materialization)
         if model.materialization == "seed":
             df = spark.read.csv(str(model.path), header=True, inferSchema=True)
             write_table(df, f"{fal.schema}.{model.name}", mode="overwrite")

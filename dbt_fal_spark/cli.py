@@ -41,6 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--vars", default="{}",
                         help="YAML dict of project vars, e.g. '{key: value}'")
         sp.add_argument("--target", default=None, help="profiles.yml target (e.g. dev, prod)")
+        sp.add_argument("--profiles-dir", default=None,
+                        help="directory holding profiles.yml (default: $DBT_PROFILES_DIR, "
+                             "then the project dir, then ~/.dbt)")
+        sp.add_argument("--debug", action="store_true",
+                        help="show debug logging during execution")
+        sp.add_argument("--disable-logging", action="store_true",
+                        help="silence engine logging")
         sp.add_argument("--state", default=None, help="external artifact dir for state: selectors / --defer")
 
     flow = sub.add_parser("flow", help="flow verbs")
@@ -217,16 +224,41 @@ def main(argv: list[str] | None = None) -> int:
     except ValueError as e:
         print(str(e), file=sys.stderr)
         return 2
+    # --debug / --disable-logging (reference: args.py:205-276 level
+    # flags): the package logger defaults to WARNING; --debug opens it
+    # (and Spark's) up, --disable-logging shuts both off. Configured
+    # BEFORE FalSpark so session/manifest loading logs obey the flag.
+    import logging
+
+    pkg_log = logging.getLogger("dbt_fal_spark")
+    if getattr(args, "debug", False):
+        logging.basicConfig(format="%(asctime)s %(name)s %(levelname)s %(message)s")
+        pkg_log.setLevel(logging.DEBUG)
+    elif getattr(args, "disable_logging", False):
+        pkg_log.setLevel(logging.CRITICAL + 1)
+
     # import late so `--help` works without a JVM
     from dbt_fal_spark.api import FalSpark
 
-    fal = FalSpark(
-        args.project_dir,
-        vars=cli_vars,
-        target=getattr(args, "target", None),
-        state_path=getattr(args, "state", None),
-        defer=getattr(args, "defer_", False),
-    )
+    try:
+        fal = FalSpark(
+            args.project_dir,
+            vars=cli_vars,
+            target=getattr(args, "target", None),
+            state_path=getattr(args, "state", None),
+            defer=getattr(args, "defer_", False),
+            profiles_dir=getattr(args, "profiles_dir", None),
+        )
+    except ValueError as e:
+        # bad --profiles-dir / missing profile target: usage error, not
+        # a traceback
+        print(str(e), file=sys.stderr)
+        return 2
+    if getattr(args, "disable_logging", False):
+        # Spark's own WARN chatter counts as logging too; package DEBUG
+        # deliberately does NOT flip Spark to INFO (hundreds of
+        # lines/task — useless for debugging a model DAG)
+        fal.spark.sparkContext.setLogLevel("ERROR")
 
     if args.command == "flow":
         statuses = fal.run(select=args.select, exclude=args.exclude, threads=args.threads, full_refresh=getattr(args, "full_refresh", False), fail_fast=getattr(args, "fail_fast", False))

@@ -21,6 +21,7 @@ generated SQL stub files.
 from __future__ import annotations
 
 import ast
+import os
 from pathlib import Path
 from typing import Any
 
@@ -327,11 +328,17 @@ def _collect_tests(manifest: Manifest, project: str, props: dict, model_id: str 
 # profile loading + --target resolution, load_db_profile.py:40-60) ---
 
 def load_profile(
-    project_dir: str | Path, target: str | None = None
+    project_dir: str | Path,
+    target: str | None = None,
+    profiles_dir: str | Path | None = None,
 ) -> dict[str, Any] | None:
     """Resolve the active output of a profiles.yml, dbt-style.
 
-    Search order: <project_dir>/profiles.yml, then ~/.dbt/profiles.yml.
+    Search order: explicit ``profiles_dir`` (the reference's
+    ``--profiles-dir``, A/src/fal/dbt/cli/args.py:45-52 — when given it
+    is authoritative: a missing profiles.yml there is an error, never a
+    silent fallback), then ``$DBT_PROFILES_DIR`` (dbt's env override),
+    then <project_dir>/profiles.yml, then ~/.dbt/profiles.yml.
     The profile name comes from dbt_project.yml's ``profile:`` key
     (fallback: the project name). Returns a dict with ``target`` (the
     resolved target name) merged over the output's keys (``schema``,
@@ -346,10 +353,20 @@ def load_profile(
     )
     profile_name = cfg.get("profile") or cfg.get("name", project_dir.name)
     path = None
-    for cand in (project_dir / "profiles.yml", Path.home() / ".dbt" / "profiles.yml"):
-        if cand.exists():
-            path = cand
-            break
+    explicit = profiles_dir or os.environ.get("DBT_PROFILES_DIR")
+    if explicit:
+        path = Path(explicit) / "profiles.yml"
+        if not path.exists():
+            raise ValueError(
+                f"--profiles-dir {explicit} has no profiles.yml "
+                "(an explicit profiles dir never falls back to the "
+                "project dir or ~/.dbt)"
+            )
+    else:
+        for cand in (project_dir / "profiles.yml", Path.home() / ".dbt" / "profiles.yml"):
+            if cand.exists():
+                path = cand
+                break
     if path is None:
         return None
     doc = _load_yaml(path)
@@ -357,8 +374,9 @@ def load_profile(
     if profile is None:
         # A home-dir profiles.yml belonging to some unrelated dbt setup
         # must not break a profile-less project; only a project-local
-        # file is authoritative enough to hard-error on.
-        if path.parent == Path.home() / ".dbt":
+        # or explicitly-pointed file is authoritative enough to
+        # hard-error on.
+        if not explicit and path.parent == Path.home() / ".dbt":
             return None
         raise ValueError(
             f"profiles.yml at {path} has no profile {profile_name!r} "

@@ -218,3 +218,38 @@ def test_salted_join_rejects_cross(spark):
     small = spark.range(3).withColumnRenamed("id", "k")
     with _pytest.raises(ValueError, match="not big-side-preserving"):
         salted_join(big, small, on="k", how="cross")
+
+
+def test_parser_profiles_dir_and_log_flags():
+    args = build_parser().parse_args(
+        ["flow", "run", "--profiles-dir", "/etc/dbt", "--debug"]
+    )
+    assert args.profiles_dir == "/etc/dbt" and args.debug and not args.disable_logging
+    args = build_parser().parse_args(["test", "--disable-logging"])
+    assert args.disable_logging
+
+
+def test_cli_profiles_dir_missing_is_usage_error(cli_env, capsys):
+    """--profiles-dir pointing nowhere is a clear exit-2 usage error,
+    not a traceback (reference: args.py:45-52)."""
+    assert main(
+        ["flow", "run", "--project-dir", FIXTURE, "--profiles-dir", "/nonexistent_dir"]
+    ) == 2
+    assert "has no profiles.yml" in capsys.readouterr().err
+
+
+def test_cli_debug_flag_emits_debug_logs(cli_env, capsys, caplog):
+    """--debug opens the package logger: the run-planning debug line
+    (node selection counts) must appear; without the flag it must not."""
+    import logging
+
+    logging.getLogger("dbt_fal_spark").setLevel(logging.WARNING)  # reset
+    with caplog.at_level(logging.DEBUG, logger="dbt_fal_spark"):
+        assert main(["flow", "run", "--project-dir", FIXTURE, "--debug",
+                     "--select", "customers"]) == 0
+    assert any("nodes selected" in r.message for r in caplog.records)
+    caplog.clear()
+    logging.getLogger("dbt_fal_spark").setLevel(logging.WARNING)
+    assert main(["flow", "run", "--project-dir", FIXTURE,
+                 "--select", "customers"]) == 0
+    assert not any("nodes selected" in r.message for r in caplog.records)

@@ -109,3 +109,25 @@ def test_target_switch_changes_warehouse_and_context(spark, profiled_project, tm
     assert dev.ref("one").count() == 1 and prod.ref("one").count() == 1
     for tgt in ("profiled_dev", "profiled_prod"):
         spark.sql(f"DROP DATABASE IF EXISTS {tgt} CASCADE")
+
+
+def test_profiles_dir_explicit(profiled_project, tmp_path, monkeypatch):
+    """--profiles-dir (reference: args.py:45-52): an explicit dir is
+    authoritative — its profiles.yml wins over the project-local one,
+    and a missing profiles.yml there is an error, never a fallback."""
+    alt = tmp_path / "alt_profiles"
+    alt.mkdir()
+    (alt / "profiles.yml").write_text(
+        "profiled:\n  target: alt\n  outputs:\n    alt:\n"
+        "      type: spark\n      schema: from_alt_dir\n"
+    )
+    prof = load_profile(profiled_project, profiles_dir=alt)
+    assert prof["target"] == "alt" and prof["schema"] == "from_alt_dir"
+    with pytest.raises(ValueError, match="has no profiles.yml"):
+        load_profile(profiled_project, profiles_dir=tmp_path / "nope")
+    # $DBT_PROFILES_DIR is the env spelling of the same override
+    monkeypatch.setenv("DBT_PROFILES_DIR", str(alt))
+    assert load_profile(profiled_project)["schema"] == "from_alt_dir"
+    monkeypatch.delenv("DBT_PROFILES_DIR")
+    # without either, the project-local file still wins
+    assert load_profile(profiled_project)["schema"] == "profiled_dev"
