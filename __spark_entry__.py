@@ -81,6 +81,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows to fill the window to 50. After this round no entry's driver
 # evidence is older than r8.
 _CHECK_FIRST = (
+    # r11 provisional head: new pandas-interop entry + its sibling whose
+    # flow run got subgraph-scoped (full r11 window staged at round end)
+    "p_fal_model_pandas_forecast",
     # source/helper/closure changed since last driver row — verify first
     "st_upsert_stream", "q_customer_value_deciles",
     "q_customer_value_deciles_ranged", "q_gini_customer_value",

@@ -401,12 +401,39 @@ class FalSpark:
     # reference API surface (reference: project.py:606-887)
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _with_pandas_alias(df: DataFrame) -> DataFrame:
+        """Attach ``.to_pandas()`` (pandas-ecosystem spelling) alongside
+        Spark's ``.toPandas()`` — THE documented migration boundary for
+        code written against the reference, whose every read API returns
+        a driver-memory pandas frame (reference: project.py:696-715).
+        Here the pull to the driver is the user's explicit, visible
+        choice; everything stays a lazy distributed plan until then."""
+        df.to_pandas = df.toPandas
+        return df
+
+    def _to_spark(self, obj) -> DataFrame:
+        """Accept a pandas DataFrame anywhere a relation is written —
+        the return boundary of the pandas interop (reference Python
+        models hand back pandas, project.py:757-853)."""
+        if isinstance(obj, DataFrame):
+            return obj
+        import pandas as pd
+
+        if isinstance(obj, pd.DataFrame):
+            return self.spark.createDataFrame(obj)
+        raise TypeError(
+            f"expected a pyspark or pandas DataFrame, got {type(obj).__name__}"
+        )
+
     def ref(self, target_1: str, target_2: str | None = None) -> DataFrame:
         name = target_2 or target_1  # (package, name) form
-        return self.spark.table(self._identifier(name))
+        return self._with_pandas_alias(self.spark.table(self._identifier(name)))
 
     def source(self, source_name: str, table_name: str) -> DataFrame:
-        return self.spark.table(self._resolve_source(source_name, table_name))
+        return self._with_pandas_alias(
+            self.spark.table(self._resolve_source(source_name, table_name))
+        )
 
     def execute_sql(self, sql: str) -> DataFrame:
         rendered, _ = render_model_sql(
@@ -416,7 +443,7 @@ class FalSpark:
             vars=self.manifest.vars,
             macros=self.manifest.macros,
         )
-        return self.spark.sql(rendered)
+        return self._with_pandas_alias(self.spark.sql(rendered))
 
     def write_to_model(
         self,
@@ -432,9 +459,11 @@ class FalSpark:
         bucket_by / sort_by) — a script overwrite must not flatten a
         bucketed/partitioned table — and appends are column-name-aligned
         before the positional insertInto (a reordered-column df
-        previously appended values into the wrong columns)."""
+        previously appended values into the wrong columns). ``df`` may
+        be a pandas DataFrame (the reference's currency) — converted at
+        this boundary."""
         name = target_2 or target_1
-        df = apply_dtype_casts(df, dtype)
+        df = apply_dtype_casts(self._to_spark(df), dtype)
         identifier = f"{self.schema}.{name}"
         model = next(
             (m for m in self.manifest.models.values() if m.name == name), None
@@ -476,7 +505,9 @@ class FalSpark:
         support/postgres.py:33-88 pushes a relation through the DBAPI
         engine; here the executors write in parallel, one connection per
         partition — cap with ``numPartitions`` so a 1000-executor job
-        doesn't open 1000 connections against an operational database)."""
+        doesn't open 1000 connections against an operational database).
+        ``df`` may be a pandas DataFrame — converted at this boundary."""
+        df = self._to_spark(df)
         src = self.manifest.source_by_name(source_name, table_name)
         conn = (src.meta or {}).get("connection")
         if conn:
@@ -1181,26 +1212,88 @@ class _ModelTask:
         return SUCCESS
 
     def _run_python_model(self, model: DbtModel) -> int:
-        """Python model contract: ``def model(dbt, session) -> DataFrame``
-        (reference: D3 — py_write wrapper, table.sql:34-46; dbt-style)."""
+        """Python model execution, both contracts the reference family
+        supports:
+
+        - dbt-style: ``def model(dbt, session) -> DataFrame`` (D3 —
+          py_write wrapper, table.sql:34-46). The module body runs, then
+          ``model()`` is called; its return (Spark OR pandas frame) is
+          materialized.
+        - fal-style script model (reference: fal_models/orders_forecast.py
+          — a module body using injected ``ref``/``context``/
+          ``write_to_model`` globals, discovered via `fal-models-paths`,
+          parse.py:120-140): the body IS the model and must call
+          ``write_to_model(...)`` (target defaults to this model).
+
+        pandas interop (the reference's data currency — project.py:
+        696-715 returns pandas from every read): opt in per model with
+        schema.yml ``meta: {fal: {interop: pandas}}`` or, dbt-style,
+        ``dbt.config(interop="pandas")`` — reads then hand the model
+        pandas frames and the returned/written frame may be pandas.
+        Without the opt-in, reads stay lazy Spark DataFrames carrying a
+        ``.to_pandas()`` escape hatch, and pandas returns are still
+        accepted. The pull to the driver happens only at these explicit
+        boundaries; aggregate-then-convert keeps it bounded at scale."""
         fal = self.fal
         code = model.python_model.read_text()
         if model.python_model.suffix == ".ipynb":
             code = _process_ipynb(code)
-        namespace: dict = {}
+        pandas_mode = ((model.meta or {}).get("fal", {}) or {}).get("interop") == "pandas"
+
+        def _read(df: DataFrame):
+            return df.toPandas() if pandas_mode else fal._with_pandas_alias(df)
+
+        wrote = {"called": False}
+
+        def _write(df, *_a, **kw):
+            # model-scoped write_to_model: the target is THIS model
+            # (reference fal models omit the name — orders_forecast.py:57)
+            wrote["called"] = True
+            kw.setdefault("mode", "overwrite")
+            fal.write_to_model(df, model.name, **kw)
+
+        namespace: dict = {
+            "__file__": str(model.python_model),
+            "ref": lambda *parts: _read(fal.ref(parts[-1])),
+            "source": lambda s, t: _read(fal.source(s, t)),
+            "execute_sql": lambda q: _read(fal.execute_sql(q)),
+            "write_to_model": _write,
+            "session": fal.spark,
+            "context": Context(
+                current_model=CurrentModel(
+                    name=model.name,
+                    alias=model.name,
+                    status=model.status,
+                    columns=model.columns,
+                    tests=[],
+                    meta=model.meta,
+                    is_incremental=model.is_incremental,
+                ),
+                target=fal.target_name,
+            ),
+        }
         exec(compile(code, str(model.python_model), "exec"), namespace)
         fn = namespace.get("model")
-        if fn is None:
-            raise ValueError(f"python model {model.name} must define model(dbt, session)")
-        dbt_obj = _DbtObj(fal, model)
-        df = fn(dbt_obj, fal.spark)
-        if df is None:
-            raise ValueError(f"python model {model.name} returned no DataFrame")
         identifier = f"{fal.schema}.{model.name}"
-        if fal.spark.catalog.tableExists(identifier):
-            replace_relation_atomic(fal.spark, df, identifier)
+        if fn is None:
+            # fal-style script model: the body must have materialized
+            # itself through the injected write_to_model
+            if not wrote["called"]:
+                raise ValueError(
+                    f"python model {model.name} defines no model(dbt, session) "
+                    "and its body never called write_to_model(...) — one of "
+                    "the two contracts is required"
+                )
         else:
-            write_table(df, identifier, mode="overwrite")
+            dbt_obj = _DbtObj(fal, model, pandas_meta=pandas_mode)
+            df = fn(dbt_obj, fal.spark)
+            if df is None:
+                raise ValueError(f"python model {model.name} returned no DataFrame")
+            df = fal._to_spark(df)
+            if fal.spark.catalog.tableExists(identifier):
+                replace_relation_atomic(fal.spark, df, identifier)
+            else:
+                write_table(df, identifier, mode="overwrite")
         n = fal.spark.table(identifier).count()
         fal._adapter_responses[model.name] = CurrentAdapterResponse(
             message=f"CREATE TABLE {n}", code="CREATE TABLE", rows_affected=n
@@ -1211,16 +1304,25 @@ class _ModelTask:
 class _DbtObj:
     """The ``dbt`` handle passed into Python models (dbt-style)."""
 
-    def __init__(self, fal: FalSpark, model: DbtModel) -> None:
+    def __init__(self, fal: FalSpark, model: DbtModel, pandas_meta: bool = False) -> None:
         self._fal = fal
+        self._pandas_meta = pandas_meta
         self.this = f"{fal.schema}.{model.name}"
         self.config = _ConfigCollector()
 
+    def _pandas_mode(self) -> bool:
+        # dbt.config(interop="pandas") is usually the model's first
+        # statement, so checking at read time sees it; schema.yml meta
+        # (resolved before execution) is the declarative spelling
+        return self._pandas_meta or self.config.get("interop") == "pandas"
+
     def ref(self, *parts: str) -> DataFrame:
-        return self._fal.ref(parts[-1])
+        df = self._fal.ref(parts[-1])
+        return df.toPandas() if self._pandas_mode() else df
 
     def source(self, source_name: str, table_name: str) -> DataFrame:
-        return self._fal.source(source_name, table_name)
+        df = self._fal.source(source_name, table_name)
+        return df.toPandas() if self._pandas_mode() else df
 
 
 class _ConfigCollector:

@@ -52,7 +52,63 @@ def p_flow_run_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = "demo_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
         spark.sql(f"DROP DATABASE IF EXISTS `{schema}` CASCADE")
         fal = FalSpark(_DEMO_DIR, spark=spark, schema=schema)
-        statuses = fal.run()
+        # select the customer_stats subgraph: the demo project also hosts
+        # the pandas-interop forecast models (their own entry below), and
+        # this entry's measured plan must stay the customer pipeline only
+        statuses = fal.run(select="+customer_stats")
         if any(s != "success" for s in statuses.values()):
             raise RuntimeError(f"flow run failed: {statuses}")
         return fal.ref("customer_stats")
+
+
+@query(
+    "p_fal_model_pandas_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS order_date,
+             count(*) AS n_orders,
+             count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent
+      FROM orders GROUP BY 1
+    ), w AS (
+      SELECT order_date, n_orders, n_urgent,
+             sum(n_orders) OVER (ORDER BY order_date
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7,
+             sum(n_urgent) OVER (ORDER BY order_date
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS su7,
+             row_number() OVER (ORDER BY order_date) AS rn
+      FROM daily
+    )
+    SELECT strftime(order_date, '%Y-%m-%d') AS ds,
+           n_orders AS y_count,
+           n_urgent AS y_urgent,
+           CAST(s7 AS DOUBLE) / 7 AS yhat_count,
+           CAST(su7 AS DOUBLE) / 7 AS yhat_urgent
+    FROM w WHERE rn >= 7
+    """,
+    tags=("project", "pandas-interop", "forecast"),
+)
+def p_fal_model_pandas_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas interop end-to-end under the oracle gate: `fal flow run`
+    executes a script-style fal model (demo/fal_models/
+    orders_forecast_ma.py — the reference flagship's shape, reference:
+    A/cli_tests/projects/002_jaffle_shop/fal_models/orders_forecast.py)
+    whose ``ref()`` returns a pandas frame per its schema.yml
+    ``meta: {fal: {interop: pandas}}``, and whose pandas result flows
+    back through ``write_to_model``.
+
+    Scale shape: the pandas boundary sees ONE ROW PER CALENDAR DAY (the
+    Spark-side orders_daily aggregate runs first and is the distributed
+    part) — ~2.4k rows regardless of corpus size, the bounded
+    aggregate-then-convert pattern. The 7-row trailing mean is integer
+    rolling sums + one double division, bit-exact vs the SQL oracle."""
+    from dbt_fal_spark.api import FalSpark
+
+    with _LOCK:
+        os.environ["TESTDATA_DIR"] = sf_dir
+        schema = "demof_" + os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+        spark.sql(f"DROP DATABASE IF EXISTS `{schema}` CASCADE")
+        fal = FalSpark(_DEMO_DIR, spark=spark, schema=schema)
+        statuses = fal.run(select="+orders_forecast_ma")
+        if any(s != "success" for s in statuses.values()):
+            raise RuntimeError(f"flow run failed: {statuses}")
+        return fal.ref("orders_forecast_ma")

@@ -533,3 +533,90 @@ def test_teleport_url_schemes(jaffle, tmp_path, monkeypatch):
     # relative local path anchors at the project dir
     resolved = fal._resolve_path_or_url("exports/x.parquet")
     assert resolved == str(fal.project_dir / "exports/x.parquet")
+
+
+def test_orders_forecast_pandas_interop_e2e(jaffle, oracle):
+    """The ported reference flagship fal model (fal_models/
+    orders_forecast.py, near-verbatim from A/cli_tests/projects/
+    002_jaffle_shop) runs under flow run with meta interop=pandas: ref()
+    hands it a pandas frame, the pandas-idiom pipeline (.rename,
+    .join(lsuffix/rsuffix), .map strftime) runs unchanged, and
+    write_to_model accepts the pandas result. Differential check: the
+    SAME model file is re-executed over a DuckDB-computed orders_daily
+    frame and the outputs must match exactly — what's verified is the
+    Spark plumbing (source → staged view → aggregate → pandas boundary
+    → write-back), not the forecast arithmetic, which is shared."""
+    import pandas as pd
+
+    fal, statuses, _ = jaffle
+    assert statuses.get("model.jaffle_spark.orders_forecast") == "success"
+    got = (
+        fal.ref("orders_forecast")
+        .toPandas()
+        .sort_values("ds")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == ["ds", "yhat_count", "yhat_amount"]
+
+    # recompute via the DuckDB data path: exec the model file with ref()
+    # returning DuckDB's orders_daily and write_to_model capturing
+    daily = oracle.execute(
+        """
+        SELECT CAST(o_orderdate AS DATE) AS order_date,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_amount
+        FROM orders GROUP BY 1 ORDER BY 1
+        """
+    ).df()
+    captured = {}
+    ns = {
+        "ref": lambda name: daily.copy(),
+        "write_to_model": lambda df, **kw: captured.setdefault("df", df),
+        "print": lambda *a, **k: None,
+    }
+    path = FIXTURES / "jaffle_spark" / "fal_models" / "orders_forecast.py"
+    exec(compile(path.read_text(), str(path), "exec"), ns)
+    exp = captured["df"].sort_values("ds").reset_index(drop=True)
+
+    assert len(got) == len(exp) == len(daily) + 50  # 50 future days
+    pd.testing.assert_frame_equal(
+        got[["ds", "yhat_count", "yhat_amount"]],
+        exp[["ds", "yhat_count", "yhat_amount"]],
+        check_exact=True,
+    )
+
+
+def test_python_model_dbt_style_pandas_config(jaffle, tmp_path, spark):
+    """dbt-style opt-in: dbt.config(interop='pandas') makes dbt.ref()
+    return pandas inside model(dbt, session), and a pandas return value
+    materializes; without the opt-in, ref stays a lazy Spark DataFrame
+    carrying the .to_pandas() escape hatch."""
+    import shutil
+
+    proj = tmp_path / "pandas_proj"
+    shutil.copytree(FIXTURES / "jaffle_spark", proj)
+    (proj / "models" / "seg_pandas.py").write_text(
+        "import pandas as pd\n"
+        "def model(dbt, session):\n"
+        "    dbt.config(interop='pandas')\n"
+        "    customers = dbt.ref('customers')\n"
+        "    assert isinstance(customers, pd.DataFrame)\n"
+        "    out = customers.groupby('segment', as_index=False).agg(\n"
+        "        n_customers=('customer_id', 'count'))\n"
+        "    return out\n"
+    )
+    (proj / "models" / "seg_spark_escape.py").write_text(
+        "def model(dbt, session):\n"
+        "    customers = dbt.ref('customers')\n"
+        "    pdf = customers.to_pandas()  # documented escape hatch\n"
+        "    return session.createDataFrame(pdf).groupBy('segment').count()\n"
+    )
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    statuses = fal.run(threads=2)
+    assert statuses["model.jaffle_spark.seg_pandas"] == "success"
+    assert statuses["model.jaffle_spark.seg_spark_escape"] == "success"
+    seg = {r["segment"]: r["n_customers"] for r in fal.ref("seg_pandas").collect()}
+    assert sum(seg.values()) == fal.ref("customers").count()
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
