@@ -51,7 +51,18 @@ def process_ipynb(raw: str) -> str:
 
 def _load_yaml(path: Path) -> dict:
     with open(path) as f:
-        return yaml.safe_load(f) or {}
+        doc = yaml.safe_load(f) or {}
+    if not isinstance(doc, dict):
+        # a top-level list/scalar would otherwise surface as an
+        # AttributeError traceback deep in the loader (r11 adversarial
+        # review) — name the file and the expectation instead
+        raise ValueError(
+            f"{path}: expected a YAML mapping at the top level, got "
+            f"{type(doc).__name__} — dbt-style project/schema files are "
+            "`key: value` documents (did a `- name:` list lose its "
+            "`models:`/`sources:` header?)"
+        )
+    return doc
 
 
 def extract_python_deps(code: str) -> tuple[list[str], list[tuple[str, str]]]:
@@ -77,6 +88,18 @@ def extract_python_deps(code: str) -> tuple[list[str], list[tuple[str, str]]]:
     return refs, sources
 
 
+def _reject_duplicate_model(manifest: Manifest, uid: str, path: Path) -> None:
+    """dbt errors on two models sharing a name; previously the
+    later-scanned file silently replaced the earlier one (r11
+    adversarial review) — ambiguous `ref()` targets must be loud."""
+    if uid in manifest.models:
+        raise ValueError(
+            f"duplicate model name {uid.rsplit('.', 1)[-1]!r}: "
+            f"{manifest.models[uid].path} and {path} — model names must be "
+            "unique across model-paths/fal-models-paths (rename one file)"
+        )
+
+
 def _scan_python_models(
     manifest: Manifest, name: str, mdir: Path, model_props: dict[str, dict]
 ) -> None:
@@ -89,6 +112,11 @@ def _scan_python_models(
         if ".ipynb_checkpoints" not in p.parts
     )
     for ppath in py_models:
+        if ppath.stem.startswith("__"):
+            # __init__.py & friends: package plumbing, never a model
+            # (previously registered as a model named "__init__" and
+            # failed at run time — r11 adversarial review)
+            continue
         code = ppath.read_text()
         if ppath.suffix == ".ipynb":
             code = process_ipynb(code)
@@ -96,6 +124,7 @@ def _scan_python_models(
         mname = ppath.stem
         props = model_props.get(mname, {})
         uid = f"model.{name}.{mname}"
+        _reject_duplicate_model(manifest, uid, ppath)
         model = DbtModel(
             name=mname,
             unique_id=uid,
@@ -238,6 +267,7 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
             props = model_props.get(mname, {})
             meta = {**(props.get("meta", {}) or {}), **(config.get("meta", {}) or {})}
             uid = f"model.{name}.{mname}"
+            _reject_duplicate_model(manifest, uid, spath)
             model = DbtModel(
                 name=mname,
                 unique_id=uid,
