@@ -44,7 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round with every entry whose plan/semantics/source changed since its
 # last driver row, then the stalest remaining rows.)
 #
-# r8 WINDOW (this round): lead with every entry whose PLAN, SEMANTICS,
+# r8 WINDOW: lead with every entry whose PLAN, SEMANTICS,
 # or implementing-function source changed since its last driver row —
 # the two late-r7 rewrites that missed the r7 window
 # (d_embedding_neardup_lsh flat-buffer bucket stage,
@@ -66,7 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # each round with every entry whose plan/semantics/source changed
 # since its last driver row, then the stalest remaining rows.)
 #
-# r10 WINDOW (this round): CORRECTNESS_r09 was green over the full r9
+# r10 WINDOW (previous round): CORRECTNESS_r09 was green over the full r9
 # window (50/50). Lead with the 12 entries whose source/closure changed
 # this round — st_upsert_stream (GC retention conf + lease touch), the
 # three rank.py callers (docstring-only rank change, closure-hashed),
@@ -78,43 +78,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver row is r7 (computed from CORRECTNESS_r0*.json: the q_*
 # analytics family, the five s_knn_* entries, st_dedup_stream,
 # st_left_outer_interval_stream), then the 8 alphabetically-first r8
-# rows to fill the window to 50. After this round no entry's driver
+# rows to fill the window to 50. After r10 no entry's driver
 # evidence is older than r8.
+#
+# r11 WINDOW (this round): CORRECTNESS_r10 was green over the full r10
+# window (50/50). Lead with the 11 entries changed this round (the new
+# p_fal_model_pandas_forecast, the subgraph-scoped
+# p_flow_run_customer_stats, and the nine streaming entries that moved
+# to the shared memory-sink-GC drain helper), then ALL 36 entries whose
+# last green driver row is r8, then the 3 alphabetically-first r9 rows.
+# After this round no entry's driver evidence is older than r9.
 _CHECK_FIRST = (
-    # r11 provisional head: new pandas-interop entry + its sibling whose
-    # flow run got subgraph-scoped (full r11 window staged at round end)
-    "p_fal_model_pandas_forecast",
-    # source/helper/closure changed since last driver row — verify first
-    "st_upsert_stream", "q_customer_value_deciles",
-    "q_customer_value_deciles_ranged", "q_gini_customer_value",
-    "d_lsh_levenshtein_refine", "d_minhash_lsh_pairs",
-    "d_neardup_components", "d_neardup_triangles",
-    "p_sentiment_batch_inference", "q_pii_masked_customers",
-    "st_dedup_within_watermark_stream", "m_resize_pipeline",
-    "m_byte_histogram_features",  # new entries this round
-    "p_flow_run_customer_stats",  # selector-engine change in its closure
-    "q_salted_join_supplier_volume",  # salted_join outer-shape guard in closure
-    # last green in r7 — stalest evidence, refresh all 30
-    "q_cube_status_priority", "q_customer_order_stats",
-    "q_customer_running_total", "q_customer_value_percentile",
-    "q_date_filter_projection", "q_first_last_order_value",
-    "q_generic_tests", "q_grouping_sets_revenue",
-    "q_lapsed_customers_except", "q_mad_outlier_orders",
-    "q_order_date_parts", "q_orders_daily_pivot",
-    "q_paginate_orders", "q_part_string_funcs",
-    "q_pivot_priority_by_status", "q_priority_distinct_customers",
-    "q_quantity_quartiles", "q_range_join_price_band",
-    "q_region_rollup_revenue", "q_repeat_customers_intersect",
-    "q_revenue_trend_by_priority", "q_status_set_per_priority",
-    "q_topk_orders_per_segment", "s_knn_bruteforce", "s_knn_int8",
-    "s_knn_ivf", "s_knn_lsh_bucketed", "s_knn_lsh_multitable",
-    "st_dedup_stream", "st_left_outer_interval_stream",
-    # oldest r8 rows — fill the window to 50
-    "d_bloom_prefilter", "d_containment_pairs", "d_decontaminate",
-    "d_dup_ngram_fraction", "d_embedding_neardup_lsh",
-    # (d_simhash, d_keep_best_per_key, d_ngram_jaccard_pairs rotated out
-    # to keep the staged window at exactly 50 for the three new entries —
-    # their r8 rows stay the latest evidence, 2 rounds old at r10)
+    # --- r11 WINDOW ---
+    # changed this round (plan/closure/source) — verify first:
+    # the new pandas-interop flow-run entry, its sibling (subgraph-
+    # scoped select), and the nine streaming entries whose drain moved
+    # to the shared memory-sink-GC helper (plans unchanged; closure
+    # hashed)
+    "p_fal_model_pandas_forecast", "p_flow_run_customer_stats",
+    "st_dedup_stream", "st_dedup_within_watermark_stream",
+    "st_enriched_stream", "st_full_outer_interval_stream",
+    "st_hourly_stream", "st_interval_join_stream",
+    "st_left_outer_interval_stream", "st_session_stream",
+    "st_user_totals_stateful",
+    # last green driver row is r8 — stalest evidence, refresh all 36
+    "d_keep_best_per_key", "d_ngram_jaccard_pairs", "d_simhash",
+    "e_asof_purchase_attribution", "e_changepoint_cusum",
+    "e_daily_active_users", "e_dau_hll_sketch", "e_hll_register_state",
+    "e_interpolate_daily_user", "e_rolling_median_7d", "e_sessionize",
+    "m_chunk_dedup", "q01_pricing_summary", "q_ab_test_proportions",
+    "q_conditional_aggs", "q_latest_order_per_customer",
+    "q_revenue_share_by_nation", "q_unpivot_segment_metrics",
+    "t_cms_heavy_hitters", "t_domain_mix_sample", "t_fingerprint",
+    "t_gopher_quality", "t_lang_profile", "t_langid_naive",
+    "t_pack_emit", "t_pack_sequences", "t_quality_score",
+    "t_repetition_stats", "t_rolling_fingerprint", "t_stratified_sample",
+    "t_tfidf_top_terms", "t_token_bpe", "t_token_stats", "t_top_bigrams",
+    "t_unk_replace", "t_vocab_coverage",
+    # oldest r9 rows, alphabetical — fill the window to 50
+    "d_embedding_neardup_pairs", "d_exact_dedup", "d_winnow_neardup",
 )
 
 

@@ -91,12 +91,27 @@ def hourly_windowed_agg(events: DataFrame) -> DataFrame:
     )
 
 
-def run_stream_to_completion(result: DataFrame, name: str | None = None) -> DataFrame:
+# drained memory-sink names, oldest first — see run_stream_to_completion
+_MEMORY_SINKS: list[str] = []
+
+
+def run_stream_to_completion(
+    result: DataFrame, name: str | None = None, mode: str = "complete"
+) -> DataFrame:
     """Drain a finite stream synchronously via a memory sink; returns the
-    materialized result as a batch DataFrame."""
+    materialized result as a batch DataFrame.
+
+    Memory-sink GC (r11 adversarial review): every drain registers an
+    in-memory temp table that previously lived for the session — a
+    long-lived service re-running these entries grew driver memory
+    without bound. Older drained sinks are dropped here, keeping the
+    newest PREVIOUS one as a grace window for a DataFrame the caller is
+    still holding — the same one-version grace policy as the upsert
+    target GC below. Hold results across more than one subsequent drain
+    by persisting or writing them out."""
     name = name or f"stream_out_{uuid.uuid4().hex[:8]}"
     q = (
-        result.writeStream.outputMode("complete")
+        result.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
@@ -104,6 +119,9 @@ def run_stream_to_completion(result: DataFrame, name: str | None = None) -> Data
     )
     q.awaitTermination()
     spark = result.sparkSession
+    while len(_MEMORY_SINKS) > 1:
+        spark.catalog.dropTempView(_MEMORY_SINKS.pop(0))
+    _MEMORY_SINKS.append(name)
     return spark.table(name)
 
 
@@ -249,18 +267,9 @@ def st_user_totals_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    name = f"stateful_{uuid.uuid4().hex[:8]}"
-    q = (
-        updates.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    spark = updates.sparkSession
+    drained = run_stream_to_completion(updates, mode="update")
     final = (
-        spark.table(name)
+        drained
         .groupBy("user_id")
         .agg(F.max_by(F.struct("n_events", "cents"), "n_events").alias("s"))
     )
@@ -377,16 +386,7 @@ def st_interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AND c_ts <= p_ts"
         ),
     )
-    name = f"ivjoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        pairs.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    drained = spark.table(name)
+    drained = run_stream_to_completion(pairs, mode="append")
     return drained.groupBy(F.col("p_user_id").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("p_event_id").alias("n_attributed_purchases"),
@@ -475,17 +475,8 @@ def st_dedup_within_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFr
         .withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["user_id", "event_type", "hr"])
     )
-    name = f"ddww_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     return (
-        spark.table(name)
+        run_stream_to_completion(deduped, mode="append")
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_keys"))
     )
@@ -700,16 +691,7 @@ def st_left_outer_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         "leftOuter",
     )
-    name = f"loj_{uuid.uuid4().hex[:8]}"
-    q = (
-        pairs.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    drained = spark.table(name)
+    drained = run_stream_to_completion(pairs, mode="append")
     from dbt_fal_spark.sources.readers import load_table
 
     cut = (
@@ -828,16 +810,7 @@ def st_full_outer_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         "fullOuter",
     )
-    name = f"foj_{uuid.uuid4().hex[:8]}"
-    q = (
-        pairs.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    drained = spark.table(name)
+    drained = run_stream_to_completion(pairs, mode="append")
     from dbt_fal_spark.sources.readers import load_table
 
     cut = (

@@ -55,3 +55,28 @@ def test_dunder_py_files_are_not_models(tmp_path):
     (proj / "models" / "__init__.py").write_text("")
     manifest = load_project(proj)
     assert not any(m.name == "__init__" for m in manifest.models.values())
+
+
+def test_memory_sink_gc_keeps_one_grace_sink(spark):
+    """run_stream_to_completion drops this session's older drained
+    memory sinks (keeping the newest previous as grace) — previously
+    every drain leaked an in-memory table for the session's lifetime."""
+    import dbt_fal_spark.streaming.windows as W
+    from tests.conftest import SF_DIR
+
+    # clean baseline: earlier tests in the session legitimately leave up
+    # to two tracked sinks plus (pre-fix ordering) stray ones — drop them
+    # all so the invariant below is about THIS test's drains
+    for t in spark.catalog.listTables():
+        if t.name.startswith("stream_out_"):
+            spark.catalog.dropTempView(t.name)
+    W._MEMORY_SINKS.clear()
+    results = []
+    for _ in range(4):
+        events = W.read_events_stream(spark, SF_DIR)
+        results.append(W.run_stream_to_completion(W.hourly_windowed_agg(events)))
+    assert len(W._MEMORY_SINKS) <= 2  # current + one grace
+    live = {t.name for t in spark.catalog.listTables() if t.name.startswith("stream_out_")}
+    assert live == set(W._MEMORY_SINKS)
+    # the newest result (and the grace one) remain readable
+    assert results[-1].count() > 0
