@@ -1253,6 +1253,10 @@ class _ModelTask:
             fal.write_to_model(df, model.name, **kw)
 
         namespace: dict = {
+            # reference contract: scripts/models execute as __main__
+            # (cli_tests/features/main_module.feature — `if __name__ ==
+            # "__main__":` blocks must run)
+            "__name__": "__main__",
             "__file__": str(model.python_model),
             "ref": lambda *parts: _read(fal.ref(parts[-1])),
             "source": lambda s, t: _read(fal.source(s, t)),
@@ -1414,6 +1418,9 @@ class _ScriptTask:
             target=fal.target_name,
         )
         namespace = {
+            # reference: FalScript runs as the __main__ module
+            # (cli_tests/features/main_module.feature)
+            "__name__": "__main__",
             "__file__": str(path),
             "context": script_context,
             "ref": fal.ref,

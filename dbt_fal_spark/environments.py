@@ -70,7 +70,8 @@ class _ScriptRunner:
             "context.arguments = payload['arguments']\n"
             "context.target = payload['target']\n"
             "context.result = None\n"
-            "ns = {'context': context, '__file__': payload['script']}\n"
+            "ns = {'context': context, '__file__': payload['script'],\n"
+            "      '__name__': '__main__'}\n"  # reference: main_module.feature
             "code = open(payload['script']).read()\n"
             "exec(compile(code, payload['script'], 'exec'), ns)\n"
             "json.dump({'status': 'success', 'result': context.result,\n"

@@ -80,3 +80,43 @@ def test_memory_sink_gc_keeps_one_grace_sink(spark):
     assert live == set(W._MEMORY_SINKS)
     # the newest result (and the grace one) remain readable
     assert results[-1].count() > 0
+
+
+def test_scripts_and_python_models_run_as_main(tmp_path, spark):
+    """Reference contract (cli_tests/features/main_module.feature):
+    scripts and fal models execute with __name__ == '__main__', so
+    `if __name__ == "__main__":` blocks run. Previously __name__ was
+    absent from the exec namespace and the guard raised NameError."""
+    import json as _json
+    import os
+
+    from dbt_fal_spark.api import FalSpark
+    from tests.conftest import SF_DIR
+
+    os.environ["TESTDATA_DIR"] = SF_DIR
+    proj = _copy_project(tmp_path)
+    out = tmp_path / "main_probe.json"
+    (proj / "scripts" / "main_probe.py").write_text(
+        "import json\n"
+        "if __name__ == '__main__':\n"
+        f"    json.dump({{'name': __name__}}, open({str(out)!r}, 'w'))\n"
+    )
+    (proj / "fal_models" / "main_model.py").write_text(
+        "import pandas as pd\n"
+        "assert __name__ == '__main__', __name__\n"
+        "df = ref('orders_daily')\n"
+        "write_to_model(df.limit(1), mode='overwrite')\n"
+    )
+    schema_yml = proj / "models" / "schema.yml"
+    schema_yml.write_text(
+        schema_yml.read_text().replace(
+            "        scripts:\n          after:\n            - scripts/after_audit.py",
+            "        scripts:\n          after:\n            - scripts/after_audit.py\n            - scripts/main_probe.py",
+        )
+    )
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    statuses = fal.run(threads=2)
+    assert statuses["model.jaffle_spark.main_model"] == "success"
+    assert _json.load(open(out))["name"] == "__main__"
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
