@@ -596,11 +596,11 @@ class FalSpark:
             pre = [
                 _ScriptTask(self, model, script)
                 for script in model.get_scripts(before=True)
-            ] + [_HookTask(self, model, h.path, h.arguments) for h in model.get_hooks(pre=True)]
+            ] + [_HookTask(self, model, h.path, h.arguments, h.environment) for h in model.get_hooks(pre=True)]
             post = [
                 _ScriptTask(self, model, script)
                 for script in model.get_scripts(before=False)
-            ] + [_HookTask(self, model, h.path, h.arguments) for h in model.get_hooks(pre=False)]
+            ] + [_HookTask(self, model, h.path, h.arguments, h.environment) for h in model.get_hooks(pre=False)]
             groups[node] = TaskGroup(
                 group_id=node,
                 task=_ModelTask(self, node),
@@ -847,7 +847,7 @@ class FalSpark:
                 for h in model.get_hooks(pre=pre):
                     if only_scripts and h.path not in only_scripts:
                         continue
-                    _HookTask(self, model, h.path, h.arguments).execute(context)
+                    _HookTask(self, model, h.path, h.arguments, h.environment).execute(context)
                     ran.append(f"hook.{model.name}.{'PRE' if pre else 'POST'}.{h.path}")
         if run_globals and False in sides:
             for script in _global_scripts("after"):
@@ -1235,6 +1235,8 @@ class _ModelTask:
         accepted. The pull to the driver happens only at these explicit
         boundaries; aggregate-then-convert keeps it bounded at scale."""
         fal = self.fal
+        if model.environment:
+            return self._run_python_model_isolated(model)
         code = model.python_model.read_text()
         if model.python_model.suffix == ".ipynb":
             code = _process_ipynb(code)
@@ -1304,6 +1306,81 @@ class _ModelTask:
         )
         return SUCCESS
 
+    def _run_python_model_isolated(self, model: DbtModel) -> int:
+        """Python model with ``meta.fal.environment``: run it in the named
+        env's interpreter (reference: structured_hooks.feature 'Run
+        isolated models'). A SparkSession cannot cross interpreters, so
+        the data boundary is parquet interchange — the model's DECLARED
+        dependencies (AST-extracted refs/sources, D5) are pre-exported,
+        the child transforms in pandas, and the parquet result is
+        materialized as the model table. Bounded by the same
+        aggregate-then-isolate discipline as the pandas interop: declare
+        an aggregating parent model and isolate the small last mile.
+        A ``.ipynb`` model is not supported isolated (the env has no
+        notebook strip step) — convert it to .py or drop the env."""
+        fal = self.fal
+        try:
+            env = fal.environments[model.environment]
+        except KeyError:
+            raise ValueError(
+                f"model {model.name!r} wants environment {model.environment!r} "
+                "but fal_project.yml does not define it "
+                f"(defined: {', '.join(sorted(fal.environments)) or 'none'})"
+            ) from None
+        if model.python_model.suffix == ".ipynb":
+            raise ValueError(
+                f"isolated execution of notebook model {model.name} is not "
+                "supported — convert it to .py or remove meta.fal.environment"
+            )
+        import tempfile
+
+        with tempfile.TemporaryDirectory(prefix="fal_isolated_") as td:
+            relations: dict[str, str] = {}
+            sources: dict[str, str] = {}
+            for dep in model.depends_on:
+                kind, rest = dep.split(".", 1)
+                if kind in ("model", "seed"):
+                    name = rest.split(".", 1)[1]
+                    path = os.path.join(td, f"ref_{name}.parquet")
+                    fal.ref(name).write.mode("overwrite").parquet(path)
+                    relations[name] = path
+                elif kind == "source":
+                    _, s, t = rest.split(".", 2)
+                    path = os.path.join(td, f"src_{s}_{t}.parquet")
+                    fal.source(s, t).write.mode("overwrite").parquet(path)
+                    sources[f"{s}::{t}"] = path
+            out = os.path.join(td, "out.parquet")
+            env.run_python_model(
+                model.python_model,
+                {
+                    "relations": relations,
+                    "sources": sources,
+                    "out": out,
+                    "this": f"{fal.schema}.{model.name}",
+                    "current_model": {
+                        "name": model.name,
+                        "alias": model.name,
+                        "status": model.status,
+                        "meta": model.meta,
+                        "is_incremental": model.is_incremental,
+                    },
+                    "target": fal.target_name,
+                },
+            )
+            df = fal.spark.read.parquet(out)
+            identifier = f"{fal.schema}.{model.name}"
+            if fal.spark.catalog.tableExists(identifier):
+                replace_relation_atomic(fal.spark, df, identifier)
+            else:
+                write_table(df, identifier, mode="overwrite")
+            # count INSIDE the tempdir scope: write_table/replace copy the
+            # data into the warehouse, but the lazy df still points at td
+            n = fal.spark.table(identifier).count()
+        fal._adapter_responses[model.name] = CurrentAdapterResponse(
+            message=f"CREATE TABLE {n}", code="CREATE TABLE", rows_affected=n
+        )
+        return SUCCESS
+
 
 class _DbtObj:
     """The ``dbt`` handle passed into Python models (dbt-style)."""
@@ -1352,6 +1429,10 @@ class _ScriptTask:
         self.model = model
         self.script = script
         self.arguments = arguments or {}
+        # per-hook environment override (reference: fal_script.py:43-83
+        # create_hook): a named env wins over the model's; the special
+        # name "local" forces in-process; None inherits the model's
+        self.env_override: str | None = None
 
     def execute(self, context: dict) -> int:
         fal = self.fal
@@ -1366,6 +1447,8 @@ class _ScriptTask:
         if not path.exists() and (fal.project_dir / self.script).exists():
             path = fal.project_dir / self.script
         env_name = model.environment if model is not None else None
+        if self.env_override is not None:
+            env_name = None if self.env_override == "local" else self.env_override
         if env_name:
             # isolated execution (reference: IsolatedHook → environments):
             # the script runs in the named venv's interpreter with the
@@ -1443,11 +1526,20 @@ class _ScriptTask:
 
 
 class _HookTask(_ScriptTask):
-    """meta.fal pre-/post-hook with `with:` arguments
-    (reference: fal_script.py:43-83 create_hook)."""
+    """meta.fal pre-/post-hook with `with:` arguments and optional
+    per-hook `environment:` override (reference: fal_script.py:43-83
+    create_hook — LocalHook vs IsolatedHook selection)."""
 
-    def __init__(self, fal: FalSpark, model: DbtModel, path: str, arguments: dict) -> None:
+    def __init__(
+        self,
+        fal: FalSpark,
+        model: DbtModel,
+        path: str,
+        arguments: dict,
+        environment: str | None = None,
+    ) -> None:
         super().__init__(fal, model, path, arguments)
+        self.env_override = environment
 
 
 # moved to project/loader.py (model discovery needs it too); re-bound

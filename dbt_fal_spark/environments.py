@@ -28,6 +28,7 @@ and attached per model via ``meta.fal.environment: clean``.
 
 from __future__ import annotations
 
+import collections
 import hashlib
 import json
 import os
@@ -36,11 +37,17 @@ import subprocess
 import sys
 import sysconfig
 import tempfile
+import threading
 import venv
 from dataclasses import dataclass, field
 from pathlib import Path
 
 import yaml
+
+
+# per-env-dir creation locks (see VirtualEnvironment.ensure): defaultdict
+# is itself guarded by the GIL for single-key access patterns used here
+_ENSURE_LOCKS: dict[str, threading.Lock] = collections.defaultdict(threading.Lock)
 
 
 class _ScriptRunner:
@@ -77,9 +84,16 @@ class _ScriptRunner:
             "json.dump({'status': 'success', 'result': context.result,\n"
             "           'python': sys.executable}, open(sys.argv[2], 'w'))\n"
         )
+        return self._exec_in_env(runner, {**payload, "script": str(script_path)},
+                                 what=f"script {script_path}")
+
+    def _exec_in_env(self, runner: str, payload: dict, what: str) -> dict:
+        """Shared child-process plumbing: payload/result hand-off as JSON
+        files, clear errors for crashes and sys.exit escapes."""
+        python = self.ensure()
         with tempfile.TemporaryDirectory() as td:
             pf, rf, runf = Path(td, "payload.json"), Path(td, "result.json"), Path(td, "runner.py")
-            pf.write_text(json.dumps({**payload, "script": str(script_path)}))
+            pf.write_text(json.dumps(payload))
             runf.write_text(runner)
             proc = subprocess.run(
                 [str(python), str(runf), str(pf), str(rf)],
@@ -88,7 +102,7 @@ class _ScriptRunner:
             )
             if proc.returncode != 0:
                 raise RuntimeError(
-                    f"isolated script {script_path} failed in environment "
+                    f"isolated {what} failed in environment "
                     f"{self.name!r}:\n{proc.stderr[-2000:]}"
                 )
             if not rf.exists():
@@ -96,12 +110,73 @@ class _ScriptRunner:
                 # runner's handoff dump; surface that instead of a bare
                 # FileNotFoundError.
                 raise RuntimeError(
-                    f"isolated script {script_path} exited 0 in environment "
+                    f"isolated {what} exited 0 in environment "
                     f"{self.name!r} without producing a result (did it call "
                     f"sys.exit()?)\nstdout: {proc.stdout[-1000:]}\n"
                     f"stderr: {proc.stderr[-1000:]}"
                 )
             return json.loads(rf.read_text())
+
+    def run_python_model(self, model_path: Path, payload: dict) -> dict:
+        """Execute a PYTHON MODEL inside this environment (reference:
+        structured_hooks.feature 'Run isolated models'). A SparkSession
+        cannot cross interpreters, so the boundary is the pandas interop
+        one: the parent pre-exports the model's declared dependencies as
+        parquet (payload['relations'] name→path, payload['sources']
+        's::t'→path), the child's injected ``ref``/``source`` read them
+        with pandas, and the result lands at payload['out'] as parquet
+        for the parent to materialize. Both model contracts run:
+        script-style bodies call ``write_to_model``; dbt-style
+        ``model(dbt, session)`` gets ``session=None`` (there is no Spark
+        in the env — the reference's isolated backends had the same
+        restriction) and returns a pandas frame."""
+        runner = (
+            "import json, sys\n"
+            "payload = json.load(open(sys.argv[1]))\n"
+            "import pandas as pd\n"
+            "rels, srcs = payload['relations'], payload['sources']\n"
+            "def ref(*parts):\n"
+            "    return pd.read_parquet(rels[parts[-1]])\n"
+            "def source(s, t):\n"
+            "    return pd.read_parquet(srcs[s + '::' + t])\n"
+            "_state = {'written': False}\n"
+            "def write_to_model(df, *a, **kw):\n"
+            "    df.to_parquet(payload['out'])\n"
+            "    _state['written'] = True\n"
+            "class _Ctx:\n"
+            "    pass\n"
+            "context = _Ctx()\n"
+            "context.current_model = payload['current_model']\n"
+            "context.arguments = {}\n"
+            "context.target = payload['target']\n"
+            "class _Dbt:\n"
+            "    this = payload['this']\n"
+            "    def config(self, **kw):\n"
+            "        return ''\n"
+            "    def ref(self, *p):\n"
+            "        return ref(*p)\n"
+            "    def source(self, s, t):\n"
+            "        return source(s, t)\n"
+            "ns = {'ref': ref, 'source': source, 'write_to_model': write_to_model,\n"
+            "      'context': context, 'session': None,\n"
+            "      '__file__': payload['script'], '__name__': '__main__'}\n"
+            "code = open(payload['script']).read()\n"
+            "exec(compile(code, payload['script'], 'exec'), ns)\n"
+            "fn = ns.get('model')\n"
+            "if fn is not None:\n"
+            "    res = fn(_Dbt(), None)\n"
+            "    if res is None:\n"
+            "        raise ValueError('python model returned no DataFrame')\n"
+            "    res.to_parquet(payload['out'])\n"
+            "    _state['written'] = True\n"
+            "if not _state['written']:\n"
+            "    raise ValueError('isolated python model produced no output: '\n"
+            "                     'define model(dbt, session) or call write_to_model(...)')\n"
+            "json.dump({'status': 'success', 'python': sys.executable},\n"
+            "          open(sys.argv[2], 'w'))\n"
+        )
+        return self._exec_in_env(runner, {**payload, "script": str(model_path)},
+                                 what=f"python model {model_path}")
 
 
 @dataclass
@@ -127,32 +202,54 @@ class VirtualEnvironment(_ScriptRunner):
         """Create the venv (and install requirements) if absent; returns
         the interpreter path. system-site-packages keeps the base stack
         (pandas/pyarrow) visible — requirements only ADD or PIN on top,
-        matching how the reference seeded environments."""
+        matching how the reference seeded environments.
+
+        Thread-safe (r11): two models sharing an environment run
+        concurrently under the parallel executor, and two venv.create
+        calls racing on one directory half-overwrite each other. A
+        per-env_dir lock serializes creation in-process; the venv is
+        built under a unique sibling dir and atomically renamed in, so
+        even a cross-process race leaves one winner and no torn env."""
         if self.python.exists():
             return self.python
-        self.env_dir.parent.mkdir(parents=True, exist_ok=True)
-        venv.create(
-            self.env_dir,
-            with_pip=bool(self.requirements),
-            system_site_packages=True,
-        )
-        if self.requirements:
-            proc = subprocess.run(
-                [str(self.python), "-m", "pip", "install", "--quiet", *self.requirements],
-                capture_output=True,
-                text=True,
+        with _ENSURE_LOCKS[str(self.env_dir)]:
+            if self.python.exists():  # built while we waited
+                return self.python
+            self.env_dir.parent.mkdir(parents=True, exist_ok=True)
+            build_dir = self.env_dir.with_name(
+                self.env_dir.name + f".build-{os.getpid()}"
             )
-            if proc.returncode != 0:
-                # Remove the half-built venv: its interpreter already
-                # exists, so leaving it would make every retry hit the
-                # python.exists() fast path and silently run scripts
-                # against system-site-packages versions instead of the
-                # declared pins (conda's ensure has the same cleanup).
-                shutil.rmtree(self.env_dir, ignore_errors=True)
-                raise RuntimeError(
-                    f"environment {self.name!r}: pip install failed "
-                    f"(offline container or bad pin?):\n{proc.stderr[-2000:]}"
+            shutil.rmtree(build_dir, ignore_errors=True)
+            venv.create(
+                build_dir,
+                with_pip=bool(self.requirements),
+                system_site_packages=True,
+            )
+            if self.requirements:
+                proc = subprocess.run(
+                    [str(build_dir / "bin" / "python"), "-m", "pip",
+                     "install", "--quiet", *self.requirements],
+                    capture_output=True,
+                    text=True,
                 )
+                if proc.returncode != 0:
+                    # Remove the half-built venv: its interpreter already
+                    # exists, so leaving it would make every retry hit the
+                    # python.exists() fast path and silently run scripts
+                    # against system-site-packages versions instead of the
+                    # declared pins (conda's ensure has the same cleanup).
+                    shutil.rmtree(build_dir, ignore_errors=True)
+                    raise RuntimeError(
+                        f"environment {self.name!r}: pip install failed "
+                        f"(offline container or bad pin?):\n{proc.stderr[-2000:]}"
+                    )
+            try:
+                os.rename(build_dir, self.env_dir)
+            except OSError:
+                # cross-process race: someone else renamed theirs in first
+                shutil.rmtree(build_dir, ignore_errors=True)
+                if not self.python.exists():
+                    raise
         return self.python
 
 

@@ -18,10 +18,16 @@ NodeStatus = str  # "pending" | "success" | "error" | "skipped" | "tested"
 @dataclass
 class Hook:
     """A pre/post hook or before/after script attached to a model
-    (reference: fal_script.py:43-83 — LocalHook/IsolatedHook)."""
+    (reference: fal_script.py:43-83 — LocalHook/IsolatedHook).
+
+    ``environment`` overrides the MODEL's environment for this hook
+    alone (reference: 013_structured_hooks schema.yml model_e/f/g) —
+    a named env runs the hook there; the special name ``local`` forces
+    in-process execution even on an isolated model; None inherits."""
 
     path: str
     arguments: dict[str, Any] = field(default_factory=dict)
+    environment: str | None = None
 
 
 @dataclass
@@ -76,7 +82,8 @@ class DbtModel:
             if isinstance(h, str):
                 out.append(Hook(path=h))
             else:
-                out.append(Hook(path=h["path"], arguments=h.get("with", {})))
+                out.append(Hook(path=h["path"], arguments=h.get("with", {}),
+                                environment=h.get("environment")))
         return out
 
 

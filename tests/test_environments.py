@@ -360,3 +360,103 @@ def test_conda_archive_path_keeps_dotted_names(tmp_path, fake_conda, monkeypatch
     assert out == Path(str(env.env_dir) + ".tar.gz")
     assert out.name.startswith("py3.10-ship-conda-")
     assert out.exists()
+
+
+def test_isolated_python_model_runs_in_env(spark, tmp_path):
+    """Python model with meta.fal.environment runs in the named venv
+    (reference: structured_hooks.feature 'Run isolated models'). The
+    data boundary is parquet interchange: declared refs are pre-exported,
+    the child transforms in pandas (no SparkSession crosses), and the
+    result materializes as the model table. Both contracts covered:
+    script-style write_to_model and dbt-style model(dbt, session)."""
+    import sys as _sys
+
+    proj = tmp_path / "isomodel"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text("name: isomodel")
+    (proj / "fal_project.yml").write_text(
+        "environments:\n  - name: clean\n    type: venv\n"
+    )
+    (proj / "models" / "base.sql").write_text(
+        "SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, 'a') AS t(v, g)"
+    )
+    (proj / "models" / "iso_script.py").write_text(
+        "import sys\n"
+        "assert 'pyspark' not in sys.modules  # truly isolated: no Spark here\n"
+        "df = ref('base')\n"
+        "out = df.groupby('g', as_index=False).agg(total=('v', 'sum'))\n"
+        "out['interp'] = sys.executable\n"
+        "write_to_model(out)\n"
+    )
+    (proj / "models" / "iso_dbt.py").write_text(
+        "def model(dbt, session):\n"
+        "    assert session is None  # no SparkSession crosses interpreters\n"
+        "    df = dbt.ref('base')\n"
+        "    return df.groupby('g', as_index=False).agg(n=('v', 'count'))\n"
+    )
+    (proj / "models" / "schema.yml").write_text(
+        "models:\n"
+        "  - name: iso_script\n"
+        "    meta: {fal: {environment: clean}}\n"
+        "  - name: iso_dbt\n"
+        "    meta: {fal: {environment: clean}}\n"
+    )
+    spark.sql("DROP DATABASE IF EXISTS isomodel CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    statuses = fal.run(threads=2)
+    assert all(s == "success" for s in statuses.values()), statuses
+    rows = {r["g"]: r["total"] for r in fal.ref("iso_script").collect()}
+    assert rows == {"a": 4, "b": 2}
+    interp = fal.ref("iso_script").collect()[0]["interp"]
+    assert interp != _sys.executable and ".fal_envs" in interp
+    counts = {r["g"]: r["n"] for r in fal.ref("iso_dbt").collect()}
+    assert counts == {"a": 2, "b": 1}
+    spark.sql("DROP DATABASE IF EXISTS isomodel CASCADE")
+
+
+def test_hook_environment_overrides(spark, tmp_path):
+    """Per-hook environment override (reference: fal_script.py:43-83 +
+    013_structured_hooks model_e/f): a hook without `environment:`
+    inherits the model's env; `environment: local` forces in-process
+    even on an isolated model; a named env wins over the model's."""
+    import sys as _sys
+    import json as _json
+
+    proj = tmp_path / "hookenv"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text("name: hookenv")
+    (proj / "fal_project.yml").write_text(
+        "environments:\n"
+        "  - name: clean\n    type: venv\n"
+        "  - name: other\n    type: venv\n"
+    )
+    (proj / "models" / "one.sql").write_text("SELECT 1 AS x")
+    (proj / "models" / "schema.yml").write_text(
+        "models:\n"
+        "  - name: one\n"
+        "    meta:\n"
+        "      fal:\n"
+        "        environment: clean\n"
+        "        post-hook:\n"
+        "          - path: probe_inherit.py\n"
+        "          - path: probe_local.py\n"
+        "            environment: local\n"
+        "          - path: probe_other.py\n"
+        "            environment: other\n"
+    )
+    for name in ("probe_inherit", "probe_local", "probe_other"):
+        (proj / f"{name}.py").write_text(
+            "import sys, json\n"
+            f"open({str(tmp_path / (name + '.out'))!r}, 'w').write(sys.executable)\n"
+        )
+    spark.sql("DROP DATABASE IF EXISTS hookenv CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    statuses = fal.run()
+    assert all(s == "success" for s in statuses.values()), statuses
+    inherit = (tmp_path / "probe_inherit.out").read_text()
+    local = (tmp_path / "probe_local.out").read_text()
+    other = (tmp_path / "probe_other.out").read_text()
+    assert "/clean-" in inherit and inherit != _sys.executable
+    assert local == _sys.executable  # forced in-process
+    assert "/other-" in other and other != _sys.executable
+    spark.sql("DROP DATABASE IF EXISTS hookenv CASCADE")
