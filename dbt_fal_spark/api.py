@@ -1433,6 +1433,7 @@ class _ScriptTask:
         # create_hook): a named env wins over the model's; the special
         # name "local" forces in-process; None inherits the model's
         self.env_override: str | None = None
+        self.is_hook = False
 
     def execute(self, context: dict) -> int:
         fal = self.fal
@@ -1516,11 +1517,30 @@ class _ScriptTask:
                 else fal.write_to_model
             ),
             "list_models": fal.list_models,
+            "list_models_ids": fal.list_models_ids,
             "list_sources": fal.list_sources,
             "list_tests": fal.list_tests,
             "list_features": fal.list_features,
             "session": fal.spark,
         }
+        if self.is_hook:
+            # hooks observe, they don't materialize (reference:
+            # fal_script.py:284-296 — _not_allowed_function_maker replaces
+            # both write functions; run.feature 'Post hooks with
+            # write_to_model will fail'). Writes belong in the model or an
+            # after script.
+            def _not_allowed(fn_name: str):
+                def _raise(*_a, **_kw):
+                    raise RuntimeError(
+                        f"{fn_name} is not allowed in hooks — hooks observe "
+                        "model runs; move the write into the model or an "
+                        "after script"
+                    )
+
+                return _raise
+
+            namespace["write_to_model"] = _not_allowed("write_to_model")
+            namespace["write_to_source"] = _not_allowed("write_to_source")
         exec(compile(code, str(path), "exec"), namespace)
         return SUCCESS
 
@@ -1540,6 +1560,7 @@ class _HookTask(_ScriptTask):
     ) -> None:
         super().__init__(fal, model, path, arguments)
         self.env_override = environment
+        self.is_hook = True
 
 
 # moved to project/loader.py (model discovery needs it too); re-bound

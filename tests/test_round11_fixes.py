@@ -120,3 +120,38 @@ def test_scripts_and_python_models_run_as_main(tmp_path, spark):
     assert statuses["model.jaffle_spark.main_model"] == "success"
     assert _json.load(open(out))["name"] == "__main__"
     spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+
+
+def test_hooks_cannot_write_to_model_or_source(tmp_path, spark):
+    """Reference contract (run.feature 'Post hooks with write_to_model
+    will fail', fal_script.py:284-296): hooks observe model runs; calling
+    write_to_model/write_to_source from a hook raises, and the node
+    reports error. Before/after SCRIPTS keep write access."""
+    import os
+
+    from dbt_fal_spark.api import FalSpark
+    from tests.conftest import SF_DIR
+
+    os.environ["TESTDATA_DIR"] = SF_DIR
+    proj = _copy_project(tmp_path)
+    (proj / "scripts" / "writing_hook.py").write_text(
+        "write_to_model(ref('customers'), mode='overwrite')\n"
+    )
+    schema_yml = proj / "models" / "schema.yml"
+    schema_yml.write_text(
+        schema_yml.read_text().replace(
+            "        pre-hook:",
+            "        post-hook:\n"
+            "          - path: scripts/writing_hook.py\n"
+            "        pre-hook:",
+        )
+    )
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    statuses = fal.run(threads=2)
+    assert statuses["model.jaffle_spark.customers"] == "error"
+    import json as _json
+
+    errors = _json.loads((fal.target_dir / "run_results.json").read_text()).get("errors", [])
+    assert any("not allowed in hooks" in e for e in errors), errors
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
