@@ -174,7 +174,7 @@ class FalSpark:
         for model in self.manifest.models.values():
             if model.materialization in ("view", "ephemeral"):
                 continue
-            identifier = f"{self.schema}.{model.name}"
+            identifier = f"{self.schema}.{model.target_name}"
             if self.spark.catalog.tableExists(identifier):
                 continue
             # the atomic swap leaves copy-on-write version dirs
@@ -201,16 +201,16 @@ class FalSpark:
 
             from .materialize import _VERSION_RE, _read_live_pointer
 
-            candidates = [db_dir / model.name] + [
+            candidates = [db_dir / model.target_name] + [
                 p
-                for p in db_dir.glob(f"{model.name}__v*")
+                for p in db_dir.glob(f"{model.target_name}__v*")
                 if p.is_dir()
-                and _re.fullmatch(_re.escape(model.name) + _VERSION_RE[:-1], p.name)
+                and _re.fullmatch(_re.escape(model.target_name) + _VERSION_RE[:-1], p.name)
             ]
             live = [
                 c for c in candidates if c.is_dir() and _has_committed_parquet(c)
             ]
-            ptr = _read_live_pointer(str(db_dir / model.name))
+            ptr = _read_live_pointer(str(db_dir / model.target_name))
             loc = None
             if ptr is not None:
                 p = Path(ptr)
@@ -249,7 +249,8 @@ class FalSpark:
             )
             self.spark.sql(rendered).createOrReplaceTempView(f"{self.schema}__{model_name}")
             return f"{self.schema}__{model_name}"
-        ident = f"{self.schema}.{model_name}"
+        physical = model.target_name if model is not None else model_name
+        ident = f"{self.schema}.{physical}"
         if self.defer and not self._selected_this_run(model_name) and not self.spark.catalog.tableExists(ident):
             deferred = self._deferred_identifier(model_name)
             if deferred is not None:
@@ -464,10 +465,11 @@ class FalSpark:
         this boundary."""
         name = target_2 or target_1
         df = apply_dtype_casts(self._to_spark(df), dtype)
-        identifier = f"{self.schema}.{name}"
         model = next(
             (m for m in self.manifest.models.values() if m.name == name), None
         )
+        # dbt alias: write to the PHYSICAL relation (run.feature 'model aliases')
+        identifier = f"{self.schema}.{model.target_name if model is not None else name}"
         layout = {
             "partition_by": getattr(model, "partition_by", None),
             "bucket_by": getattr(model, "bucket_by", None),
@@ -750,7 +752,7 @@ class FalSpark:
         self.target_dir.mkdir(exist_ok=True)
         nodes: dict[str, dict] = {}
         for model in self.manifest.models.values():
-            identifier = f"{self.schema}.{model.name}"
+            identifier = f"{self.schema}.{model.target_name}"
             if model.materialization in ("view", "ephemeral"):
                 continue
             if not self.spark.catalog.tableExists(identifier):
@@ -1125,11 +1127,11 @@ class _ModelTask:
         log.debug("executing model %s (%s)", model.name, model.materialization)
         if model.materialization == "seed":
             df = spark.read.csv(str(model.path), header=True, inferSchema=True)
-            write_table(df, f"{fal.schema}.{model.name}", mode="overwrite")
+            write_table(df, f"{fal.schema}.{model.target_name}", mode="overwrite")
             return SUCCESS
         if model.python_model is not None:
             return self._run_python_model(model)
-        identifier = f"{fal.schema}.{model.name}"
+        identifier = f"{fal.schema}.{model.target_name}"
         exists = spark.catalog.tableExists(identifier)
         full_refresh = getattr(fal, "_full_refresh", False)
         rendered, _ = render_model_sql(
@@ -1268,7 +1270,7 @@ class _ModelTask:
             "context": Context(
                 current_model=CurrentModel(
                     name=model.name,
-                    alias=model.name,
+                    alias=model.target_name,
                     status=model.status,
                     columns=model.columns,
                     tests=[],
@@ -1356,10 +1358,10 @@ class _ModelTask:
                     "relations": relations,
                     "sources": sources,
                     "out": out,
-                    "this": f"{fal.schema}.{model.name}",
+                    "this": f"{fal.schema}.{model.target_name}",
                     "current_model": {
                         "name": model.name,
-                        "alias": model.name,
+                        "alias": model.target_name,
                         "status": model.status,
                         "meta": model.meta,
                         "is_incremental": model.is_incremental,
@@ -1368,7 +1370,7 @@ class _ModelTask:
                 },
             )
             df = fal.spark.read.parquet(out)
-            identifier = f"{fal.schema}.{model.name}"
+            identifier = f"{fal.schema}.{model.target_name}"
             if fal.spark.catalog.tableExists(identifier):
                 replace_relation_atomic(fal.spark, df, identifier)
             else:
@@ -1388,7 +1390,7 @@ class _DbtObj:
     def __init__(self, fal: FalSpark, model: DbtModel, pandas_meta: bool = False) -> None:
         self._fal = fal
         self._pandas_meta = pandas_meta
-        self.this = f"{fal.schema}.{model.name}"
+        self.this = f"{fal.schema}.{model.target_name}"
         self.config = _ConfigCollector()
 
     def _pandas_mode(self) -> bool:
@@ -1467,7 +1469,7 @@ class _ScriptTask:
                 {
                     "current_model": {
                         "name": model.name,
-                        "alias": model.name,
+                        "alias": model.target_name,
                         "status": model.status,
                         "meta": model.meta,
                         "is_incremental": model.is_incremental,
@@ -1488,7 +1490,7 @@ class _ScriptTask:
         script_context = Context(
             current_model=CurrentModel(
                 name=model.name,
-                alias=model.name,
+                alias=model.target_name,
                 status=model.status,
                 columns=model.columns,
                 tests=[t for t in fal.manifest.tests.values() if t.model_id == model.unique_id],

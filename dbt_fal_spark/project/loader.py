@@ -134,6 +134,7 @@ def _scan_python_models(
             tags=list(props.get("tags", [])),
             meta=props.get("meta", {}) or {},
             columns={c["name"]: c for c in props.get("columns", [])},
+            alias_name=props.get("config", {}).get("alias"),
         )
         model.depends_on = [f"model.{name}.{r}" for r in refs] + [
             f"source.{name}.{s}.{t}" for (s, t) in sources
@@ -283,6 +284,7 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
                 tags=list(config.get("tags", [])) + list(props.get("tags", [])),
                 meta=meta,
                 columns={c["name"]: c for c in props.get("columns", [])},
+                alias_name=config.get("alias", props.get("config", {}).get("alias")),
             )
             model.depends_on = [f"model.{name}.{r}" for r in refs] + [
                 f"source.{name}.{s}.{t}" for (s, t) in sources

@@ -49,6 +49,15 @@ class DbtModel:
     meta: dict[str, Any] = field(default_factory=dict)
     columns: dict[str, dict] = field(default_factory=dict)
     status: NodeStatus = "pending"
+    # dbt `alias` config: the PHYSICAL relation name when it differs from
+    # the model (file) name; ref() keeps resolving by model name
+    # (reference: run.feature 'fal run provides model aliases')
+    alias_name: str | None = None
+
+    @property
+    def target_name(self) -> str:
+        """Physical relation name: alias when declared, else model name."""
+        return self.alias_name or self.name
 
     @property
     def is_incremental(self) -> bool:
