@@ -140,7 +140,7 @@ def _scan_python_models(
             f"source.{name}.{s}.{t}" for (s, t) in sources
         ]
         manifest.models[uid] = model
-        _collect_tests(manifest, name, props, model_id=uid, source_id=None)
+        _collect_tests(manifest, name, props, model_id=uid, source_id=None, owner_node=model)
 
 
 def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) -> Manifest:
@@ -207,7 +207,7 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
                         meta=tbl_meta,
                     )
                     manifest.sources[uid] = source
-                    _collect_tests(manifest, name, tbl, model_id=None, source_id=uid)
+                    _collect_tests(manifest, name, tbl, model_id=None, source_id=uid, owner_node=source)
             for mod in doc.get("models", []):
                 model_props[mod["name"]] = mod
             # top-level `fal:` block = global scripts (reference:
@@ -290,7 +290,7 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
                 f"source.{name}.{s}.{t}" for (s, t) in sources
             ]
             manifest.models[uid] = model
-            _collect_tests(manifest, name, props, model_id=uid, source_id=None)
+            _collect_tests(manifest, name, props, model_id=uid, source_id=None, owner_node=model)
         # .py and .ipynb models share the contract (reference scans both:
         # model_generator.py:18-103); notebooks are stripped to their code
         # cells for dependency extraction and execution
@@ -333,9 +333,20 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
     return manifest
 
 
-def _collect_tests(manifest: Manifest, project: str, props: dict, model_id: str | None, source_id: str | None) -> None:
+def _collect_tests(
+    manifest: Manifest,
+    project: str,
+    props: dict,
+    model_id: str | None,
+    source_id: str | None,
+    owner_node=None,
+) -> None:
     """Generic column tests from a schema.yml node entry
-    (reference contract: 000_fal_run/models/schema.yml:26-40)."""
+    (reference contract: 000_fal_run/models/schema.yml:26-40).
+    ``owner_node`` (the DbtModel/DbtSource itself) also receives the
+    test in its ``.tests`` list so scripts enumerating list_models()/
+    list_sources() see per-node test sets (reference:
+    dbt_test.feature)."""
     for col in props.get("columns", []):
         for t in col.get("tests", []):
             if isinstance(t, str):
@@ -346,7 +357,7 @@ def _collect_tests(manifest: Manifest, project: str, props: dict, model_id: str 
                     params = {"values": params}
             owner = model_id or source_id
             uid = f"test.{project}.{ttype}_{props['name']}_{col['name']}"
-            manifest.tests[uid] = DbtTest(
+            test = DbtTest(
                 name=f"{ttype}_{props['name']}_{col['name']}",
                 unique_id=uid,
                 test_type=ttype,
@@ -354,6 +365,9 @@ def _collect_tests(manifest: Manifest, project: str, props: dict, model_id: str 
                 column=col["name"],
                 params=params or {},
             )
+            manifest.tests[uid] = test
+            if owner_node is not None:
+                owner_node.tests.append(test)
 
 
 # --- profiles.yml-lite (reference: A/src/fal/dbt/integration/parse.py:59-98

@@ -49,6 +49,10 @@ class DbtModel:
     meta: dict[str, Any] = field(default_factory=dict)
     columns: dict[str, dict] = field(default_factory=dict)
     status: NodeStatus = "pending"
+    # generic column tests declared on this model (reference: DbtModel
+    # carries .tests so scripts can enumerate them via list_models() —
+    # dbt_test.feature 'Source tests are present in context')
+    tests: list[DbtTest] = field(default_factory=list)
     # dbt `alias` config: the PHYSICAL relation name when it differs from
     # the model (file) name; ref() keeps resolving by model name
     # (reference: run.feature 'fal run provides model aliases')

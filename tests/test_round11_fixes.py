@@ -195,3 +195,31 @@ def test_model_alias_config(tmp_path, spark):
     probe = (proj / "scripts" / "alias_probe.py.out").read_text()
     assert probe == "alias=wait_time name=agent_wait_time"
     spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+
+
+def test_tests_attached_to_model_and_source_objects(tmp_path):
+    """list_models()/list_sources() consumers enumerate per-node tests
+    (reference: dbt_test.feature 'Source tests are present in context');
+    previously DbtModel had no .tests and DbtSource.tests stayed empty."""
+    proj = _copy_project(tmp_path)
+    schema_yml = proj / "models" / "schema.yml"
+    schema_yml.write_text(
+        schema_yml.read_text().replace(
+            "      - name: orders\n        meta:\n          path: $TESTDATA_DIR/orders.parquet",
+            "      - name: orders\n        meta:\n          path: $TESTDATA_DIR/orders.parquet\n"
+            "        columns:\n"
+            "          - name: o_orderkey\n"
+            "            tests: [unique, not_null]\n",
+        )
+    )
+    manifest = load_project(proj)
+    stg = next(m for m in manifest.models.values() if m.name == "stg_orders")
+    assert {t.test_type for t in stg.tests} == {
+        "unique", "not_null", "accepted_values", "relationships"
+    }
+    orders_src = next(
+        s for s in manifest.sources.values() if s.table_name == "orders"
+    )
+    assert {t.test_type for t in orders_src.tests} == {"unique", "not_null"}
+    # the same objects are registered in the global test map
+    assert all(t.unique_id in manifest.tests for t in stg.tests + orders_src.tests)
