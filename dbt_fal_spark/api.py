@@ -564,6 +564,26 @@ class FalSpark:
     def list_features(self):
         return self.manifest.features()
 
+    # property spellings — the reference exposes these as attributes too
+    # (A/cli_tests/projects/002_jaffle_shop/fal_dbt.py iterates
+    # faldbt.models / .sources / .tests), so migrating programmatic code
+    # runs unchanged
+    @property
+    def models(self) -> list[DbtModel]:
+        return self.list_models()
+
+    @property
+    def sources(self):
+        return self.list_sources()
+
+    @property
+    def tests(self) -> list[DbtTest]:
+        return self.list_tests()
+
+    @property
+    def features(self):
+        return self.list_features()
+
     # ------------------------------------------------------------------
     # run (the reference's `fal flow run`)
     # ------------------------------------------------------------------

@@ -223,3 +223,25 @@ def test_tests_attached_to_model_and_source_objects(tmp_path):
     assert {t.test_type for t in orders_src.tests} == {"unique", "not_null"}
     # the same objects are registered in the global test map
     assert all(t.unique_id in manifest.tests for t in stg.tests + orders_src.tests)
+
+
+def test_property_spellings_match_reference_example(tmp_path, spark):
+    """The reference programmatic example iterates faldbt.models /
+    .sources / .tests as ATTRIBUTES (002_jaffle_shop/fal_dbt.py);
+    FalSpark exposes the same spellings alongside the list_* methods."""
+    import os
+
+    from dbt_fal_spark.api import FalSpark
+    from tests.conftest import SF_DIR
+
+    os.environ["TESTDATA_DIR"] = SF_DIR
+    fal = FalSpark(FIXTURE, spark=spark)
+    assert [m.name for m in fal.models] == [m.name for m in fal.list_models()]
+    assert len(fal.sources) == len(fal.list_sources())
+    assert len(fal.tests) == len(fal.list_tests())
+    # the reference example's loop shape works verbatim
+    for model in fal.models:
+        _ = (model.name, [(t.name, t.status) for t in model.tests])
+    for source in fal.sources:
+        _ = (source.source_name, source.table_name,
+             [(t.name, t.status) for t in source.tests])
