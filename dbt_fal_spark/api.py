@@ -964,7 +964,7 @@ class FalSpark:
                         status = level
             out.append(
                 {
-                    "source": src.name,
+                    "source": src.full_name,
                     "max_loaded_at": str(row["max_loaded_at"]),
                     "age_sec": age_sec,
                     "status": status,

@@ -114,6 +114,13 @@ class DbtSource:
 
     @property
     def name(self) -> str:
+        """The SOURCE (namespace) name alone — reference semantics
+        (project.py:209-210: DbtSource.name → node.source_name; the
+        programmatic example prints `source.name, source.table_name`)."""
+        return self.source_name
+
+    @property
+    def full_name(self) -> str:
         return f"{self.source_name}.{self.table_name}"
 
 

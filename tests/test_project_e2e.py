@@ -136,7 +136,9 @@ def test_list_api(jaffle):
     fal, _, _ = jaffle
     models = {m.name for m in fal.list_models()}
     assert {"customers", "orders_daily", "stg_orders", "segment_stats"} <= models
-    assert {s.name for s in fal.list_sources()} >= {"testdata.orders", "testdata.events"}
+    # reference semantics (r11): .name is the SOURCE name; .full_name combines
+    assert {s.full_name for s in fal.list_sources()} >= {"testdata.orders", "testdata.events"}
+    assert {s.name for s in fal.list_sources()} == {"testdata"}
     assert len(fal.list_tests()) >= 4
     feats = fal.list_features()
     assert len(feats) == 1 and feats[0].column == "customer_lifetime_value"
