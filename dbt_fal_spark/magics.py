@@ -23,6 +23,7 @@ def _build_globals(fal) -> dict[str, Any]:
         "write_to_model": fal.write_to_model,
         "write_to_source": fal.write_to_source,
         "list_models": fal.list_models,
+        "list_models_ids": fal.list_models_ids,
         "list_sources": fal.list_sources,
         "list_tests": fal.list_tests,
         "list_features": fal.list_features,
