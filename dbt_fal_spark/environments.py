@@ -136,9 +136,20 @@ class _ScriptRunner:
             "import pandas as pd\n"
             "rels, srcs = payload['relations'], payload['sources']\n"
             "def ref(*parts):\n"
-            "    return pd.read_parquet(rels[parts[-1]])\n"
+            "    name = parts[-1]\n"
+            "    if name not in rels:\n"
+            "        raise ValueError(\n"
+            "            f'isolated model ref({name!r}): only DECLARED (AST-visible, '\n"
+            "            f'literal-name) dependencies are exported to the environment; '\n"
+            "            f'available: {sorted(rels)}')\n"
+            "    return pd.read_parquet(rels[name])\n"
             "def source(s, t):\n"
-            "    return pd.read_parquet(srcs[s + '::' + t])\n"
+            "    key = s + '::' + t\n"
+            "    if key not in srcs:\n"
+            "        raise ValueError(\n"
+            "            f'isolated model source({s!r}, {t!r}): only declared literal-name '\n"
+            "            f'sources are exported; available: {sorted(srcs)}')\n"
+            "    return pd.read_parquet(srcs[key])\n"
             "_state = {'written': False}\n"
             "def write_to_model(df, *a, **kw):\n"
             "    df.to_parquet(payload['out'])\n"
