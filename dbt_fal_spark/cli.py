@@ -294,7 +294,8 @@ def main(argv: list[str] | None = None) -> int:
         bad = 0
         for r in results:
             status = r["status"]
-            bad += status != "tested"
+            # severity:warn violations print but don't fail the run
+            bad += status not in ("tested", "warn")
             print(f"{status:8s} {r['test']} violations={r.get('violations', '?')}")
         return 0 if bad == 0 else 1
 

@@ -319,15 +319,19 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
     if tdir.exists():
         for spath in sorted(tdir.glob("*.sql")):
             raw = spath.read_text()
-            refs, srcs, _ = extract_dependencies(
+            refs, srcs, tcfg = extract_dependencies(
                 raw, macros=manifest.macros, vars=merged_vars
             )
             uid = f"test.{name}.{spath.stem}"
+            # singular tests configure via {{ config(severity='warn',
+            # store_failures=true) }} in the SQL body (dbt-core semantics)
             t = DbtTest(
                 name=spath.stem,
                 unique_id=uid,
                 test_type="singular",
                 raw_sql=raw,
+                severity=str(tcfg.get("severity", "error")).lower(),
+                store_failures=bool(tcfg.get("store_failures", False)),
             )
             manifest.tests[uid] = t
     return manifest
@@ -355,6 +359,15 @@ def _collect_tests(
                 ttype, params = next(iter(t.items()))
                 if not isinstance(params, dict):
                     params = {"values": params}
+            # dbt test configs: nested under `config:` or inline at the
+            # test's top level (both are dbt-core spellings). severity
+            # 'warn' reports without failing; store_failures
+            # materializes failing rows into the audit schema.
+            params = dict(params or {})
+            config = dict(params.pop("config", {}) or {})
+            for key in ("severity", "store_failures"):
+                if key in params:
+                    config.setdefault(key, params.pop(key))
             owner = model_id or source_id
             uid = f"test.{project}.{ttype}_{props['name']}_{col['name']}"
             test = DbtTest(
@@ -363,7 +376,9 @@ def _collect_tests(
                 test_type=ttype,
                 model_id=owner,
                 column=col["name"],
-                params=params or {},
+                params=params,
+                severity=str(config.get("severity", "error")).lower(),
+                store_failures=bool(config.get("store_failures", False)),
             )
             manifest.tests[uid] = test
             if owner_node is not None:
@@ -401,12 +416,16 @@ def load_profile(
     path = None
     explicit = profiles_dir or os.environ.get("DBT_PROFILES_DIR")
     if explicit:
+        # name the actual origin: ambient $DBT_PROFILES_DIR failing with
+        # a message about a CLI flag the user never passed is misleading
+        # (ADVICE r11)
+        origin = "--profiles-dir" if profiles_dir else "$DBT_PROFILES_DIR"
         path = Path(explicit) / "profiles.yml"
         if not path.exists():
             raise ValueError(
-                f"--profiles-dir {explicit} has no profiles.yml "
-                "(an explicit profiles dir never falls back to the "
-                "project dir or ~/.dbt)"
+                f"profiles dir {explicit} (from {origin}) has no "
+                "profiles.yml (an explicit profiles dir never falls back "
+                "to the project dir or ~/.dbt)"
             )
     else:
         for cand in (project_dir / "profiles.yml", Path.home() / ".dbt" / "profiles.yml"):

@@ -12,7 +12,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any
 
-NodeStatus = str  # "pending" | "success" | "error" | "skipped" | "tested"
+NodeStatus = str  # "pending" | "success" | "error" | "skipped" | "tested" | "warn"
 
 
 @dataclass
@@ -134,6 +134,12 @@ class DbtTest:
     params: dict[str, Any] = field(default_factory=dict)
     raw_sql: str | None = None  # singular tests
     status: NodeStatus = "pending"
+    # dbt test configs (dbt-core semantics the reference inherits via
+    # delegation): severity 'warn' reports violations without failing
+    # the run; store_failures materializes the failing rows into the
+    # audit schema (<schema>_dbt_test__audit.<test_name>)
+    severity: str = "error"  # error | warn
+    store_failures: bool = False
 
 
 @dataclass

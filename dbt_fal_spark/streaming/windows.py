@@ -16,6 +16,7 @@ Scale notes:
 from __future__ import annotations
 
 import os
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -91,8 +92,16 @@ def hourly_windowed_agg(events: DataFrame) -> DataFrame:
     )
 
 
-# drained memory-sink names, oldest first — see run_stream_to_completion
-_MEMORY_SINKS: list[str] = []
+# drained memory-sink names per SparkSession, oldest first — see
+# run_stream_to_completion. Keyed by session (weak refs would be nicer
+# but SparkSession is not weakref-friendly across PySpark versions;
+# sessions are few and long-lived, so a plain dict is bounded) and
+# guarded by a lock: concurrent drains otherwise race on pop/append,
+# and with multiple sessions an unkeyed list would drop a view in the
+# WRONG session — a no-op leak the tracking list still counts as freed
+# (ADVICE r11).
+_MEMORY_SINKS: dict[int, list[str]] = {}
+_MEMORY_SINKS_LOCK = threading.Lock()
 
 
 def run_stream_to_completion(
@@ -119,9 +128,13 @@ def run_stream_to_completion(
     )
     q.awaitTermination()
     spark = result.sparkSession
-    while len(_MEMORY_SINKS) > 1:
-        spark.catalog.dropTempView(_MEMORY_SINKS.pop(0))
-    _MEMORY_SINKS.append(name)
+    with _MEMORY_SINKS_LOCK:
+        sinks = _MEMORY_SINKS.setdefault(id(spark), [])
+        stale, sinks[:] = sinks[:-1], sinks[-1:]
+        sinks.append(name)
+    # drop outside the lock — catalog calls go over py4j and can block
+    for old in stale:
+        spark.catalog.dropTempView(old)
     return spark.table(name)
 
 

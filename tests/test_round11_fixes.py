@@ -75,11 +75,53 @@ def test_memory_sink_gc_keeps_one_grace_sink(spark):
     for _ in range(4):
         events = W.read_events_stream(spark, SF_DIR)
         results.append(W.run_stream_to_completion(W.hourly_windowed_agg(events)))
-    assert len(W._MEMORY_SINKS) <= 2  # current + one grace
+    # r12: sinks are tracked PER SparkSession (dict keyed by session id)
+    # under a lock — an unkeyed list dropped views in the wrong session
+    # when several sessions drained, and concurrent drains raced
+    tracked = W._MEMORY_SINKS[id(spark)]
+    assert set(W._MEMORY_SINKS) == {id(spark)}
+    assert len(tracked) <= 2  # current + one grace
     live = {t.name for t in spark.catalog.listTables() if t.name.startswith("stream_out_")}
-    assert live == set(W._MEMORY_SINKS)
+    assert live == set(tracked)
     # the newest result (and the grace one) remain readable
     assert results[-1].count() > 0
+
+
+def test_memory_sink_gc_concurrent_drains_consistent(spark):
+    """Concurrent drains must not race the tracking list: after N
+    parallel drains the tracked set exactly matches the live temp views
+    (no double-free, no untracked leak) and at most one grace sink
+    beyond the survivors of each thread's last drain remains."""
+    import threading as th
+
+    import dbt_fal_spark.streaming.windows as W
+    from tests.conftest import SF_DIR
+
+    for t in spark.catalog.listTables():
+        if t.name.startswith("stream_out_"):
+            spark.catalog.dropTempView(t.name)
+    W._MEMORY_SINKS.clear()
+    errs = []
+
+    def drain():
+        try:
+            events = W.read_events_stream(spark, SF_DIR)
+            W.run_stream_to_completion(W.hourly_windowed_agg(events))
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    threads = [th.Thread(target=drain) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    tracked = set(W._MEMORY_SINKS.get(id(spark), []))
+    live = {t.name for t in spark.catalog.listTables() if t.name.startswith("stream_out_")}
+    # every tracked sink is live, and nothing beyond the tracked set
+    # plus in-flight grace survivors leaked
+    assert tracked <= live
+    assert len(tracked) <= 2
 
 
 def test_scripts_and_python_models_run_as_main(tmp_path, spark):

@@ -1,0 +1,300 @@
+"""Round-12 hardening regressions:
+
+- accepted_values NULL semantics + severity:warn + store_failures
+  (VERDICT r11 'What's wrong' 1 / 'Next round' 1 — dbt-core test
+  configs the reference inherits via delegation)
+- alias-aware Python models and --defer (ADVICE r11 medium + low)
+- write_to_model positional-target guard (ADVICE r11)
+- $DBT_PROFILES_DIR error-message origin (ADVICE r11)
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+
+from dbt_fal_spark.project.loader import load_profile, load_project
+
+FIXTURE = Path(__file__).parent / "fixtures" / "jaffle_spark"
+
+
+def _copy_project(tmp_path: Path) -> Path:
+    proj = tmp_path / "proj"
+    shutil.copytree(FIXTURE, proj)
+    return proj
+
+
+# ---------------------------------------------------------------------------
+# dbt test configs: accepted_values NULLs, severity: warn, store_failures
+# ---------------------------------------------------------------------------
+
+
+def _one_model_project(tmp_path: Path, schema_tests: str, model_sql: str) -> Path:
+    """Minimal project: one model `probe` + the given schema.yml tests."""
+    proj = tmp_path / "tproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text(
+        "name: tproj\nprofile: tproj\nmodel-paths: [models]\n"
+    )
+    (proj / "models" / "probe.sql").write_text(model_sql)
+    (proj / "models" / "schema.yml").write_text(
+        "models:\n  - name: probe\n    columns:\n" + schema_tests
+    )
+    return proj
+
+
+def test_accepted_values_null_rows_pass(tmp_path, spark):
+    """dbt compiles accepted_values to `WHERE col NOT IN (...)`: a NULL
+    row evaluates to NULL and is NOT a violation — NULL-checking is
+    not_null's job. Previously NULLs failed accepted_values here
+    (VERDICT r11 finding 1)."""
+    from dbt_fal_spark.api import FalSpark
+
+    proj = _one_model_project(
+        tmp_path,
+        "      - name: status\n"
+        "        tests:\n"
+        "          - accepted_values: {values: ['A', 'B']}\n"
+        "          - not_null\n",
+        "select * from values ('A'), ('B'), (cast(null as string)) t(status)\n",
+    )
+    spark.sql("DROP DATABASE IF EXISTS tproj CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    fal.run()
+    by_name = {r["test"]: r for r in fal.test()}
+    av = by_name["accepted_values_probe_status"]
+    nn = by_name["not_null_probe_status"]
+    # legal NULL passes accepted_values (dbt semantics) ...
+    assert av["status"] == "tested" and av["violations"] == 0
+    # ... and is still caught by not_null, its actual owner
+    assert nn["status"] == "error" and nn["violations"] == 1
+    spark.sql("DROP DATABASE IF EXISTS tproj CASCADE")
+
+
+def test_severity_warn_reports_without_failing(tmp_path, spark):
+    """`config: {severity: warn}` (nested or inline) reports violations
+    with status 'warn'; the CLI exit code treats warn as non-failing."""
+    from dbt_fal_spark.api import FalSpark
+
+    proj = _one_model_project(
+        tmp_path,
+        "      - name: status\n"
+        "        tests:\n"
+        "          - accepted_values:\n"
+        "              values: ['A']\n"
+        "              config: {severity: warn}\n"
+        "      - name: v\n"
+        "        tests:\n"
+        "          - not_null:\n"
+        "              severity: warn\n",  # inline spelling
+        "select * from values ('A', 1), ('B', cast(null as int)) t(status, v)\n",
+    )
+    spark.sql("DROP DATABASE IF EXISTS tproj CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    fal.run()
+    results = fal.test()
+    by_name = {r["test"]: r for r in results}
+    av = by_name["accepted_values_probe_status"]
+    nn = by_name["not_null_probe_v"]
+    assert av["status"] == "warn" and av["violations"] == 1
+    assert av["severity"] == "warn"
+    assert nn["status"] == "warn" and nn["violations"] == 1
+    # CLI semantics: warn-only outcomes exit 0
+    assert all(r["status"] in ("tested", "warn") for r in results)
+    spark.sql("DROP DATABASE IF EXISTS tproj CASCADE")
+
+
+def test_store_failures_materializes_audit_table(tmp_path, spark):
+    """`config: {store_failures: true}` writes the failing rows to
+    <schema>_dbt_test__audit.<test_name> (dbt convention), overwritten
+    per run."""
+    from dbt_fal_spark.api import FalSpark
+
+    proj = _one_model_project(
+        tmp_path,
+        "      - name: status\n"
+        "        tests:\n"
+        "          - accepted_values:\n"
+        "              values: ['A']\n"
+        "              config: {severity: warn, store_failures: true}\n",
+        "select * from values ('A'), ('B'), ('C') t(status)\n",
+    )
+    for db in ("tproj", "tproj_dbt_test__audit"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    fal.run()
+    results = {r["test"]: r for r in fal.test()}
+    assert results["accepted_values_probe_status"]["violations"] == 2
+    audit = spark.table("tproj_dbt_test__audit.accepted_values_probe_status")
+    assert {r["status"] for r in audit.collect()} == {"B", "C"}
+    # re-run overwrites rather than appending
+    fal.test()
+    assert spark.table("tproj_dbt_test__audit.accepted_values_probe_status").count() == 2
+    for db in ("tproj", "tproj_dbt_test__audit"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_singular_test_config_severity_warn(tmp_path, spark):
+    """Singular tests configure via {{ config(severity='warn') }} in the
+    SQL body (dbt-core semantics)."""
+    from dbt_fal_spark.api import FalSpark
+
+    proj = _one_model_project(
+        tmp_path,
+        "      - name: status\n",
+        "select * from values ('A') t(status)\n",
+    )
+    (proj / "tests").mkdir()
+    (proj / "tests" / "always_fails.sql").write_text(
+        "{{ config(severity='warn') }}\n"
+        "select * from {{ ref('probe') }} where status = 'A'\n"
+    )
+    spark.sql("DROP DATABASE IF EXISTS tproj CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    fal.run()
+    by_name = {r["test"]: r for r in fal.test()}
+    sg = by_name["always_fails"]
+    assert sg["status"] == "warn" and sg["violations"] == 1
+    spark.sql("DROP DATABASE IF EXISTS tproj CASCADE")
+
+
+# ---------------------------------------------------------------------------
+# alias-aware Python models (ADVICE r11 medium)
+# ---------------------------------------------------------------------------
+
+
+def test_python_model_alias_config(tmp_path, spark):
+    """A dbt-style Python model with config.alias materializes under the
+    ALIAS (like SQL models); downstream ref() by model name resolves to
+    the aliased relation. Previously the python path wrote schema.name
+    while refs read schema.alias (ADVICE r11 medium)."""
+    import os
+
+    from dbt_fal_spark.api import FalSpark
+    from tests.conftest import SF_DIR
+
+    os.environ["TESTDATA_DIR"] = SF_DIR
+    proj = _copy_project(tmp_path)
+    (proj / "models" / "py_aliased.py").write_text(
+        "def model(dbt, session):\n"
+        "    df = dbt.ref('stg_orders')\n"
+        "    return df.groupBy('status').count()\n"
+    )
+    (proj / "models" / "py_script_aliased.py").write_text(
+        "df = ref('stg_orders').limit(5)\n"
+        "write_to_model(df)\n"
+    )
+    schema_yml = proj / "models" / "schema.yml"
+    schema_yml.write_text(
+        schema_yml.read_text()
+        + "  - name: py_aliased\n"
+        + "    config: {alias: py_alias_target}\n"
+        + "  - name: py_script_aliased\n"
+        + "    config: {alias: py_script_target}\n"
+        + "  - name: py_downstream\n"
+    )
+    (proj / "models" / "py_downstream.sql").write_text(
+        "select count(*) as n from {{ ref('py_aliased') }}\n"
+    )
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    statuses = fal.run(threads=2)
+    assert statuses["model.jaffle_spark.py_aliased"] == "success"
+    assert statuses["model.jaffle_spark.py_script_aliased"] == "success"
+    assert statuses["model.jaffle_spark.py_downstream"] == "success"
+    # physical relations carry the alias; model names are not tables
+    assert spark.catalog.tableExists("jaffle_spark.py_alias_target")
+    assert not spark.catalog.tableExists("jaffle_spark.py_aliased")
+    assert spark.catalog.tableExists("jaffle_spark.py_script_target")
+    assert not spark.catalog.tableExists("jaffle_spark.py_script_aliased")
+    # downstream ref by MODEL name reads through the alias
+    assert fal.ref("py_downstream").collect()[0]["n"] > 0
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+
+
+def test_write_to_model_positional_target_raises(tmp_path, spark):
+    """Inside a fal-style python model, write_to_model is bound to THAT
+    model: an explicit positional target must fail loudly (the reference
+    hard-wires target_1 via functools.partial → TypeError), not be
+    silently ignored (ADVICE r11)."""
+    import os
+
+    from dbt_fal_spark.api import FalSpark
+    from tests.conftest import SF_DIR
+
+    os.environ["TESTDATA_DIR"] = SF_DIR
+    proj = _copy_project(tmp_path)
+    (proj / "models" / "py_bad_target.py").write_text(
+        "df = ref('stg_orders').limit(3)\n"
+        "write_to_model(df, 'some_other_model')\n"
+    )
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    statuses = fal.run(select="py_bad_target")
+    assert statuses["model.jaffle_spark.py_bad_target"] == "error"
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+
+
+# ---------------------------------------------------------------------------
+# --defer resolves aliased upstreams via target_name (ADVICE r11)
+# ---------------------------------------------------------------------------
+
+
+def test_defer_resolves_aliased_upstream(tmp_path, spark):
+    """--defer against a state env whose upstream has an alias: the
+    deferred lookup must use the ALIAS path in the state warehouse —
+    the model-name path does not exist there."""
+    from dbt_fal_spark.api import FalSpark
+
+    proj = tmp_path / "aproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text(
+        "name: aliasci\nprofile: aliasci\nmodel-paths: [models]\n"
+    )
+    # upstream gets an alias; downstream refs it by MODEL name
+    (proj / "models" / "aliased_up.sql").write_text(
+        "{{ config(materialized='table', alias='up_alias') }}\n"
+        "select 42 as answer\n"
+    )
+    for s in ("alias_prod", "alias_dev"):
+        spark.sql(f"DROP DATABASE IF EXISTS {s} CASCADE")
+    # 1. prod run builds the aliased upstream
+    prod = FalSpark(proj, spark=spark, schema="alias_prod")
+    assert all(s == "success" for s in prod.run().values())
+    state_dir = tmp_path / "prod_state"
+    shutil.copytree(proj / "target", state_dir)
+    # 2. dev adds a downstream; defer-run ONLY it — the ref must resolve
+    #    against the state env's ALIAS relation (alias_prod.up_alias);
+    #    alias_prod.aliased_up does not exist
+    (proj / "models" / "down_of_alias.sql").write_text(
+        "select answer from {{ ref('aliased_up') }}\n"
+    )
+    dev = FalSpark(
+        proj, spark=spark, schema="alias_dev", state_path=state_dir, defer=True
+    )
+    statuses = dev.run(select=["down_of_alias"])
+    assert statuses == {"model.aliasci.down_of_alias": "success"}, statuses
+    assert dev.ref("down_of_alias").collect()[0]["answer"] == 42
+    for s in ("alias_prod", "alias_dev"):
+        spark.sql(f"DROP DATABASE IF EXISTS {s} CASCADE")
+
+
+# ---------------------------------------------------------------------------
+# profiles-dir error message names its origin (ADVICE r11)
+# ---------------------------------------------------------------------------
+
+
+def test_profiles_dir_error_names_env_var_origin(tmp_path, monkeypatch):
+    """A missing profiles.yml reached via $DBT_PROFILES_DIR must blame
+    the env var, not a --profiles-dir flag the user never passed."""
+    proj = _copy_project(tmp_path)
+    empty = tmp_path / "empty_profiles"
+    empty.mkdir()
+    monkeypatch.setenv("DBT_PROFILES_DIR", str(empty))
+    with pytest.raises(ValueError, match=r"\$DBT_PROFILES_DIR"):
+        load_profile(proj)
+    monkeypatch.delenv("DBT_PROFILES_DIR")
+    with pytest.raises(ValueError, match=r"--profiles-dir"):
+        load_profile(proj, profiles_dir=empty)
