@@ -845,6 +845,15 @@ _ORACLE_QVEC = "list_transform(embedding, x -> CAST(round(x * 1024) AS BIGINT))"
 # corpus growth).
 EMB_TILE_CHUNK = 512
 
+# Exact-pairs corpus-size guard (VERDICT r11 finding 2): the exact
+# threshold join is Ω(n²) COMPUTE by its semantics — memory is tiled and
+# bounded, but nothing else stops a full-corpus invocation that would
+# burn ~n²/2 vector dot products. Above this many vectors (5M ≈ 1.25e13
+# pair scores ≈ days on a 1000-executor cluster) the operator refuses
+# and points at the subquadratic d_embedding_neardup_lsh unless the
+# caller passes exact=True to state they really want quadratic work.
+EMB_EXACT_MAX_ROWS = 5_000_000
+
 
 @query(
     "d_embedding_neardup_pairs",
@@ -862,7 +871,9 @@ EMB_TILE_CHUNK = 512
     """,
     tags=("dedup", "embedding"),
 )
-def d_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d_embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str, exact: bool = False
+) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4), exact, tiled.
 
     Exact threshold-0.4 similarity join is intrinsically Ω(n²) compute
@@ -892,18 +903,31 @@ def d_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_schema = "vec_a long, vec_b long, label_a long, label_b long, cosine double"
     emb = load_table(spark, sf_dir, "embeddings")
     chunk = EMB_TILE_CHUNK
-    mx = emb.alias("mx_side").agg(F.max("vec_id").alias("mx"))
+    # one bounded scalar collect: corpus size gates the quadratic work
+    # (r12, VERDICT r11 finding 2) and the max id becomes a literal tile
+    # bound (replacing the former broadcast-crossJoin side channel)
+    stats = emb.agg(
+        F.max("vec_id").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    if not exact and (stats["n"] or 0) > EMB_EXACT_MAX_ROWS:
+        raise ValueError(
+            f"d_embedding_neardup_pairs is an EXACT threshold join — Ω(n²) "
+            f"compute by its semantics — and the corpus has {stats['n']:,} "
+            f"vectors (> {EMB_EXACT_MAX_ROWS:,}). Use the subquadratic "
+            "d_embedding_neardup_lsh for full-corpus near-dup detection, or "
+            "pass exact=True to opt in to quadratic work on this corpus."
+        )
+    tmax = int(stats["mx"] or 0) // chunk
     left = (
         emb.filter(F.expr(FINITE_EMB))
         .alias("l_side")
-        .crossJoin(F.broadcast(mx))
         .select(
             "vec_id",
             "label",
             "embedding",
             F.expr(f"vec_id div {chunk}").alias("ti"),
             F.explode(
-                F.expr(f"sequence(vec_id div {chunk}, mx div {chunk})")
+                F.expr(f"sequence(vec_id div {chunk}, {tmax})")
             ).alias("tj"),
         )
     )

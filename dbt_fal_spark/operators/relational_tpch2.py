@@ -10,9 +10,18 @@ decorrelated per-group AVG thresholds (Q17), HAVING-membership semi-joins
 (Q18), and disjunctive multi-column predicates (Q19).
 
 The driver's tables lack `partsupp` and commit/receipt dates, so Q11/Q12/
-Q20/Q21 are not expressible on this testdata; the shapes they exercise
-(global-scalar HAVING, case-pivot, multi-EXISTS) are covered by
-q22_lapsed_rich_customers, q_orders_daily_pivot, and q04/q16.
+Q20/Q21 cannot run verbatim. r12 (VERDICT r11 item 4) adds ADAPTED
+variants that preserve each query's exact PLAN SHAPE on the available
+columns — q11 (global-scalar HAVING over a region-filtered value rollup,
+lineitem value standing in for partsupp stock value), q12 (two-bucket
+case-pivot over a derived ship-latency dimension standing in for
+l_shipmode, with commit/receipt lateness replaced by the shipdate-vs-
+orderdate+60d proxy q04 established), q20 (nested correlated aggregate
+threshold per (supplier, part) over name-prefix-filtered parts, semi-
+joined up to region suppliers), and q21 (multi-EXISTS / NOT-EXISTS
+waiting-supplier query — see q21's docstring for why the Spark plan uses
+the single-scan aggregate rewrite instead of the triple self-join the
+SQL spells).
 
 Determinism: money aggregates go through exact DECIMAL factors
 (functions/numeric.py); quantities are integral doubles, so their sums /
@@ -30,6 +39,7 @@ from dbt_fal_spark.functions.numeric import (
     dec,
     disc_price,
     dsum,
+    money,
     o_dsum,
 )
 from dbt_fal_spark.registry import query
@@ -506,4 +516,283 @@ def q_customer_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r12: the four hardest remaining TPC-H plan shapes, adapted to this
+# testdata (no partsupp / commit / receipt columns — see module docstring)
+# ---------------------------------------------------------------------------
+
+_O_PART_VALUE = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) "
+    "* CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(18,4))"
+)
+
+
+@query(
+    "q11_important_parts",
+    oracle=f"""
+    WITH sup AS (
+      SELECT s_suppkey
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'AFRICA'
+    ), v AS (
+      SELECT l_partkey, sum({_O_PART_VALUE}) AS vdec
+      FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(vdec AS DOUBLE) AS part_value
+    FROM v
+    WHERE vdec * 1000 > (SELECT sum(vdec) FROM v)
+    """,
+    tags=("tpch", "aggregate", "scalar-subquery"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted): per-part value over one region's
+    suppliers, HAVING value > fraction-of-global — the global-scalar
+    HAVING decorrelation. Shipped lineitem value (extendedprice ×
+    quantity) stands in for partsupp stock value; the region chain
+    replaces Q11's single-nation filter.
+
+    Plan: supplier⋈nation⋈region collapses to a ~20-row broadcast key
+    list, so lineitem is scanned ONCE, filtered by the broadcast
+    semi-side, and aggregated per part (map-side partial agg first).
+    The per-part rollup (|part| rows, not |lineitem|) is persisted and
+    the global total is a scalar re-aggregation OF THE CACHE — without
+    the persist Catalyst re-runs the whole join+agg for the total
+    branch (verified via explain: two lineitem scans). The total comes
+    back as a 1-row broadcast crossJoin, the repo's standard
+    broadcast-scalar pattern. Threshold compares DECIMAL-exact values
+    scaled by an integer (value*1000 > total): bit-identical in both
+    engines; the DOUBLE cast happens only on output.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    value = dec(money("l_extendedprice") * F.col("l_quantity").cast("decimal(12,2)"))
+    # persist the per-part rollup: the global-total branch otherwise
+    # re-runs the whole lineitem join+agg (the repo's standard
+    # broadcast-scalar pattern — same as the triangle-count totals)
+    v = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("vdec"))
+        .persist()
+    )
+    total = v.agg(F.sum("vdec").alias("total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("vdec") * 1000 > F.col("total"))
+        .select("l_partkey", F.col("vdec").cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "q12_latency_priority_pivot",
+    oracle="""
+    SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                THEN 'LATE' ELSE 'ONTIME' END AS latency_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    tags=("tpch", "pivot", "join"),
+)
+def q12_latency_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted): conditional two-bucket pivot of order
+    priorities per shipping class. The derived ship-latency dimension
+    (shipdate vs orderdate+60d — q04's lateness proxy) stands in for
+    l_shipmode; the commit/receipt window becomes a shipdate year.
+
+    Plan: the year filter is pushed to the lineitem scan; the join
+    shuffles both sides on orderkey (orders is too big to broadcast at
+    real scale — Catalyst broadcasts it at test SF automatically, AQE
+    decides at runtime); the CASE counts fold into ONE hash aggregate
+    over a 2-row group space with map-side partials, so the post-join
+    exchange carries 2 rows per task.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "latency_class",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                F.lit("LATE"),
+            ).otherwise(F.lit("ONTIME")),
+        )
+        .groupBy("latency_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q20_part_promotion_suppliers",
+    oracle="""
+    WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    agg AS (
+      SELECT l_suppkey, l_partkey,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                      THEN l_quantity ELSE 0 END) AS q97,
+             sum(l_quantity) AS qall
+      FROM lineitem JOIN red ON l_partkey = p_partkey
+      GROUP BY l_suppkey, l_partkey
+    ), qual AS (
+      SELECT DISTINCT l_suppkey FROM agg
+      WHERE qall >= 60 AND q97 > 0.5 * qall
+    )
+    SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_suppkey IN (SELECT l_suppkey FROM qual)
+    """,
+    tags=("tpch", "semi", "correlated"),
+)
+def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted): suppliers in one region whose 1997
+    shipments of name-prefix-filtered parts dominate (>50%, with a
+    volume floor) their all-time shipments of that part — the nested
+    correlated-aggregate threshold (Q20's `ps_availqty > 0.5 * SUM(...)`)
+    decorrelated into a grouped conditional aggregate, then rolled up
+    through IN-subquery semi-joins exactly like the original.
+
+    Plan: the 'red%' part list (~2.5% of part) broadcasts into the
+    lineitem scan; the (supplier, part) aggregate is ONE shuffle whose
+    conditional q97/qall sums replace Q20's correlated re-scan of the
+    fact (Spark-first: never express a correlated aggregate as a
+    re-scan when a CASE inside the same groupBy computes it). The
+    qualifying-supplier set collapses to ≤100 keys → broadcast
+    LEFT SEMI into the supplier dim, nation/region broadcast on top.
+    Quantities are integral doubles: sums are exact in float64 and
+    0.5·qall is a power-of-two scale — the threshold is bit-identical
+    across engines.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    in97 = (
+        F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    qual = (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in97, F.col("l_quantity")).otherwise(F.lit(0.0))).alias("q97"),
+            F.sum("l_quantity").alias("qall"),
+        )
+        .filter((F.col("qall") >= 60) & (F.col("q97") > 0.5 * F.col("qall")))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(qual), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
+    )
+
+
+@query(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE r_name = 'AFRICA'
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    """,
+    tags=("tpch", "anti", "semi", "self-join"),
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted): suppliers in one region who were the
+    SOLE late shipper on a finished multi-supplier order. Lateness is
+    the shipdate-vs-orderdate+60d proxy (no receipt/commit columns).
+
+    The oracle spells the canonical EXISTS / NOT-EXISTS triple
+    self-join. The Spark plan deliberately does NOT: three scans of the
+    100 TB fact with two orderkey self-shuffles is the classic Q21
+    trap. Per order, `EXISTS l2 (other supplier)` ⇔ the order has ≥ 2
+    distinct suppliers, and `NOT EXISTS l3 (other LATE supplier)` ⇔ the
+    order's late-supplier set is exactly {l1's supplier} (l1 itself is
+    late) ⇔ it has exactly 1 distinct late supplier. Both are ONE
+    grouped aggregate over a single lineitem⋈orders scan:
+    countDistinct(supp), countDistinct(supp | late). The candidate late
+    lines join that 1-row-per-order aggregate on orderkey — the same
+    exchange partitioning, so AQE coalesces the stages; total: one scan
+    of each fact, two orderkey shuffles, supplier/nation/region
+    broadcast at the end. count(*) over qualifying l1 LINES matches the
+    canonical query's row semantics.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lines = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lines.groupBy(F.col("l_orderkey").alias("agg_okey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    sole_late = (
+        lines.filter(F.col("is_late"))
+        .join(per_order, F.col("l_orderkey") == F.col("agg_okey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    reg_supp = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        sole_late.join(F.broadcast(reg_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )

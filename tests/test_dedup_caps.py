@@ -273,3 +273,25 @@ def test_capped_winnow_is_subset_of_exact(spark, winnow_corpus_dir):
     assert not any(2000 <= a < 3000 for a, b in got)
     # the rare-fingerprint near-dup pair survives with its exact count
     assert got[(1, 2)] == exact[(1, 2)]
+
+
+def test_embedding_exact_pairs_corpus_guard(spark, monkeypatch):
+    """d_embedding_neardup_pairs refuses full-corpus quadratic work
+    (VERDICT r11 finding 2): above EMB_EXACT_MAX_ROWS vectors it raises
+    pointing at the subquadratic LSH sibling, unless exact=True opts in.
+    Under the cap the behavior is unchanged."""
+    import pytest
+
+    import dbt_fal_spark.operators.dedup as D
+    from tests.conftest import SF_DIR
+
+    # under the cap: runs fine (default cap is far above any test SF)
+    n_ok = D.d_embedding_neardup_pairs(spark, SF_DIR).count()
+    assert n_ok >= 0
+
+    # simulate an over-cap corpus: the guard fires before any tile work
+    monkeypatch.setattr(D, "EMB_EXACT_MAX_ROWS", 1)
+    with pytest.raises(ValueError, match=r"d_embedding_neardup_lsh"):
+        D.d_embedding_neardup_pairs(spark, SF_DIR)
+    # explicit opt-in bypasses the guard and matches the default result
+    assert D.d_embedding_neardup_pairs(spark, SF_DIR, exact=True).count() == n_ok
