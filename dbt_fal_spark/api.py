@@ -964,15 +964,52 @@ class FalSpark:
                 results.append({"test": t.name, "status": "error", "error": str(e)})
         return results
 
-    def source_freshness(self) -> list[dict]:
-        """Recompute source freshness from loaded_at_field vs now
-        (reference: A7 — parses dbt's sources.json artifact; we compute
-        it live: max(loaded_at) age against warn/error thresholds)."""
+    def _load_sources_artifact(self) -> dict[str, dict]:
+        """Parse a dbt ``target/sources.json`` freshness artifact
+        (FreshnessExecutionResultArtifact; reference: parse.py:161-173
+        reads it, project.py:415-421 attaches rows to DbtSource) into
+        {unique_id: result}. Missing/unreadable → {} — the reference
+        logs a warning and proceeds without it; freshness then
+        recomputes live."""
+        path = self.target_dir / "sources.json"
+        if not path.is_file():
+            return {}
+        try:
+            doc = json.loads(path.read_text())
+            return {r["unique_id"]: r for r in doc.get("results", []) if "unique_id" in r}
+        except Exception:
+            return {}
+
+    def source_freshness(self, recompute: bool = False) -> list[dict]:
+        """Source freshness (reference A7): a prior run's
+        ``target/sources.json`` artifact is ingested when present —
+        pointing the tool at an existing dbt ``target/`` dir reuses its
+        results, exactly like the reference. Sources without an artifact
+        row (or with ``recompute=True``) are computed live:
+        max(loaded_at) age against the warn/error thresholds. The CLI
+        ``source freshness`` verb persists results via
+        ``_write_sources_artifact`` (dbt writes the artifact from the
+        freshness COMMAND, not from an API read — this method stays
+        side-effect-free on disk)."""
         from pyspark.sql import functions as F
 
+        artifact = {} if recompute else self._load_sources_artifact()
         out = []
         for src in self.manifest.sources.values():
             if not src.loaded_at_field:
+                continue
+            art = artifact.get(src.unique_id)
+            if art is not None and art.get("status") is not None:
+                src.freshness_result = art
+                out.append(
+                    {
+                        "source": src.full_name,
+                        "max_loaded_at": str(art.get("max_loaded_at")),
+                        "age_sec": art.get("max_loaded_at_time_ago_in_s"),
+                        "status": art["status"],
+                        "from_artifact": True,
+                    }
+                )
                 continue
             df = self.source(src.source_name, src.table_name)
             row = df.agg(
@@ -987,6 +1024,14 @@ class FalSpark:
                     period_sec = {"minute": 60, "hour": 3600, "day": 86400}[spec["period"]] * spec["count"]
                     if age_sec > period_sec:
                         status = level
+            src.freshness_result = {
+                "unique_id": src.unique_id,
+                "max_loaded_at": str(row["max_loaded_at"]),
+                "snapshotted_at": str(row["now"]),
+                "max_loaded_at_time_ago_in_s": age_sec,
+                "status": status,
+                "criteria": src.freshness or {},
+            }
             out.append(
                 {
                     "source": src.full_name,
@@ -996,6 +1041,29 @@ class FalSpark:
                 }
             )
         return out
+
+    def _write_sources_artifact(self) -> None:
+        """Persist freshness results as dbt's sources.json artifact
+        shape (metadata + results[]), mirroring `dbt source freshness`."""
+        self.target_dir.mkdir(exist_ok=True)
+        results = [
+            src.freshness_result
+            for src in self.manifest.sources.values()
+            if src.freshness_result is not None
+        ]
+        (self.target_dir / "sources.json").write_text(
+            json.dumps(
+                {
+                    "metadata": {
+                        "dbt_schema_version": "https://schemas.getdbt.com/dbt/sources/v3.json",
+                        "generated_by": "dbt_fal_spark",
+                    },
+                    "results": results,
+                },
+                indent=1,
+                default=str,
+            )
+        )
 
     # ------------------------------------------------------------------
     # table maintenance (Spark-native additions the reference delegated

@@ -83,6 +83,14 @@ def build_parser() -> argparse.ArgumentParser:
     test = sub.add_parser("test", help="generic + singular tests")
     add_common(test)
 
+    # D10 interface stub: the verb exists so reference users find a
+    # documented answer, not a missing command (reference: serverless
+    # dispatch in adapter.py:68-149 — out of scope per the build brief)
+    cloud = sub.add_parser(
+        "cloud", help="cloud execution (out of scope — prints why and exits 1)"
+    )
+    add_common(cloud)
+
     snap = sub.add_parser("snapshot", help="run SCD2 snapshots")
     add_common(snap)
     snap.add_argument("--as-of", default=None, help="run timestamp for check-strategy transitions")
@@ -237,6 +245,22 @@ def main(argv: list[str] | None = None) -> int:
     elif getattr(args, "disable_logging", False):
         pkg_log.setLevel(logging.CRITICAL + 1)
 
+    if args.command == "cloud":
+        # D10 stub: no session, no project load — just the documented
+        # out-of-scope answer (reference adapter.py:68-149 is the real
+        # serverless dispatch; this engine's scale-out IS the Spark
+        # cluster)
+        print(
+            "fal cloud is out of scope for dbt_fal_spark: this engine scales "
+            "out through the Spark cluster itself — size the cluster (or use "
+            "spark.archives to ship conda environments to executors) instead "
+            "of a serverless vendor. Isolated local execution is available "
+            "via 'venv'/'conda' environments in fal_project.yml "
+            "(SURVEY §2 D8-D10).",
+            file=sys.stderr,
+        )
+        return 1
+
     # import late so `--help` works without a JVM
     from dbt_fal_spark.api import FalSpark
 
@@ -309,8 +333,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "source":
-        for r in fal.source_freshness():
-            print(f"{r['status']:6s} {r['source']} age={r['age_sec']:.0f}s")
+        results = fal.source_freshness()
+        for r in results:
+            age = r.get("age_sec")
+            age_s = f"{age:.0f}s" if age is not None else "?"
+            via = " (artifact)" if r.get("from_artifact") else ""
+            print(f"{r['status']:6s} {r['source']} age={age_s}{via}")
+        # dbt writes target/sources.json from the freshness COMMAND;
+        # mirror that so downstream dbt-artifact consumers (and our own
+        # next load) can ingest it
+        fal._write_sources_artifact()
         return 0
 
     if args.command == "maintenance":

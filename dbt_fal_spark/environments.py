@@ -455,13 +455,63 @@ def load_environments(project_dir: str | Path) -> dict[str, _ScriptRunner]:
                 packages=pkgs,
                 base_dir=Path(project_dir) / ".fal_envs",
             )
+        elif etype == "remote" or env.get("host") is not None:
+            # D10 interface stub (reference: adapter.py:68-149 routes an
+            # environment with a FalServerlessHost + machine_type to the
+            # serverless backend): the declaration PARSES — an existing
+            # fal_project.yml with a cloud environment still loads — but
+            # any execution raises the documented out-of-scope error.
+            out[env["name"]] = CloudEnvironment(
+                name=env["name"],
+                host=str(env.get("host", "")),
+                machine_type=str(env.get("machine_type", "")),
+            )
         else:
             raise ValueError(
                 f"environment {env.get('name')!r}: type {etype!r} not supported "
-                "(supported: 'venv', 'conda'; the reference's cloud backends "
-                "are out of scope — SURVEY §2 D9-D10)"
+                "(supported: 'venv', 'conda'; 'remote' declarations parse but "
+                "execution is out of scope — SURVEY §2 D10)"
             )
     return out
+
+
+@dataclass
+class CloudEnvironment(_ScriptRunner):
+    """D10 cloud execution — INTERFACE STUB ONLY (out of scope per the
+    build brief: the Spark cluster is this engine's scale-out; there is
+    no serverless-vendor backend to submit to). The reference ships the
+    real thing in ``adapter.py:68-149`` — an ``@isolated`` function
+    dispatched to a FalServerlessHost with a machine_type, local scripts
+    zipped along. Declaring ``type: remote`` in fal_project.yml parses,
+    so projects migrating from the reference load cleanly; the first
+    attempt to RUN in the environment raises this documented error."""
+
+    name: str
+    host: str = ""
+    machine_type: str = ""
+
+    _MSG = (
+        "environment {name!r} declares cloud execution (host={host!r}, "
+        "machine_type={machine!r}) — out of scope for dbt_fal_spark: this "
+        "engine scales out through the Spark cluster itself (size the "
+        "cluster / use spark.archives for env shipping), not through a "
+        "serverless vendor. Use a 'venv' or 'conda' environment for "
+        "isolated local execution (SURVEY §2 D8-D10)."
+    )
+
+    def _refuse(self):
+        raise NotImplementedError(
+            self._MSG.format(name=self.name, host=self.host, machine=self.machine_type)
+        )
+
+    def ensure(self) -> Path:
+        self._refuse()
+
+    def run_script(self, script_path: Path, payload: dict) -> dict:
+        self._refuse()
+
+    def run_python_model(self, model_path: Path, payload: dict) -> dict:
+        self._refuse()
 
 
 def current_interpreter() -> str:

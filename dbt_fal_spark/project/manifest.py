@@ -111,6 +111,11 @@ class DbtSource:
     freshness: dict[str, Any] = field(default_factory=dict)
     meta: dict[str, Any] = field(default_factory=dict)
     tests: list[DbtTest] = field(default_factory=list)
+    # freshness RESULT from a prior run's target/sources.json artifact
+    # (reference: project.py:415-421 attaches the parsed
+    # FreshnessExecutionResultArtifact row to each DbtSource); None when
+    # no artifact row exists — source_freshness() then recomputes live
+    freshness_result: dict[str, Any] | None = None
 
     @property
     def name(self) -> str:

@@ -298,3 +298,131 @@ def test_profiles_dir_error_names_env_var_origin(tmp_path, monkeypatch):
     monkeypatch.delenv("DBT_PROFILES_DIR")
     with pytest.raises(ValueError, match=r"--profiles-dir"):
         load_profile(proj, profiles_dir=empty)
+
+
+# ---------------------------------------------------------------------------
+# dbt sources.json freshness-artifact ingestion (VERDICT r11 item 6)
+# ---------------------------------------------------------------------------
+
+
+def test_source_freshness_ingests_dbt_artifact(tmp_path, spark):
+    """A target/sources.json from a prior dbt run is ingested: its rows
+    are attached to DbtSource.freshness_result and returned as-is
+    (reference parse.py:161-173 + project.py:415-421). recompute=True —
+    and sources absent from the artifact — fall back to live compute."""
+    import json
+    import os
+
+    from dbt_fal_spark.api import FalSpark
+    from tests.conftest import SF_DIR
+
+    os.environ["TESTDATA_DIR"] = SF_DIR
+    proj = _copy_project(tmp_path)
+    uid = "source.jaffle_spark.testdata.events"
+    canned = {
+        "metadata": {"dbt_schema_version": "https://schemas.getdbt.com/dbt/sources/v3.json"},
+        "results": [
+            {
+                "unique_id": uid,
+                "max_loaded_at": "2026-08-14 12:00:00",
+                "snapshotted_at": "2026-08-15 00:00:00",
+                "max_loaded_at_time_ago_in_s": 43200.0,
+                "status": "warn",
+                "criteria": {"warn_after": {"count": 1, "period": "hour"}},
+            }
+        ],
+    }
+    (proj / "target" / "sources.json").write_text(json.dumps(canned))
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    res = fal.source_freshness()
+    assert len(res) == 1
+    r = res[0]
+    # artifact row wins: status/ages come from the canned file, not a scan
+    assert r["from_artifact"] is True
+    assert r["status"] == "warn" and r["age_sec"] == 43200.0
+    src = next(s for s in fal.manifest.sources.values() if s.unique_id == uid)
+    assert src.freshness_result["status"] == "warn"
+    # recompute=True ignores the artifact: events data is from 2024 →
+    # live compute says error (see test_source_freshness_statuses)
+    live = fal.source_freshness(recompute=True)
+    assert live[0]["status"] == "error" and "from_artifact" not in live[0]
+    # a corrupt artifact degrades gracefully to live compute
+    (proj / "target" / "sources.json").write_text("{not json")
+    res2 = fal.source_freshness()
+    assert res2[0]["status"] == "error"
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+
+
+def test_write_sources_artifact_round_trips(tmp_path, spark):
+    """_write_sources_artifact (the CLI `source freshness` sink) writes
+    dbt's artifact shape, and a fresh FalSpark on the same project
+    ingests what was written."""
+    import json
+    import os
+
+    from dbt_fal_spark.api import FalSpark
+    from tests.conftest import SF_DIR
+
+    os.environ["TESTDATA_DIR"] = SF_DIR
+    proj = _copy_project(tmp_path)
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    live = fal.source_freshness()  # no artifact yet → live compute
+    assert live[0]["status"] == "error"
+    fal._write_sources_artifact()
+    doc = json.loads((proj / "target" / "sources.json").read_text())
+    assert doc["metadata"]["dbt_schema_version"].endswith("sources/v3.json")
+    assert doc["results"][0]["status"] == "error"
+    # second load reads the artifact instead of recomputing
+    fal2 = FalSpark(proj, spark=spark)
+    res = fal2.source_freshness()
+    assert res[0]["from_artifact"] is True and res[0]["status"] == "error"
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+
+
+# ---------------------------------------------------------------------------
+# D10 cloud-execution interface stub (VERDICT r11 item 7)
+# ---------------------------------------------------------------------------
+
+
+def test_cloud_environment_parses_but_refuses_to_run(tmp_path):
+    """A fal_project.yml declaring the reference's cloud environment
+    shape (type: remote / host / machine_type — adapter.py:68-149)
+    LOADS, so migrating projects don't crash at parse; executing in it
+    raises the documented out-of-scope error."""
+    from dbt_fal_spark.environments import CloudEnvironment, load_environments
+
+    (tmp_path / "fal_project.yml").write_text(
+        "environments:\n"
+        "  - name: gpu_box\n"
+        "    type: remote\n"
+        "    host: cloud.example\n"
+        "    machine_type: GPU\n"
+        "  - name: local_venv\n"
+        "    type: venv\n"
+        "    requirements: []\n"
+    )
+    envs = load_environments(tmp_path)
+    assert set(envs) == {"gpu_box", "local_venv"}
+    cloud = envs["gpu_box"]
+    assert isinstance(cloud, CloudEnvironment)
+    for call in (
+        lambda: cloud.ensure(),
+        lambda: cloud.run_script(Path("x.py"), {}),
+        lambda: cloud.run_python_model(Path("m.py"), {}),
+    ):
+        with pytest.raises(NotImplementedError, match=r"out of scope.*Spark cluster"):
+            call()
+
+
+def test_cli_cloud_verb_exits_with_documented_error(tmp_path, capsys):
+    """`fal cloud` exists as a verb (D10 interface shape) and exits 1
+    with the documented out-of-scope message — without starting Spark."""
+    from dbt_fal_spark.cli import main
+
+    proj = _copy_project(tmp_path)
+    rc = main(["cloud", "--project-dir", str(proj)])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "out of scope" in err and "Spark cluster" in err
