@@ -81,42 +81,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # rows to fill the window to 50. After r10 no entry's driver
 # evidence is older than r8.
 #
-# r11 WINDOW (this round): CORRECTNESS_r10 was green over the full r10
-# window (50/50). Lead with the 11 entries changed this round (the new
-# p_fal_model_pandas_forecast, the subgraph-scoped
-# p_flow_run_customer_stats, and the nine streaming entries that moved
-# to the shared memory-sink-GC drain helper), then ALL 36 entries whose
-# last green driver row is r8, then the 3 alphabetically-first r9 rows.
-# After this round no entry's driver evidence is older than r9.
+# r12 WINDOW (this round): CORRECTNESS_r11 was green over the full r11
+# window (50/50). Lead with the 16 entries changed this round — the 4
+# NEW adapted TPC-H queries (q11/q12/q20/q21, never driver-checked),
+# d_embedding_neardup_pairs (corpus-size guard + literal tile bound
+# replacing the broadcast-crossJoin max side), the two p_* flow entries
+# (FalSpark class closure changed: test-config + freshness-artifact
+# work), and the nine streaming entries whose shared drain helper moved
+# to per-session locked memory-sink GC (plans unchanged; closure
+# hashed) — then 34 of the 36 entries whose last green driver row is
+# r9. Two r9 rows (q_corr_stats_by_flag, q_histogram_totalprice —
+# single-table JVM aggregates, source untouched since r9, both also
+# pytest-covered) don't fit the 50-slot window this round and are the
+# FIRST stale rows of the r13 window; after r12 they are the only
+# entries with evidence older than r10.
 _CHECK_FIRST = (
-    # --- r11 WINDOW ---
-    # changed this round (plan/closure/source) — verify first:
-    # the new pandas-interop flow-run entry, its sibling (subgraph-
-    # scoped select), and the nine streaming entries whose drain moved
-    # to the shared memory-sink-GC helper (plans unchanged; closure
-    # hashed)
+    # --- r12 WINDOW ---
+    # changed/new this round (plan/closure/source) — verify first
+    "q11_important_parts", "q12_latency_priority_pivot",
+    "q20_part_promotion_suppliers", "q21_suppliers_kept_waiting",
+    "d_embedding_neardup_pairs",
     "p_fal_model_pandas_forecast", "p_flow_run_customer_stats",
     "st_dedup_stream", "st_dedup_within_watermark_stream",
     "st_enriched_stream", "st_full_outer_interval_stream",
     "st_hourly_stream", "st_interval_join_stream",
     "st_left_outer_interval_stream", "st_session_stream",
     "st_user_totals_stateful",
-    # last green driver row is r8 — stalest evidence, refresh all 36
-    "d_keep_best_per_key", "d_ngram_jaccard_pairs", "d_simhash",
-    "e_asof_purchase_attribution", "e_changepoint_cusum",
-    "e_daily_active_users", "e_dau_hll_sketch", "e_hll_register_state",
-    "e_interpolate_daily_user", "e_rolling_median_7d", "e_sessionize",
-    "m_chunk_dedup", "q01_pricing_summary", "q_ab_test_proportions",
-    "q_conditional_aggs", "q_latest_order_per_customer",
-    "q_revenue_share_by_nation", "q_unpivot_segment_metrics",
-    "t_cms_heavy_hitters", "t_domain_mix_sample", "t_fingerprint",
-    "t_gopher_quality", "t_lang_profile", "t_langid_naive",
-    "t_pack_emit", "t_pack_sequences", "t_quality_score",
-    "t_repetition_stats", "t_rolling_fingerprint", "t_stratified_sample",
-    "t_tfidf_top_terms", "t_token_bpe", "t_token_stats", "t_top_bigrams",
-    "t_unk_replace", "t_vocab_coverage",
-    # oldest r9 rows, alphabetical — fill the window to 50
-    "d_embedding_neardup_pairs", "d_exact_dedup", "d_winnow_neardup",
+    # last green driver row is r9 — stalest evidence, refresh 34 of 36
+    "e_anomaly_events", "e_forecast_daily_by_type",
+    "e_funnel_conversion", "e_hourly_rollup", "e_json_props_stats",
+    "e_purchase_gap_stats", "e_resample_daily_fill",
+    "e_retention_cohorts", "e_rolling_7d_revenue",
+    "e_sliding_window_traffic", "e_user_activity_pivot",
+    "m_binary_metadata", "m_decode_pipeline", "m_frame_sample",
+    "q02_min_cost_part_supplier", "q03_topk_order_revenue",
+    "q04_late_shipment_priority", "q05_region_nation_revenue",
+    "q06_filtered_revenue", "q07_volume_shipping", "q08_market_share",
+    "q09_product_profit", "q10_returned_items",
+    "q13_order_count_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_parts_not_recently_shipped",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_predicates", "q22_lapsed_rich_customers",
+    "q_profile_orders", "s_label_centroid_distance",
+    "s_text_vector_join",
 )
 
 

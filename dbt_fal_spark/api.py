@@ -150,6 +150,20 @@ class FalSpark:
         # (reference: model.adapter_response → Context.current_model)
         self._adapter_responses: dict[str, CurrentAdapterResponse] = {}
         self.target_dir = self.project_dir / "target"
+        # last-run statuses (reference: project.py:406-411 maps
+        # run_results onto each node's .status at load): a prior run's
+        # target/run_results.json pre-populates model.status so
+        # list_models()/scripts see the previous outcome before anything
+        # executes this session; absent/corrupt artifact → all pending.
+        rr = self.target_dir / "run_results.json"
+        if rr.is_file():
+            try:
+                for r in json.loads(rr.read_text()).get("results", []):
+                    node = self.manifest.models.get(r.get("unique_id"))
+                    if node is not None and r.get("status"):
+                        node.status = r["status"]
+            except Exception:
+                pass
         self.environments = load_environments(self.project_dir)
         self._reattach_catalog()
 

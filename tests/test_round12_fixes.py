@@ -426,3 +426,30 @@ def test_cli_cloud_verb_exits_with_documented_error(tmp_path, capsys):
     assert rc == 1
     err = capsys.readouterr().err
     assert "out of scope" in err and "Spark cluster" in err
+
+
+def test_run_results_statuses_attach_at_load(tmp_path, spark):
+    """A prior run's target/run_results.json pre-populates model.status
+    at load (reference project.py:406-411) — a fresh FalSpark on an
+    already-run project reports the previous outcomes instead of
+    'pending'."""
+    import os
+
+    from dbt_fal_spark.api import FalSpark
+    from tests.conftest import SF_DIR
+
+    os.environ["TESTDATA_DIR"] = SF_DIR
+    proj = _copy_project(tmp_path)
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    statuses = fal.run(select="stg_orders")
+    assert statuses["model.jaffle_spark.stg_orders"] == "success"
+    fal2 = FalSpark(proj, spark=spark)
+    m = fal2.manifest.models["model.jaffle_spark.stg_orders"]
+    assert m.status == "success"
+    # models absent from the artifact stay pending
+    assert fal2.manifest.models["model.jaffle_spark.customers"].status in (
+        "pending",
+        "skipped",
+    )
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
