@@ -12,6 +12,6 @@ Architecture (Spark-first, not a port):
   multimodal columns, text analysis) live in ``operators/``.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"  # kept in sync with pyproject.toml
 
 from dbt_fal_spark.session import get_spark  # noqa: F401

