@@ -759,15 +759,21 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     trap. Per order, `EXISTS l2 (other supplier)` ⇔ the order has ≥ 2
     distinct suppliers, and `NOT EXISTS l3 (other LATE supplier)` ⇔ the
     order's late-supplier set is exactly {l1's supplier} (l1 itself is
-    late) ⇔ it has exactly 1 distinct late supplier. Both are ONE
-    grouped aggregate over a single lineitem⋈orders scan:
-    countDistinct(supp), countDistinct(supp | late). The candidate late
-    lines join that 1-row-per-order aggregate on orderkey — the same
-    exchange partitioning, so AQE coalesces the stages; total: one scan
-    of each fact, two orderkey shuffles, supplier/nation/region
-    broadcast at the end. count(*) over qualifying l1 LINES matches the
-    canonical query's row semantics.
+    late) ⇔ it has exactly 1 distinct late supplier. Both counts come
+    from a WINDOW over l_orderkey (`size(collect_set(...))`, whole-
+    partition frame — set size bounded by suppliers-per-order, single
+    digits), NOT a groupBy-and-join-back: the first r12 cut aggregated
+    per order and re-joined, which executed the lineitem⋈orders join
+    TWICE (PLAN_AUDIT caught 14 scans / 2 SMJs). The window inherits
+    the join output's orderkey partitioning-and-sort, so the whole
+    query is: one scan of each fact, the one orderkey join exchange
+    pair, zero extra window exchange, then broadcast
+    supplier⋈nation⋈region and a |supplier|-group aggregate. count(*)
+    over qualifying l1 LINES matches the canonical query's row
+    semantics.
     """
+    from pyspark.sql import Window as W
+
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
@@ -777,16 +783,18 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_late",
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
     )
-    per_order = lines.groupBy(F.col("l_orderkey").alias("agg_okey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    w = W.partitionBy("l_orderkey")
+    counted = lines.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late_supp"),
     )
-    sole_late = (
-        lines.filter(F.col("is_late"))
-        .join(per_order, F.col("l_orderkey") == F.col("agg_okey"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    sole_late = counted.filter(
+        F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     reg_supp = supplier.join(
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
