@@ -185,6 +185,23 @@ class FalSpark:
             except Exception:
                 pass
         self.environments = load_environments(self.project_dir)
+        if profile.get("key_secret") and profile.get("key_id"):
+            # reference semantics (utils/environments.py:157-166): cloud
+            # execution is triggered by CREDENTIALS — key_id/key_secret on
+            # the profile wrap EVERY declared environment in a serverless
+            # host, regardless of fal_project.yml. Out of scope here
+            # (D10): wrap them in the documented stub so execution fails
+            # loudly instead of silently running locally.
+            from dbt_fal_spark.environments import CloudEnvironment
+
+            self.environments = {
+                name: CloudEnvironment(
+                    name=name,
+                    host=str(profile.get("host", "")),
+                    machine_type=str(profile.get("machine_type", "S")),
+                )
+                for name in self.environments
+            }
         self._reattach_catalog()
 
     def _reattach_catalog(self) -> None:

@@ -528,3 +528,40 @@ def test_threshold_expression_parser():
     assert _test_threshold(3, "<=3") and _test_threshold(2, "< 3")
     with _pytest.raises(ValueError, match="threshold"):
         _test_threshold(1, "import os")
+
+
+def test_cloud_credentials_wrap_all_environments(tmp_path, spark):
+    """Reference semantics (utils/environments.py:157-166): key_id +
+    key_secret on the profile route EVERY environment to the serverless
+    host. Here that wraps them in the D10 stub — execution fails loudly
+    with the out-of-scope error instead of silently running locally."""
+    import os
+
+    from dbt_fal_spark.api import FalSpark
+    from dbt_fal_spark.environments import CloudEnvironment
+    from tests.conftest import SF_DIR
+
+    os.environ["TESTDATA_DIR"] = SF_DIR
+    proj = _copy_project(tmp_path)
+    (proj / "fal_project.yml").write_text(
+        "environments:\n"
+        "  - name: funny\n"
+        "    type: venv\n"
+        "    requirements: []\n"
+    )
+    (proj / "profiles.yml").write_text(
+        "jaffle_spark:\n"
+        "  target: cloud\n"
+        "  outputs:\n"
+        "    cloud:\n"
+        "      type: fal\n"
+        "      host: cloud.example\n"
+        "      key_id: kid\n"
+        "      key_secret: sekrit\n"
+    )
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    assert isinstance(fal.environments["funny"], CloudEnvironment)
+    with pytest.raises(NotImplementedError, match="out of scope"):
+        fal.environments["funny"].ensure()
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
