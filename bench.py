@@ -58,16 +58,23 @@ def _oracle_connection(sf_dir: str):
     return con
 
 
-def _oracle_pass(con, names, specs) -> dict[str, float]:
-    """One DuckDB pass: each query once, per-query wall seconds."""
+def _oracle_pass(con, names, specs, runs: int = 1) -> dict[str, float]:
+    """One DuckDB pass: each query `runs` times back-to-back (min), so
+    the oracle side gets the SAME per-pass sample count as the engine —
+    asymmetric sampling (engine min-of-6 vs oracle min-of-3) would bias
+    the ratio in the engine's favor under host noise (r12 review)."""
     out: dict[str, float] = {}
     for name in names:
         sql = specs[name].oracle
         if not sql:
             continue
-        t0 = time.time()
-        con.execute(sql).fetchall()
-        out[name] = time.time() - t0
+        best = None
+        for _ in range(max(1, runs)):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        out[name] = best
     return out
 
 
@@ -212,7 +219,23 @@ def main() -> None:
                 spark.catalog.clearCache()
         engine_passes.append(epass)
         if ora_con is not None:
-            oracle_passes.append(_oracle_pass(ora_con, names, specs))
+            # same per-pass sample count as the engine side; skip queries
+            # the engine gave up on (their timings would be discarded);
+            # one transient DuckDB error must not lose the engine record —
+            # degrade to an engine-only bench (r12 review)
+            try:
+                oracle_passes.append(
+                    _oracle_pass(
+                        ora_con,
+                        [n for n in names if n not in broken],
+                        specs,
+                        runs=runs_per_pass,
+                    )
+                )
+            except Exception as exc:  # noqa: BLE001
+                failures["__oracle__"] = f"{type(exc).__name__}: {exc}"[:200]
+                oracle_passes = []
+                ora_con = None
     if ora_con is not None:
         ora_con.close()
     # per-query minima across passes; totals over queries present in ALL
@@ -261,7 +284,9 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
-        "n_failures": len(failures),
+        # __oracle__ is a pseudo-entry (oracle-side degradation), not an
+        # engine query failure — readers of n_failures expect the latter
+        "n_failures": len([k for k in failures if k != "__oracle__"]),
         "n_passes": n_passes,
         # per-pass totals = the spread; the composite above is the signal
         "engine_pass_totals": engine_pass_totals,

@@ -85,6 +85,28 @@ class Context:
     target: str | None = None
 
 
+def _model_bound_write(fal: "FalSpark", model: "DbtModel"):
+    """write_to_model bound to ONE model, the reference's
+    ``functools.partial(write_to_model, target_1=model.name)``
+    (fal_script.py): a positional target re-binds target_1 and raises
+    TypeError there — mirror that loudly instead of silently ignoring
+    it (ADVICE r11). ``target_2=`` (the two-part package/model naming)
+    keyword passes through, exactly as it does through the reference's
+    partial."""
+
+    def _write(df, *_a, **kw):
+        if _a:
+            raise TypeError(
+                f"write_to_model bound to model {model.name!r} got multiple "
+                f"values for target_1 ({_a!r}) — it writes to its own model; "
+                "call it as write_to_model(data)"
+            )
+        kw.setdefault("mode", "overwrite")
+        fal.write_to_model(df, model.name, **kw)
+
+    return _write
+
+
 def _test_threshold(count: int, expr: str) -> bool:
     """Evaluate a dbt warn_if/error_if threshold expression ("!=0",
     ">10", ">= 5") against a failure count. dbt splices the expression
@@ -184,6 +206,15 @@ class FalSpark:
                         node.status = r["status"]
             except Exception:
                 pass
+        # sources.json freshness artifact attaches at LOAD (reference:
+        # project.py:415-421 hands each DbtSource its artifact row), so
+        # list_sources() consumers see the prior run's freshness without
+        # recomputing; the freshness COMMAND itself always recomputes
+        # (dbt semantics — see cli.py).
+        for uid, art in self._load_sources_artifact().items():
+            src = self.manifest.sources.get(uid)
+            if src is not None:
+                src.freshness_result = art
         self.environments = load_environments(self.project_dir)
         if profile.get("key_secret") and profile.get("key_id"):
             # reference semantics (utils/environments.py:157-166): cloud
@@ -997,14 +1028,20 @@ class FalSpark:
                     # dbt `limit` config caps the failure SELECT — both
                     # the reported count and the stored rows see the cap
                     fail_df = fail_df.limit(t.limit)
-                violations = fail_df.count()
                 if t.store_failures:
                     # dbt convention: failing rows land in the audit
                     # schema <schema>_dbt_test__audit.<test_name>,
-                    # overwritten per run
+                    # overwritten per run. Write FIRST and count the
+                    # written table: counting fail_df separately would
+                    # run the whole pipeline twice, and under limit() the
+                    # two jobs could even select different rows (r12
+                    # review finding).
                     audit = f"{self.schema}_dbt_test__audit"
                     self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{audit}`")
                     write_table(fail_df, f"{audit}.{t.name}", mode="overwrite")
+                    violations = self.spark.table(f"{audit}.{t.name}").count()
+                else:
+                    violations = fail_df.count()
                 # dbt status resolution: severity=error checks error_if
                 # first (warn_if as the fallback tier); severity=warn
                 # only ever warns. Threshold expressions ("!=0", ">10")
@@ -1428,21 +1465,13 @@ class _ModelTask:
 
         wrote = {"called": False}
 
-        def _write(df, *_a, **kw):
+        _bound_write = _model_bound_write(fal, model)
+
+        def _write(df, *a, **kw):
             # model-scoped write_to_model: the target is THIS model
-            # (reference fal models omit the name — orders_forecast.py:57;
-            # the reference hard-wires target_1 via functools.partial, so
-            # an explicit conflicting target fails loudly there — mirror
-            # that rather than silently ignoring it)
-            if _a:
-                raise TypeError(
-                    f"write_to_model inside python model {model.name} is bound "
-                    f"to its own model — it takes no target argument (got "
-                    f"{_a!r}); call it as write_to_model(data)"
-                )
+            # (reference fal models omit the name — orders_forecast.py:57)
             wrote["called"] = True
-            kw.setdefault("mode", "overwrite")
-            fal.write_to_model(df, model.name, **kw)
+            _bound_write(df, *a, **kw)
 
         namespace: dict = {
             # reference contract: scripts/models execute as __main__
@@ -1706,7 +1735,7 @@ class _ScriptTask:
             "execute_sql": fal.execute_sql,
             "write_to_source": fal.write_to_source,
             "write_to_model": (
-                (lambda df, *a, **kw: fal.write_to_model(df, model.name, **kw))
+                _model_bound_write(fal, model)
                 if model is not None
                 else fal.write_to_model
             ),

@@ -338,13 +338,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "source":
-        results = fal.source_freshness()
+        # dbt semantics: the freshness COMMAND always recomputes (it is
+        # the thing that PRODUCES sources.json) — artifact ingestion is
+        # for the load/API path, else the first artifact would freeze
+        # freshness forever (r12 review finding)
+        results = fal.source_freshness(recompute=True)
         for r in results:
             age = r.get("age_sec")
             age_s = f"{age:.0f}s" if age is not None else "?"
-            via = " (artifact)" if r.get("from_artifact") else ""
-            print(f"{r['status']:6s} {r['source']} age={age_s}{via}")
-        # dbt writes target/sources.json from the freshness COMMAND;
+            print(f"{r['status']:6s} {r['source']} age={age_s}")
+        # dbt writes target/sources.json from the freshness command;
         # mirror that so downstream dbt-artifact consumers (and our own
         # next load) can ingest it
         fal._write_sources_artifact()

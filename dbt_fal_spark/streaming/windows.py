@@ -93,15 +93,26 @@ def hourly_windowed_agg(events: DataFrame) -> DataFrame:
 
 
 # drained memory-sink names per SparkSession, oldest first — see
-# run_stream_to_completion. Keyed by session (weak refs would be nicer
-# but SparkSession is not weakref-friendly across PySpark versions;
-# sessions are few and long-lived, so a plain dict is bounded) and
-# guarded by a lock: concurrent drains otherwise race on pop/append,
-# and with multiple sessions an unkeyed list would drop a view in the
-# WRONG session — a no-op leak the tracking list still counts as freed
-# (ADVICE r11).
-_MEMORY_SINKS: dict[int, list[str]] = {}
+# run_stream_to_completion. Keyed by the JVM sessionUUID (stable and
+# unique per session — id() could be reused by a NEW session after the
+# old one is GC'd, handing it a ghost sink list; weak refs would be
+# nicer but SparkSession is not weakref-friendly across PySpark
+# versions) and guarded by a lock: concurrent drains otherwise race on
+# pop/append, and with multiple sessions an unkeyed list would drop a
+# view in the WRONG session — a no-op leak the tracking list still
+# counts as freed (ADVICE r11). Bounded: entries beyond the newest
+# _MAX_TRACKED_SESSIONS sessions are evicted (their sinks died with
+# their session's catalog — nothing to drop).
+_MEMORY_SINKS: dict[str, list[str]] = {}
 _MEMORY_SINKS_LOCK = threading.Lock()
+_MAX_TRACKED_SESSIONS = 8
+
+
+def _session_key(spark: SparkSession) -> str:
+    try:
+        return str(spark._jsparkSession.sessionUUID())
+    except Exception:  # pragma: no cover - connect-mode fallback
+        return f"id:{id(spark)}"
 
 
 def run_stream_to_completion(
@@ -128,14 +139,29 @@ def run_stream_to_completion(
     )
     q.awaitTermination()
     spark = result.sparkSession
+    # Analyze the return DataFrame BEFORE exposing the sink name to GC:
+    # an analyzed plan pins the in-memory sink relation, so a concurrent
+    # drain dropping this temp view later cannot break the returned
+    # DataFrame (r12 review: with ≥2 concurrent drains, the one-grace
+    # window alone could reap a caller's own sink between registration
+    # and spark.table()). The grace slot still covers external
+    # spark.table(name) lookups one drain later.
+    out = spark.table(name)
     with _MEMORY_SINKS_LOCK:
-        sinks = _MEMORY_SINKS.setdefault(id(spark), [])
-        stale, sinks[:] = sinks[:-1], sinks[-1:]
+        key = _session_key(spark)
+        # LRU: re-insert the live session at the end so churned sessions
+        # age out first — never the one currently draining
+        sinks = _MEMORY_SINKS.pop(key, [])
         sinks.append(name)
+        stale, sinks = sinks[:-2], sinks[-2:]
+        _MEMORY_SINKS[key] = sinks
+        while len(_MEMORY_SINKS) > _MAX_TRACKED_SESSIONS:
+            # least-recently-draining session's sinks died with its catalog
+            _MEMORY_SINKS.pop(next(iter(_MEMORY_SINKS)))
     # drop outside the lock — catalog calls go over py4j and can block
     for old in stale:
         spark.catalog.dropTempView(old)
-    return spark.table(name)
+    return out
 
 
 @query(

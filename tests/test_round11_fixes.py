@@ -75,11 +75,13 @@ def test_memory_sink_gc_keeps_one_grace_sink(spark):
     for _ in range(4):
         events = W.read_events_stream(spark, SF_DIR)
         results.append(W.run_stream_to_completion(W.hourly_windowed_agg(events)))
-    # r12: sinks are tracked PER SparkSession (dict keyed by session id)
-    # under a lock — an unkeyed list dropped views in the wrong session
-    # when several sessions drained, and concurrent drains raced
-    tracked = W._MEMORY_SINKS[id(spark)]
-    assert set(W._MEMORY_SINKS) == {id(spark)}
+    # r12: sinks are tracked PER SparkSession (dict keyed by the JVM
+    # sessionUUID) under a lock — an unkeyed list dropped views in the
+    # wrong session when several sessions drained, and concurrent
+    # drains raced
+    key = W._session_key(spark)
+    tracked = W._MEMORY_SINKS[key]
+    assert set(W._MEMORY_SINKS) == {key}
     assert len(tracked) <= 2  # current + one grace
     live = {t.name for t in spark.catalog.listTables() if t.name.startswith("stream_out_")}
     assert live == set(tracked)
@@ -116,7 +118,7 @@ def test_memory_sink_gc_concurrent_drains_consistent(spark):
     for t in threads:
         t.join()
     assert not errs
-    tracked = set(W._MEMORY_SINKS.get(id(spark), []))
+    tracked = set(W._MEMORY_SINKS.get(W._session_key(spark), []))
     live = {t.name for t in spark.catalog.listTables() if t.name.startswith("stream_out_")}
     # every tracked sink is live, and nothing beyond the tracked set
     # plus in-flight grace survivors leaked
