@@ -565,3 +565,39 @@ def test_cloud_credentials_wrap_all_environments(tmp_path, spark):
     with pytest.raises(NotImplementedError, match="out of scope"):
         fal.environments["funny"].ensure()
     spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+
+
+def test_cli_source_freshness_always_recomputes(tmp_path, spark, capsys):
+    """The freshness COMMAND recomputes even when an artifact exists —
+    it is the thing that PRODUCES sources.json; ingesting its own output
+    would freeze freshness after the first run (r12 review finding)."""
+    import json
+    import os
+
+    from dbt_fal_spark.cli import main
+    from tests.conftest import SF_DIR
+
+    os.environ["TESTDATA_DIR"] = SF_DIR
+    proj = _copy_project(tmp_path)
+    # canned artifact claims 'pass' — live data (2024 events) says error
+    canned = {
+        "metadata": {},
+        "results": [
+            {
+                "unique_id": "source.jaffle_spark.testdata.events",
+                "max_loaded_at": "2026-08-15 00:00:00",
+                "max_loaded_at_time_ago_in_s": 60.0,
+                "status": "pass",
+            }
+        ],
+    }
+    (proj / "target" / "sources.json").write_text(json.dumps(canned))
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+    rc = main(["source", "freshness", "--project-dir", str(proj)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "error" in out and "(artifact)" not in out
+    # and the command rewrote the artifact with the LIVE result
+    doc = json.loads((proj / "target" / "sources.json").read_text())
+    assert doc["results"][0]["status"] == "error"
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
