@@ -1,0 +1,72 @@
+"""Merge per-query minima across recorded paired-bench artifacts.
+
+BASELINE.md's round-over-round signal is the sum-of-per-query-MINIMA
+composite. bench.py computes it within one invocation (its passes);
+this tool computes it ACROSS invocations — feed it the committed
+BENCH_PAIRED_r{N}_run*.json files and it prints one JSON line with the
+cross-run engine/oracle composites and the per-run spread.
+
+Note: run artifacts carry per-run composites and pass totals; only the
+full bench line (with "queries") contributes per-query minima. Runs
+recorded compact-only still contribute their totals to the spread.
+
+Usage: python tools/bench_merge.py BENCH_PAIRED_r12_run*.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main(paths: list[str]) -> None:
+    eng_best: dict[str, float] = {}
+    runs = []
+    for path in paths:
+        # an artifact may hold several JSON lines (full per-query line,
+        # compact failsafe, compact+ratios) — merge them, later lines win
+        # for scalar fields, any line may carry the "queries" dict
+        doc: dict = {}
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                try:
+                    part = json.loads(line)
+                except ValueError:
+                    continue
+                queries = doc.get("queries")
+                doc.update(part)
+                if "queries" not in part and queries:
+                    doc["queries"] = queries
+        runs.append(
+            {
+                "file": path,
+                "value": doc.get("value"),
+                "oracle_total_sec": doc.get("oracle_total_sec"),
+                "raw_ratio": doc.get("raw_ratio"),
+                "floor_adjusted_ratio": doc.get("floor_adjusted_ratio"),
+            }
+        )
+        for name, sec in (doc.get("queries") or {}).items():
+            if name not in eng_best or sec < eng_best[name]:
+                eng_best[name] = sec
+    out = {
+        "n_runs": len(runs),
+        "engine_composite_sec": round(sum(eng_best.values()), 3) if eng_best else None,
+        "n_queries_in_composite": len(eng_best),
+        "per_run": runs,
+    }
+    vals = [r["value"] for r in runs if r["value"] is not None]
+    ratios = [r["raw_ratio"] for r in runs if r["raw_ratio"] is not None]
+    if vals:
+        out["engine_run_spread"] = [min(vals), max(vals)]
+    if ratios:
+        out["ratio_spread"] = [min(ratios), max(ratios)]
+        out["best_ratio"] = min(ratios)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
