@@ -48,11 +48,28 @@ class DbtModel:
     tags: list[str] = field(default_factory=list)
     meta: dict[str, Any] = field(default_factory=dict)
     columns: dict[str, dict] = field(default_factory=dict)
-    status: NodeStatus = "pending"
+    _status: NodeStatus = "pending"
     # generic column tests declared on this model (reference: DbtModel
     # carries .tests so scripts can enumerate them via list_models() —
     # dbt_test.feature 'Source tests are present in context')
     tests: list[DbtTest] = field(default_factory=list)
+
+    @property
+    def status(self) -> NodeStatus:
+        """Derived status, reference semantics (project.py:180-188
+        `_DbtTestableNode._get_status` + dbt_test.feature): a node that
+        did not run in this invocation but whose attached tests DID run
+        reports 'tested' — after `dbt test`, scripts see model status
+        'tested', not 'skipped'/'pending'."""
+        if self._status in ("pending", "skipped") and any(
+            t.status not in ("pending", "skipped") for t in self.tests
+        ):
+            return "tested"
+        return self._status
+
+    @status.setter
+    def status(self, value: NodeStatus) -> None:
+        self._status = value
     # dbt `alias` config: the PHYSICAL relation name when it differs from
     # the model (file) name; ref() keeps resolving by model name
     # (reference: run.feature 'fal run provides model aliases')
@@ -116,6 +133,22 @@ class DbtSource:
     # FreshnessExecutionResultArtifact row to each DbtSource); None when
     # no artifact row exists — source_freshness() then recomputes live
     freshness_result: dict[str, Any] | None = None
+    # sources are never "run"; their base status is skipped and flips to
+    # the derived 'tested' once their attached tests run (reference:
+    # _DbtTestableNode, dbt_test.feature 'source status is tested')
+    _status: NodeStatus = "skipped"
+
+    @property
+    def status(self) -> NodeStatus:
+        if self._status in ("pending", "skipped") and any(
+            t.status not in ("pending", "skipped") for t in self.tests
+        ):
+            return "tested"
+        return self._status
+
+    @status.setter
+    def status(self, value: NodeStatus) -> None:
+        self._status = value
 
     @property
     def name(self) -> str:

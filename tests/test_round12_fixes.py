@@ -601,3 +601,35 @@ def test_cli_source_freshness_always_recomputes(tmp_path, spark, capsys):
     doc = json.loads((proj / "target" / "sources.json").read_text())
     assert doc["results"][0]["status"] == "error"
     spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+
+
+def test_node_status_derives_tested_after_test_run(tmp_path, spark):
+    """Reference semantics (project.py:180-188, dbt_test.feature): a
+    node that didn't run this invocation but whose attached tests DID
+    run reports status 'tested' — scripts running after `dbt test` see
+    'tested', not 'pending'/'skipped'. A node that RAN keeps its run
+    status."""
+    from dbt_fal_spark.api import FalSpark
+
+    proj = _one_model_project(
+        tmp_path,
+        "      - name: status\n"
+        "        tests:\n"
+        "          - not_null\n",
+        "select 'A' as status\n",
+    )
+    spark.sql("DROP DATABASE IF EXISTS tproj CASCADE")
+    build = FalSpark(proj, spark=spark)
+    build.run()
+    # fresh load: model not run THIS session (pending), tests not run
+    fal = FalSpark(proj, spark=spark)
+    # wipe artifact-derived status to simulate a test-only invocation
+    model = next(iter(fal.manifest.models.values()))
+    model.status = "pending"
+    assert model.status == "pending"
+    fal.test()
+    assert model.status == "tested"
+    # a model that ran keeps its run status even with tested tests
+    model.status = "success"
+    assert model.status == "success"
+    spark.sql("DROP DATABASE IF EXISTS tproj CASCADE")
