@@ -63,6 +63,13 @@ _REPRESENTATIVES = [
     "d_embedding_neardup_lsh",
     "q_corr_stats_by_flag",
     "q_revenue_trend_by_priority",
+    # r12 plan families: persist + broadcast-scalar HAVING (the global
+    # total is NULL on an empty rollup — the isnotnull filter must make
+    # that 0 rows, not a crash) and window-quantifier counts
+    "q11_important_parts",
+    "q21_suppliers_kept_waiting",
+    "q12_latency_priority_pivot",
+    "q20_part_promotion_suppliers",
 ]
 
 
