@@ -96,6 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     add_common(cloud)
 
+    # dbt debug parity (reference commands.feature 'Run dbt debug'):
+    # validate project load, profile resolution, and Spark connectivity
+    dbg = sub.add_parser("debug", help="validate project, profile, Spark connectivity")
+    add_common(dbg)
+
     snap = sub.add_parser("snapshot", help="run SCD2 snapshots")
     add_common(snap)
     snap.add_argument("--as-of", default=None, help="run timestamp for check-strategy transitions")
@@ -288,6 +293,24 @@ def main(argv: list[str] | None = None) -> int:
         # deliberately does NOT flip Spark to INFO (hundreds of
         # lines/task — useless for debugging a model DAG)
         fal.spark.sparkContext.setLogLevel("ERROR")
+
+    if args.command == "debug":
+        # dbt debug parity: each check prints OK/FAIL; exit 1 on any FAIL
+        ok = True
+        print(f"project dir: {fal.project_dir}")
+        print(f"models: {len(fal.manifest.models)}  sources: {len(fal.manifest.sources)}  tests: {len(fal.manifest.tests)}")
+        print(f"profile target: {fal.target_name or '(none — project defaults)'}")
+        print(f"schema: {fal.schema}")
+        wh = fal._warehouse_dir or fal.spark.conf.get("spark.sql.warehouse.dir", "?")
+        print(f"warehouse: {wh}")
+        print(f"spark: {fal.spark.version} master={fal.spark.conf.get('spark.master', '?')}")
+        try:
+            fal.spark.sql("select 1").collect()
+            print("connection test: OK")
+        except Exception as e:  # noqa: BLE001 — report, don't traceback
+            ok = False
+            print(f"connection test: FAIL ({type(e).__name__}: {e})")
+        return 0 if ok else 1
 
     if args.command == "flow":
         statuses = fal.run(select=args.select, exclude=args.exclude, threads=args.threads, full_refresh=getattr(args, "full_refresh", False), fail_fast=getattr(args, "fail_fast", False))

@@ -633,3 +633,20 @@ def test_node_status_derives_tested_after_test_run(tmp_path, spark):
     model.status = "success"
     assert model.status == "success"
     spark.sql("DROP DATABASE IF EXISTS tproj CASCADE")
+
+
+def test_cli_debug_verb(tmp_path, spark, capsys):
+    """`debug` verb (reference commands.feature 'Run dbt debug'):
+    project + profile + connectivity summary, exit 0 when healthy."""
+    import os
+
+    from dbt_fal_spark.cli import main
+    from tests.conftest import SF_DIR
+
+    os.environ["TESTDATA_DIR"] = SF_DIR
+    proj = _copy_project(tmp_path)
+    rc = main(["debug", "--project-dir", str(proj)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "connection test: OK" in out
+    assert "models:" in out and "schema:" in out
