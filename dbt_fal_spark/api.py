@@ -1122,7 +1122,7 @@ class FalSpark:
             age_sec = (row["now"] - row["max_loaded_at"]).total_seconds()
             status = "pass"
             for level in ("warn", "error"):
-                spec = (src.freshness or {}).get(f"{level}_after") or {}
+                spec = (src.freshness_spec or {}).get(f"{level}_after") or {}
                 if spec:
                     period_sec = {"minute": 60, "hour": 3600, "day": 86400}[spec["period"]] * spec["count"]
                     if age_sec > period_sec:
@@ -1133,7 +1133,7 @@ class FalSpark:
                 "snapshotted_at": str(row["now"]),
                 "max_loaded_at_time_ago_in_s": age_sec,
                 "status": status,
-                "criteria": src.freshness or {},
+                "criteria": src.freshness_spec or {},
             }
             out.append(
                 {

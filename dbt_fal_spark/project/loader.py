@@ -203,7 +203,7 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
                         ),
                         format=(tbl.get("meta", {}) or {}).get("format", "parquet"),
                         loaded_at_field=tbl.get("loaded_at_field") or src.get("loaded_at_field"),
-                        freshness=tbl.get("freshness") or src.get("freshness") or {},
+                        freshness_spec=tbl.get("freshness") or src.get("freshness") or {},
                         meta=tbl_meta,
                     )
                     manifest.sources[uid] = source

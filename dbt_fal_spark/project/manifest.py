@@ -125,7 +125,11 @@ class DbtSource:
     path: str | None = None  # file path or table identifier
     format: str = "parquet"
     loaded_at_field: str | None = None
-    freshness: dict[str, Any] = field(default_factory=dict)
+    # warn_after/error_after THRESHOLDS from schema.yml (dbt's freshness
+    # block). The reference spells the freshness RESULT as `.freshness`
+    # (fal_scripts/freshness.py: node.freshness.status) — that lives in
+    # the `freshness` property below; the spec needed a distinct name.
+    freshness_spec: dict[str, Any] = field(default_factory=dict)
     meta: dict[str, Any] = field(default_factory=dict)
     tests: list[DbtTest] = field(default_factory=list)
     # freshness RESULT from a prior run's target/sources.json artifact
@@ -149,6 +153,21 @@ class DbtSource:
     @status.setter
     def status(self, value: NodeStatus) -> None:
         self._status = value
+
+    @property
+    def freshness(self):
+        """The freshness RESULT, reference spelling (DbtSource.freshness
+        → FreshnessNodeOutput; cli_tests 010_source_freshness
+        freshness.py does ``node.freshness.status``): an attribute-
+        accessible view of the latest artifact/recompute row, or None
+        when freshness has never been evaluated — reference scripts
+        gate on ``if node.freshness:``. Thresholds live in
+        ``freshness_spec``."""
+        if not self.freshness_result:
+            return None
+        from types import SimpleNamespace
+
+        return SimpleNamespace(**self.freshness_result)
 
     @property
     def name(self) -> str:

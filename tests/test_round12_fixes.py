@@ -650,3 +650,31 @@ def test_cli_debug_verb(tmp_path, spark, capsys):
     assert rc == 0
     assert "connection test: OK" in out
     assert "models:" in out and "schema:" in out
+
+
+def test_source_freshness_reference_contract(tmp_path, spark):
+    """The reference script contract (cli_tests 010_source_freshness
+    fal_scripts/freshness.py): `node.freshness` is the freshness RESULT
+    — `if node.freshness:` gates, `.status` attribute-reads — not the
+    schema.yml thresholds (those are freshness_spec here)."""
+    import os
+
+    from dbt_fal_spark.api import FalSpark
+    from tests.conftest import SF_DIR
+
+    os.environ["TESTDATA_DIR"] = SF_DIR
+    proj = _copy_project(tmp_path)
+    # simulate a project whose freshness has never been evaluated (the
+    # shared fixture's target/ may carry a sources.json from CLI runs)
+    (proj / "target" / "sources.json").unlink(missing_ok=True)
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    src = next(s for s in fal.list_sources() if s.loaded_at_field)
+    # thresholds parsed from schema.yml live in freshness_spec
+    assert "warn_after" in src.freshness_spec
+    # never evaluated → falsy, exactly what reference scripts gate on
+    assert not src.freshness
+    fal.source_freshness()
+    assert src.freshness is not None
+    assert src.freshness.status == "error"  # 2024 data vs 30-day error
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
