@@ -678,3 +678,49 @@ def test_source_freshness_reference_contract(tmp_path, spark):
     assert src.freshness is not None
     assert src.freshness.status == "error"  # 2024 data vs 30-day error
     spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+
+
+def test_write_to_source_datetime_and_arrays_roundtrip(tmp_path, spark):
+    """Reference write_to_source scenarios ('Write a datetime to the
+    datawarehouse', 'Write a string and int array'): temporal and array
+    columns survive the write→read round-trip bit-exactly."""
+    import datetime
+    import os
+
+    from dbt_fal_spark.api import FalSpark
+    from tests.conftest import SF_DIR
+
+    os.environ["TESTDATA_DIR"] = SF_DIR
+    proj = _copy_project(tmp_path)
+    schema_yml = proj / "models" / "schema.yml"
+    schema_yml.write_text(
+        schema_yml.read_text()
+        + "  - name: typed_sink\n"
+        + "    meta: {path: target/typed_sink.parquet}\n"
+    )
+    # register the sink table under the existing source namespace
+    txt = schema_yml.read_text().replace(
+        "      - name: events\n",
+        "      - name: typed_sink\n"
+        "        meta:\n"
+        "          path: target/typed_sink.parquet\n"
+        "      - name: events\n",
+        1,
+    )
+    schema_yml.write_text(txt)
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    ts = datetime.datetime(2023, 5, 17, 12, 34, 56)
+    d = datetime.date(2023, 5, 17)
+    df = spark.createDataFrame(
+        [(1, ts, d, [1, 2, 3], ["a", "b"])],
+        "id int, event_ts timestamp, event_d date, nums array<int>, tags array<string>",
+    )
+    fal.write_to_source(df, "testdata", "typed_sink", mode="overwrite")
+    back = fal.source("testdata", "typed_sink").collect()[0]
+    assert back["event_ts"] == ts and back["event_d"] == d
+    assert back["nums"] == [1, 2, 3] and back["tags"] == ["a", "b"]
+    # append doubles the row count (reference 'source size 1/2' contract)
+    fal.write_to_source(df, "testdata", "typed_sink", mode="append")
+    assert fal.source("testdata", "typed_sink").count() == 2
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
