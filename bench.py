@@ -235,7 +235,10 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 failures["__oracle__"] = f"{type(exc).__name__}: {exc}"[:200]
                 oracle_passes = []
-                ora_con = None
+                try:
+                    ora_con.close()
+                finally:
+                    ora_con = None
     if ora_con is not None:
         ora_con.close()
     # per-query minima across passes; totals over queries present in ALL

@@ -101,6 +101,15 @@ def _model_bound_write(fal: "FalSpark", model: "DbtModel"):
                 f"values for target_1 ({_a!r}) — it writes to its own model; "
                 "call it as write_to_model(data)"
             )
+        if "target_1" in kw or "target_2" in kw:
+            # the reference's partial happens to let target_2= slip
+            # through to a DIFFERENT model — an accidental hole, not a
+            # contract; a bound write redirecting silently is the exact
+            # bug the positional guard exists to stop (r12 review)
+            raise TypeError(
+                f"write_to_model bound to model {model.name!r} takes no "
+                "target_1/target_2 — it writes to its own model"
+            )
         kw.setdefault("mode", "overwrite")
         fal.write_to_model(df, model.name, **kw)
 
@@ -728,10 +737,15 @@ class FalSpark:
         statuses = {}
         for node, group in groups.items():
             model = self.graph.node_attr(node, "model")
-            model.status = {"success": "success", "failure": "error", "skipped": "skipped"}.get(
+            raw = {"success": "success", "failure": "error", "skipped": "skipped"}.get(
                 group.status, group.status
             )
-            statuses[node] = model.status
+            model.status = raw
+            # record the RAW run outcome, not the derived property — a
+            # skipped model with previously-run tests would otherwise
+            # report 'tested' into run_results.json, masking the skip
+            # (r12 review)
+            statuses[node] = raw
         self._write_run_results(statuses, time.time() - t0, context)
         self._write_state()
         return statuses
@@ -1100,6 +1114,10 @@ class FalSpark:
         out = []
         for src in self.manifest.sources.values():
             if not src.loaded_at_field:
+                if recompute:
+                    # an unevaluable source must not keep re-persisting a
+                    # load-attached artifact row forever (r12 review)
+                    src.freshness_result = None
                 continue
             art = artifact.get(src.unique_id)
             if art is not None and art.get("status") is not None:
@@ -1469,9 +1487,12 @@ class _ModelTask:
 
         def _write(df, *a, **kw):
             # model-scoped write_to_model: the target is THIS model
-            # (reference fal models omit the name — orders_forecast.py:57)
-            wrote["called"] = True
+            # (reference fal models omit the name — orders_forecast.py:57).
+            # Flag only AFTER the write succeeds: flipping it before
+            # validation let a caught TypeError path count as "wrote" and
+            # report stale-table success (r12 review)
             _bound_write(df, *a, **kw)
+            wrote["called"] = True
 
         namespace: dict = {
             # reference contract: scripts/models execute as __main__

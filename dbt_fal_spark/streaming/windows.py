@@ -100,12 +100,14 @@ def hourly_windowed_agg(events: DataFrame) -> DataFrame:
 # versions) and guarded by a lock: concurrent drains otherwise race on
 # pop/append, and with multiple sessions an unkeyed list would drop a
 # view in the WRONG session — a no-op leak the tracking list still
-# counts as freed (ADVICE r11). Bounded: entries beyond the newest
-# _MAX_TRACKED_SESSIONS sessions are evicted (their sinks died with
-# their session's catalog — nothing to drop).
+# counts as freed (ADVICE r11). Dead-session residue is NOT evicted:
+# an entry is one uuid string + ≤2 sink names (~200 B, bounded by the
+# number of sessions ever created), whereas evicting a LIVE session's
+# entry would orphan its tracked temp views — a real driver-memory
+# leak traded for a cosmetic one (r12 review). The views themselves
+# die with their session's catalog.
 _MEMORY_SINKS: dict[str, list[str]] = {}
 _MEMORY_SINKS_LOCK = threading.Lock()
-_MAX_TRACKED_SESSIONS = 8
 
 
 def _session_key(spark: SparkSession) -> str:
@@ -147,17 +149,12 @@ def run_stream_to_completion(
     # and spark.table()). The grace slot still covers external
     # spark.table(name) lookups one drain later.
     out = spark.table(name)
+    key = _session_key(spark)  # py4j round-trip — never under the lock
     with _MEMORY_SINKS_LOCK:
-        key = _session_key(spark)
-        # LRU: re-insert the live session at the end so churned sessions
-        # age out first — never the one currently draining
         sinks = _MEMORY_SINKS.pop(key, [])
         sinks.append(name)
         stale, sinks = sinks[:-2], sinks[-2:]
         _MEMORY_SINKS[key] = sinks
-        while len(_MEMORY_SINKS) > _MAX_TRACKED_SESSIONS:
-            # least-recently-draining session's sinks died with its catalog
-            _MEMORY_SINKS.pop(next(iter(_MEMORY_SINKS)))
     # drop outside the lock — catalog calls go over py4j and can block
     for old in stale:
         spark.catalog.dropTempView(old)

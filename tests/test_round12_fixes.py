@@ -693,11 +693,6 @@ def test_write_to_source_datetime_and_arrays_roundtrip(tmp_path, spark):
     os.environ["TESTDATA_DIR"] = SF_DIR
     proj = _copy_project(tmp_path)
     schema_yml = proj / "models" / "schema.yml"
-    schema_yml.write_text(
-        schema_yml.read_text()
-        + "  - name: typed_sink\n"
-        + "    meta: {path: target/typed_sink.parquet}\n"
-    )
     # register the sink table under the existing source namespace
     txt = schema_yml.read_text().replace(
         "      - name: events\n",

@@ -4,7 +4,10 @@ BASELINE.md's round-over-round signal is the sum-of-per-query-MINIMA
 composite. bench.py computes it within one invocation (its passes);
 this tool computes it ACROSS invocations — feed it the committed
 BENCH_PAIRED_r{N}_run*.json files and it prints one JSON line with the
-cross-run engine/oracle composites and the per-run spread.
+cross-run ENGINE composite and the per-run spread (artifacts carry no
+per-query oracle timings, so no cross-run oracle composite exists —
+compare the engine composite only against a single run's
+oracle_total_sec with that caveat in mind).
 
 Note: run artifacts carry per-run composites and pass totals; only the
 full bench line (with "queries") contributes per-query minima. Runs
