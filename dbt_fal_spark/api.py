@@ -90,9 +90,11 @@ def _model_bound_write(fal: "FalSpark", model: "DbtModel"):
     ``functools.partial(write_to_model, target_1=model.name)``
     (fal_script.py): a positional target re-binds target_1 and raises
     TypeError there — mirror that loudly instead of silently ignoring
-    it (ADVICE r11). ``target_2=`` (the two-part package/model naming)
-    keyword passes through, exactly as it does through the reference's
-    partial."""
+    it (ADVICE r11). ``target_2=`` is deliberately REJECTED here: the
+    reference's partial happens to let it slip through and silently
+    redirect the write to a different model — an accidental hole, not a
+    contract — so this binding raises TypeError on it too (documented
+    deviation, r12 review)."""
 
     def _write(df, *_a, **kw):
         if _a:
@@ -1000,6 +1002,12 @@ class FalSpark:
                         macros=self.manifest.macros,
                     )
                     fail_df = self.spark.sql(rendered)
+                    if t.where:
+                        # dbt `where` config on a singular test: the
+                        # violation set is the filtered subset — same
+                        # relation algebra as the generic-test branch
+                        # below (previously silently dropped, ADVICE r12)
+                        fail_df = fail_df.filter(t.where)
                 else:
                     owner = t.model_id or ""
                     if owner.startswith("source."):
@@ -1093,7 +1101,17 @@ class FalSpark:
             return {}
         try:
             doc = json.loads(path.read_text())
-            return {r["unique_id"]: r for r in doc.get("results", []) if "unique_id" in r}
+            # rows without a status are unusable downstream: the
+            # `freshness` property contract promises `.status` on every
+            # attached result (reference scripts do
+            # `node.freshness.status`), and source_freshness() already
+            # refuses to reuse status-less rows — filter them here so
+            # load-time attach and command-time reuse agree (ADVICE r12)
+            return {
+                r["unique_id"]: r
+                for r in doc.get("results", [])
+                if "unique_id" in r and r.get("status") is not None
+            }
         except Exception:
             return {}
 

@@ -568,6 +568,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-scalar pattern. Threshold compares DECIMAL-exact values
     scaled by an integer (value*1000 > total): bit-identical in both
     engines; the DOUBLE cast happens only on output.
+
+    Cache lifetime: like every persist() site in this package, the
+    cached rollup lives until the caller clears it — the bench/check
+    harnesses call ``spark.catalog.clearCache()`` between queries, and
+    long-lived API sessions should do the same after consuming the
+    result (ADVICE r12).
     """
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")

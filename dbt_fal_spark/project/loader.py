@@ -332,6 +332,11 @@ def load_project(project_dir: str | Path, vars: dict[str, Any] | None = None) ->
                 raw_sql=raw,
                 severity=str(tcfg.get("severity", "error")).lower(),
                 store_failures=bool(tcfg.get("store_failures", False)),
+                # `where` on a singular test filters the violation rows
+                # (api.py wraps the rendered SQL in a filtered subquery);
+                # previously parsed-then-dropped while severity/limit on
+                # the same config were honored (ADVICE r12)
+                where=tcfg.get("where"),
                 limit=int(tcfg["limit"]) if tcfg.get("limit") is not None else None,
                 warn_if=str(tcfg.get("warn_if", "!=0")),
                 error_if=str(tcfg.get("error_if", "!=0")),
