@@ -96,34 +96,48 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST stale rows of the r13 window; after r12 they are the only
 # entries with evidence older than r10.
 _CHECK_FIRST = (
-    # --- r12 WINDOW ---
-    # changed/new this round (plan/closure/source) — verify first
-    "q11_important_parts", "q12_latency_priority_pivot",
-    "q20_part_promotion_suppliers", "q21_suppliers_kept_waiting",
-    "d_embedding_neardup_pairs",
+    # --- r13 WINDOW ---
+    # CORRECTNESS_r12 was green over the full r12 window (50/50).
+    # Changed/new this round — verify first: the 3 NEW exact
+    # substring-dedup entries (VERDICT r12 item 3, never
+    # driver-checked), the two p_* flow entries (FalSpark class
+    # closure changed: singular-test `where` + freshness-artifact
+    # status filter, ADVICE r12), and q11 (docstring-only persist
+    # lifetime note — source hash changed, plan unchanged).
+    "d_substring_spans", "d_substring_dup_fraction",
+    "d_substring_dedup_clean",
     "p_fal_model_pandas_forecast", "p_flow_run_customer_stats",
-    "st_dedup_stream", "st_dedup_within_watermark_stream",
-    "st_enriched_stream", "st_full_outer_interval_stream",
-    "st_hourly_stream", "st_interval_join_stream",
-    "st_left_outer_interval_stream", "st_session_stream",
-    "st_user_totals_stateful",
-    # last green driver row is r9 — stalest evidence, refresh 34 of 36
-    "e_anomaly_events", "e_forecast_daily_by_type",
-    "e_funnel_conversion", "e_hourly_rollup", "e_json_props_stats",
-    "e_purchase_gap_stats", "e_resample_daily_fill",
-    "e_retention_cohorts", "e_rolling_7d_revenue",
-    "e_sliding_window_traffic", "e_user_activity_pivot",
-    "m_binary_metadata", "m_decode_pipeline", "m_frame_sample",
-    "q02_min_cost_part_supplier", "q03_topk_order_revenue",
-    "q04_late_shipment_priority", "q05_region_nation_revenue",
-    "q06_filtered_revenue", "q07_volume_shipping", "q08_market_share",
-    "q09_product_profit", "q10_returned_items",
-    "q13_order_count_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_parts_not_recently_shipped",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_disjunctive_predicates", "q22_lapsed_rich_customers",
-    "q_profile_orders", "s_label_centroid_distance",
-    "s_text_vector_join",
+    "q11_important_parts",
+    # the two r9 rows deferred from the r12 window — the only
+    # evidence older than r10 (VERDICT r12 item 4: lead with these)
+    "q_corr_stats_by_flag", "q_histogram_totalprice",
+    # last green driver row is r10 — refresh 42 of the 46; the four
+    # deferred rows (q_date_filter_projection, q_order_date_parts,
+    # q_part_string_funcs, q_paginate_orders — single-table JVM
+    # projections, source untouched since r10, pytest-covered) lead
+    # the r14 window; after r13 they and the r11 rows are the only
+    # evidence older than r12.
+    "d_bloom_prefilter", "d_containment_pairs", "d_decontaminate",
+    "d_dup_ngram_fraction", "d_embedding_neardup_lsh",
+    "d_lsh_levenshtein_refine", "d_minhash_lsh_pairs",
+    "d_neardup_components", "d_neardup_triangles",
+    "m_byte_histogram_features", "m_resize_pipeline",
+    "p_sentiment_batch_inference",
+    "q_cube_status_priority", "q_customer_order_stats",
+    "q_customer_running_total", "q_customer_value_deciles",
+    "q_customer_value_deciles_ranged", "q_customer_value_percentile",
+    "q_first_last_order_value", "q_generic_tests",
+    "q_gini_customer_value", "q_grouping_sets_revenue",
+    "q_lapsed_customers_except", "q_mad_outlier_orders",
+    "q_orders_daily_pivot", "q_pii_masked_customers",
+    "q_pivot_priority_by_status", "q_priority_distinct_customers",
+    "q_quantity_quartiles", "q_range_join_price_band",
+    "q_region_rollup_revenue", "q_repeat_customers_intersect",
+    "q_revenue_trend_by_priority", "q_salted_join_supplier_volume",
+    "q_status_set_per_priority", "q_topk_orders_per_segment",
+    "s_knn_bruteforce", "s_knn_int8", "s_knn_ivf",
+    "s_knn_lsh_bucketed", "s_knn_lsh_multitable",
+    "st_upsert_stream",
 )
 
 

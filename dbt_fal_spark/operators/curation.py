@@ -34,6 +34,12 @@ from dbt_fal_spark.sources.readers import load_table, spread
 # Word-shingle width for the corpus-level duplicate-n-gram signal.
 SHINGLE_K = 5
 
+# Anchor k-gram width for exact substring-level dedup (the
+# d_substring_* family). Lee et al. 2022 use a 50-token threshold on
+# web crawl; the synthetic corpus (10-110 word docs) uses the repo's
+# standard 5-gram so both spanful and span-free docs occur in testdata.
+SPAN_K = 5
+
 # Gopher-style gate bounds, scaled to the synthetic corpus (docs are
 # 48-553 chars ≈ 10-110 words) so both outcomes occur in testdata.
 MIN_WORDS, MAX_WORDS = 20, 10_000
@@ -535,4 +541,304 @@ def t_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes.join(F.broadcast(cells), ["r", "c"])
         .groupBy("tok", "true_count")
         .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-level dedup (VERDICT r12 item 3): locate and remove
+# VERBATIM duplicated spans, not just near-duplicate documents — the
+# ExactSubstr pass of Lee et al. 2022 ("Deduplicating Training Data
+# Makes Language Models Better") / RefinedWeb. The reference (dbt-fal)
+# has no native analogue; it would run this as a whole-table pandas
+# script (reference: projects/adapter/README.md "run ML workloads on
+# your dbt models").
+#
+# Semantics (shared by all three entries, mirrored exactly by the
+# oracles): a token position is DUPLICATED iff it is covered by at
+# least one word {SPAN_K}-gram that occurs >= 2 times corpus-wide
+# (including a second occurrence inside the same document — ExactSubstr
+# dedups within-doc repeats too). Maximal spans are the merge of
+# overlapping/adjacent duplicated k-gram intervals [pos, pos+K-1].
+#
+# Scale shape (100 TB): UNLIKE the paper's suffix array (a global
+# sequential structure), this is expressed as linear dataflow — there
+# is NO pairwise/bucket-extension stage anywhere, so no cap is needed
+# (the SHINGLE_DOC_CAP/LSH_BUCKET_CAP story guards quadratic bucket
+# joins; every stage here is linear in corpus size):
+#   1. gram emit: map-only, each doc emits (doc_id, pos, xxhash64(gram))
+#      — 8-byte digests shuffle, never gram text (d_exact_dedup's
+#      digest-only-shuffle contract);
+#   2. duplicate detection: one digest-keyed count with map-side
+#      combine, then a digest semi-join back (AQE skew-join absorbs
+#      boilerplate heavy-hitter grams);
+#   3. span merge: a per-document running-max window (gaps-and-islands)
+#      — partitions are doc-bounded, like every per-doc op here.
+# The window-based merge finds the same maximal duplicated regions the
+# paper's left/right match extension finds, at k-gram granularity.
+# ---------------------------------------------------------------------------
+
+
+def _dup_span_parts(spark: SparkSession, sf_dir: str):
+    """Shared stages for the d_substring_* family: returns
+    (ws, dup, spans) where ws = (doc_id, w: array<string>) for non-null
+    docs, dup = (doc_id, pos) duplicated k-gram start positions, and
+    spans = (doc_id, span_start, span_end, span_tokens) maximal merged
+    spans (1-based token positions, inclusive).
+
+    The gram relation is persisted: the doc-frequency count and the
+    fold-back semi-join both read it — unpersisted, the map-only emit
+    stage would run twice (same rationale as d_dup_ngram_fraction).
+    Cache lifetime follows the repo's persist() contract: the caller
+    (bench/check harnesses, API sessions) clears it between queries.
+
+    Spark's ``sequence(1, 0)`` DESCENDS ([1, 0]) instead of returning
+    an empty array like DuckDB's generate_series — docs shorter than
+    SPAN_K are filtered out before the sequence is built (they emit no
+    grams on either engine).
+    """
+    from pyspark.sql import Window as W
+
+    k = SPAN_K
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    grams = (
+        spread(ws.filter(F.size("w") >= k))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {k - 1}),"
+                    f" i -> xxhash64(concat_ws(' ', slice(w, i, {k}))))"
+                )
+            ).alias("p0", "dig"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "dig")
+        .persist()
+    )
+    dup_digs = (
+        grams.groupBy("dig").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    )
+    # left_semi: only (doc_id, pos) travel onward — the count column
+    # never leaves the aggregation
+    dup = grams.join(dup_digs, "dig", "left_semi").select("doc_id", "pos")
+    wprev = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    wrun = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    # gaps-and-islands: a dup k-gram at pos covers [pos, pos+k-1]; a new
+    # island starts when this interval neither overlaps nor touches the
+    # running max end of everything before it
+    spans = (
+        dup.withColumn(
+            "ni",
+            F.when(
+                F.col("pos")
+                > F.coalesce(F.max(F.col("pos") + (k - 1)).over(wprev), F.lit(-1)) + 1,
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("ni").over(wrun))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+            (F.max("pos") + k - F.min("pos")).cast("long").alias("span_tokens"),
+        )
+        .drop("island")
+    )
+    return ws, dup, spans
+
+
+# shared oracle CTE prefix: ws/grams/doc-frequency/duplicated-positions,
+# the SQL mirror of _dup_span_parts' first two stages. The oracle keys
+# on md5 gram strings where Spark keys on xxhash64 — only positions and
+# counts reach any output, so any collision-free digest is equivalent
+# (the d_dup_ngram_fraction convention).
+_SPAN_ORACLE_PREFIX = f"""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id,
+             unnest(generate_series(1, greatest(len(w) - {SPAN_K - 1}, 0))) AS pos,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - {SPAN_K - 1}, 0)),
+               i -> md5(array_to_string(list_slice(w, i, i + {SPAN_K - 1}), ' '))
+             )) AS dig
+      FROM ws
+    ),
+    f AS (SELECT dig FROM g GROUP BY dig HAVING count(*) >= 2),
+    d AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (dig))
+"""
+
+_SPAN_ORACLE_SPANS = f"""
+    , m AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + {SPAN_K - 1}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM d
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + {SPAN_K - 1} AS BIGINT) AS span_end,
+             CAST(max(pos) + {SPAN_K} - min(pos) AS BIGINT) AS span_tokens
+      FROM isl GROUP BY doc_id, island
+    )
+"""
+
+
+@query(
+    "d_substring_spans",
+    oracle=_SPAN_ORACLE_PREFIX + _SPAN_ORACLE_SPANS
+    + "SELECT doc_id, span_start, span_end, span_tokens FROM spans",
+    tags=("curation", "dedup", "substring"),
+)
+def d_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locate verbatim duplicated spans: the maximal token ranges of
+    each document covered by word {SPAN_K}-grams occurring >= 2 times
+    corpus-wide (Lee et al. 2022 ExactSubstr, RefinedWeb's exact
+    substring pass) — the span-LOCATING half the repo's
+    d_dup_ngram_fraction (which only measures a fraction) lacked.
+
+    Output: (doc_id, span_start, span_end, span_tokens), positions
+    1-based inclusive. Plan shape and 100 TB stance: see the family
+    comment above _dup_span_parts — three linear stages (map-only gram
+    emit, digest-keyed count + semi-join, per-doc island-merge window),
+    no pairwise extension, no cap required.
+    """
+    _, _, spans = _dup_span_parts(spark, sf_dir)
+    return spans
+
+
+@query(
+    "d_substring_dup_fraction",
+    oracle=_SPAN_ORACLE_PREFIX + _SPAN_ORACLE_SPANS
+    + """
+    SELECT ws.doc_id,
+           CAST(len(ws.w) AS BIGINT) AS n_tokens,
+           CAST(coalesce(sum(s.span_tokens), 0) AS BIGINT) AS dup_tokens,
+           CAST(count(s.span_start) AS BIGINT) AS n_spans,
+           CAST(coalesce(sum(s.span_tokens), 0) AS DOUBLE) / len(ws.w)
+             AS dup_fraction
+    FROM ws LEFT JOIN spans s USING (doc_id)
+    GROUP BY ws.doc_id, len(ws.w)
+    """,
+    tags=("curation", "dedup", "substring"),
+)
+def d_substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token budget from the exact substring
+    pass: how many of each doc's tokens sit inside a verbatim duplicated
+    span, over ALL documents (span-free docs report 0 / 0.0 — unlike
+    d_dup_ngram_fraction's shingle-holder-only inner join, the
+    filtering decision needs a row per doc).
+
+    dup_fraction divides two exact integers, so the double is
+    bit-identical across engines. Plan: the span relation (output-sized,
+    tiny next to the corpus) left-joins back to the doc spine on doc_id
+    — one extra doc-keyed exchange over d_substring_spans.
+    """
+    ws, _, spans = _dup_span_parts(spark, sf_dir)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        F.count("*").cast("long").alias("n_spans"),
+    )
+    return (
+        ws.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens")
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+@query(
+    "d_substring_dedup_clean",
+    oracle=_SPAN_ORACLE_PREFIX
+    + f"""
+    , cov AS (
+      SELECT DISTINCT doc_id, pos + j AS pos
+      FROM d, generate_series(0, {SPAN_K - 1}) AS u(j)
+    ),
+    toks AS (
+      SELECT doc_id, unnest(generate_series(1, len(w))) AS pos,
+             unnest(w) AS tok
+      FROM ws
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.doc_id IS NULL
+    )
+    SELECT k.doc_id,
+           string_agg(k.tok, ' ' ORDER BY k.pos) AS text_clean,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(len(any_value(ws.w)) - count(*) AS BIGINT) AS n_removed
+    FROM kept k JOIN ws ON k.doc_id = ws.doc_id
+    GROUP BY k.doc_id
+    """,
+    tags=("curation", "dedup", "substring"),
+)
+def d_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove the duplicated spans: each document's text rebuilt from
+    the tokens OUTSIDE every duplicated span (Lee et al.'s released
+    ExactSubstr tool cuts every duplicated byte range from every
+    occurrence — same stance here; dropping all copies rather than
+    keeping one canonical copy is their documented default). Documents
+    whose every token is duplicated drop out entirely (nothing left to
+    keep); span-free documents pass through verbatim.
+
+    Plan: duplicated k-gram starts explode into covered positions
+    (bounded ×{SPAN_K} fan-out of the dup relation, which is
+    span-sized), distinct per (doc, pos); tokens anti-join the covered
+    set on (doc_id, pos) — an equi-join, never a range join — and
+    reassemble per doc with the order-restoring
+    array_sort(collect_list(struct(pos, tok))) idiom (t_unk_replace's
+    rewrite shape). Everything shuffles on doc_id or (doc_id, pos);
+    text travels exactly once.
+    """
+    k = SPAN_K
+    ws, dup, _ = _dup_span_parts(spark, sf_dir)
+    covered = dup.select(
+        "doc_id", F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("pos")
+    ).distinct()
+    toks = ws.select(
+        "doc_id", F.posexplode("w").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    n_tok = ws.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"
+                ),
+            ).alias("text_clean"),
+            F.count("*").cast("long").alias("n_kept"),
+        )
+        .join(n_tok, "doc_id")
+        .select(
+            "doc_id",
+            "text_clean",
+            "n_kept",
+            (F.col("n_tokens") - F.col("n_kept")).cast("long").alias("n_removed"),
+        )
     )
