@@ -7,6 +7,13 @@ Each query is timed as: build the lazy plan + execute via a count-style
 action that forces full computation without driver-side collection of
 big results (we collect only to mirror the driver's correctness path for
 small outputs).
+
+r13: the composite set = HEADLINE (incl. the four r12 TPC-H entries)
++ the d_/s_/t_/e_/m_ sweep; oracled entries outside it (the remaining
+q_*/q##/st_* family) rotate through a per-round ROTATE_N-entry timing
+slice reported on a separate `rotating_coverage` JSON line, excluded
+from the composite/ratios so round-over-round composites compare
+like-for-like.
 """
 
 from __future__ import annotations
@@ -28,6 +35,14 @@ HEADLINE = [
     "q03_topk_order_revenue",
     "q05_region_nation_revenue",
     "q06_filtered_revenue",
+    # the four r12 TPC-H adaptations (VERDICT r12 'What's wrong' 1:
+    # they were claimed benched but the sweep never matched q* — now
+    # explicit, a one-time composite-set change documented in
+    # BASELINE.md's r13 record)
+    "q11_important_parts",
+    "q12_latency_priority_pivot",
+    "q20_part_promotion_suppliers",
+    "q21_suppliers_kept_waiting",
     "q_orders_daily_pivot",
     "q_customer_order_stats",
     "q_topk_orders_per_segment",
@@ -41,6 +56,38 @@ HEADLINE = [
 
 
 FLOOR_DIR = "/root/testdata/sf0.001"
+
+# Rotating wall-time coverage (VERDICT r12 item 1): oracled registry
+# entries OUTSIDE the composite set (the remaining q_*/q##/st_* family)
+# get periodic timing evidence — ROTATE_N of them per round, the slice
+# advancing deterministically with the round number (derived from the
+# committed BENCH_r*.json artifacts, so a re-run inside one round times
+# the same slice). Rotating entries are timed with the same
+# min-of-runs protocol but EXCLUDED from the composite/ratios: the
+# round-over-round composite stays like-for-like while every entry
+# still earns a recorded wall time every few rounds.
+ROTATE_N = 12
+
+
+def _current_round() -> int:
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
+        if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+    ]
+    return (max(rounds) + 1) if rounds else 0
+
+
+def _rotating_slice(pool: list[str]) -> list[str]:
+    n = int(os.environ.get("SPARK_GRAFT_BENCH_ROTATE", str(ROTATE_N)))
+    if n <= 0 or not pool:
+        return []
+    start = (_current_round() * n) % len(pool)
+    doubled = pool + pool
+    return doubled[start : start + min(n, len(pool))]
 
 
 def _oracle_connection(sf_dir: str):
@@ -147,6 +194,13 @@ def main() -> None:
             name.startswith(p) for p in ("d_", "s_", "t_", "e_", "m_")
         ):
             names.append(name)
+    # rotating coverage pool: every oracled entry not already timed above
+    rotate_pool = sorted(
+        n
+        for n in specs
+        if n not in names and n not in skip and specs[n].oracle is not None
+    )
+    rotating = _rotating_slice(rotate_pool)
 
     # Warm-up: run every query once at the smallest SF so JVM class
     # loading + whole-stage-codegen compilation happen outside the timed
@@ -154,7 +208,7 @@ def main() -> None:
     # what matters for a long-lived engine.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in names:
+        for name in names + rotating:
             try:
                 specs[name].fn(spark, warm_dir).count()
             except Exception:
@@ -239,8 +293,6 @@ def main() -> None:
                     ora_con.close()
                 finally:
                     ora_con = None
-    if ora_con is not None:
-        ora_con.close()
     # per-query minima across passes; totals over queries present in ALL
     # engine passes (a mid-bench failure must not skew pass totals)
     ok_names = [n for n in names if all(n in p for p in engine_passes)]
@@ -297,6 +349,51 @@ def main() -> None:
         "slowest": slowest,
     }
     print(json.dumps(compact), flush=True)
+    # Rotating-coverage phase (VERDICT r12 item 1): runs AFTER the
+    # composite failsafe line is out — a harness timeout mid-rotation
+    # costs only the rotation evidence, never the composite. Own JSON
+    # line, kept out of the compact tail so the driver's 2000-char
+    # window still closes on composite + ratios.
+    if rotating:
+        rotating_out: dict[str, dict] = {}
+        rot_failures: dict[str, str] = {}
+        for name in rotating:
+            try:
+                best = None
+                for _ in range(runs_per_pass):
+                    jvm_gc()
+                    t0 = time.time()
+                    specs[name].fn(spark, sf_dir).count()
+                    dt = time.time() - t0
+                    best = dt if best is None or dt < best else best
+                    spark.catalog.clearCache()
+                rec = {"engine_sec": round(best, 3)}
+                if ora_con is not None:
+                    ob = None
+                    for _ in range(runs_per_pass):
+                        t0 = time.time()
+                        ora_con.execute(specs[name].oracle).fetchall()
+                        dt = time.time() - t0
+                        ob = dt if ob is None or dt < ob else ob
+                    rec["oracle_sec"] = round(ob, 3)
+                rotating_out[name] = rec
+            except Exception as exc:  # noqa: BLE001 — coverage evidence only
+                rot_failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+                spark.catalog.clearCache()
+        print(
+            json.dumps(
+                {
+                    "metric": "rotating_coverage",
+                    "round": _current_round(),
+                    "sf": sf,
+                    "rotating": rotating_out,
+                    "failures": rot_failures,
+                }
+            ),
+            flush=True,
+        )
+    if ora_con is not None:
+        ora_con.close()
     # Paired baseline ratios (VERDICT r5 item 9, interleaved protocol
     # r12): oracle minima-composite + floor adjustment, in-process so the
     # driver's BENCH record carries {raw_ratio, floor_adjusted_ratio}
