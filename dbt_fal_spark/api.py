@@ -1151,10 +1151,35 @@ class FalSpark:
                 )
                 continue
             df = self.source(src.source_name, src.table_name)
+            # cast like dbt's freshness macro does: a DATE loaded_at
+            # must subtract cleanly from current_timestamp()
             row = df.agg(
-                F.max(F.col(src.loaded_at_field)).alias("max_loaded_at"),
+                F.max(F.col(src.loaded_at_field).cast("timestamp")).alias(
+                    "max_loaded_at"
+                ),
                 F.current_timestamp().alias("now"),
             ).collect()[0]
+            if row["max_loaded_at"] is None:
+                # empty table / all-NULL loaded_at: dbt reports the
+                # source as 'runtime error' instead of crashing the
+                # whole freshness run (r13 review)
+                src.freshness_result = {
+                    "unique_id": src.unique_id,
+                    "max_loaded_at": None,
+                    "snapshotted_at": str(row["now"]),
+                    "max_loaded_at_time_ago_in_s": None,
+                    "status": "runtime error",
+                    "criteria": src.freshness_spec or {},
+                }
+                out.append(
+                    {
+                        "source": src.full_name,
+                        "max_loaded_at": None,
+                        "age_sec": None,
+                        "status": "runtime error",
+                    }
+                )
+                continue
             age_sec = (row["now"] - row["max_loaded_at"]).total_seconds()
             status = "pass"
             for level in ("warn", "error"):

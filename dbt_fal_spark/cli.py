@@ -288,6 +288,14 @@ def main(argv: list[str] | None = None) -> int:
         # a traceback
         print(str(e), file=sys.stderr)
         return 2
+    except Exception as e:  # noqa: BLE001
+        if args.command == "debug":
+            # debug exists to DIAGNOSE a broken setup — a project that
+            # fails to load (bad YAML, unreadable model file, …) must
+            # come back as a FAIL report, not a traceback (r13 review)
+            print(f"project load: FAIL ({type(e).__name__}: {e})")
+            return 1
+        raise
     if getattr(args, "disable_logging", False):
         # Spark's own WARN chatter counts as logging too; package DEBUG
         # deliberately does NOT flip Spark to INFO (hundreds of

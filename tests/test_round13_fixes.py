@@ -92,3 +92,67 @@ def test_sources_artifact_statusless_rows_skipped(tmp_path, spark):
     res = fal.source_freshness()
     assert all("from_artifact" not in r for r in res)
     spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+
+
+# ---------------------------------------------------------------------------
+# r13 adversarial-review findings (VERDICT r12 item 6 targets: debug
+# verb, freshness round-trip under degenerate inputs)
+# ---------------------------------------------------------------------------
+
+
+def test_debug_verb_reports_project_load_failure(tmp_path, capsys):
+    """`debug` exists to diagnose a broken setup: a project that fails
+    to LOAD (bad YAML) must print a FAIL report and exit 1, not
+    traceback (r13 review finding)."""
+    from dbt_fal_spark.cli import main
+
+    proj = tmp_path / "broken"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text("name: [unclosed\n")  # invalid YAML
+    rc = main(["debug", "--project-dir", str(proj)])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "project load: FAIL" in out
+
+
+def test_source_freshness_all_null_loaded_at_is_runtime_error(tmp_path, spark):
+    """An empty / all-NULL loaded_at source reports dbt's 'runtime
+    error' status instead of crashing the whole freshness run (r13
+    review finding)."""
+    import os
+
+    from dbt_fal_spark.api import FalSpark
+    from tests.conftest import SF_DIR
+
+    os.environ["TESTDATA_DIR"] = SF_DIR
+    proj = tmp_path / "proj"
+    shutil.copytree(FIXTURE, proj)
+    (proj / "target" / "sources.json").unlink(missing_ok=True)
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
+    fal = FalSpark(proj, spark=spark)
+    src = next(s for s in fal.manifest.sources.values() if s.loaded_at_field)
+    # point the source at an empty relation with the same loaded_at col
+    empty = spark.range(0).selectExpr(
+        f"CAST(NULL AS TIMESTAMP) AS {src.loaded_at_field}"
+    )
+    empty.createOrReplaceTempView("__empty_freshness_probe")
+    orig_source = fal.source
+    fal.source = lambda s, t: (
+        spark.table("__empty_freshness_probe")
+        if (s, t) == (src.source_name, src.table_name)
+        else orig_source(s, t)
+    )
+    res = {r["source"]: r for r in fal.source_freshness(recompute=True)}
+    r = res[src.full_name]
+    assert r["status"] == "runtime error"
+    assert r["age_sec"] is None and r["max_loaded_at"] is None
+    # the row still round-trips through the artifact writer
+    fal._write_sources_artifact()
+    import json as _json
+
+    doc = _json.loads((proj / "target" / "sources.json").read_text())
+    row = next(
+        x for x in doc["results"] if x["unique_id"] == src.unique_id
+    )
+    assert row["status"] == "runtime error"
+    spark.sql("DROP DATABASE IF EXISTS jaffle_spark CASCADE")
