@@ -43,6 +43,12 @@ OPS = [
     "d_embedding_neardup_lsh",
     "d_embedding_neardup_pairs",
     "d_exact_dedup",
+    # r13: the exact substring family — linear-by-construction (no cap);
+    # the x10 prefix-copy corpus makes every doc body a duplicated span,
+    # so output stays ~linear in docs while duplicate MASS explodes —
+    # exactly the shape that breaks a quadratic formulation
+    "d_substring_spans",
+    "d_substring_dedup_clean",
     "s_knn_bruteforce",
     "s_knn_ivf",
     "s_knn_lsh_multitable",
