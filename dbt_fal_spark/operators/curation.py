@@ -804,41 +804,36 @@ def d_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose every token is duplicated drop out entirely (nothing left to
     keep); span-free documents pass through verbatim.
 
-    Plan: duplicated k-gram starts explode into covered positions
-    (bounded ×{SPAN_K} fan-out of the dup relation, which is
-    span-sized), distinct per (doc, pos); tokens anti-join the covered
-    set on (doc_id, pos) — an equi-join, never a range join — and
-    reassemble per doc with the order-restoring
-    array_sort(collect_list(struct(pos, tok))) idiom (t_unk_replace's
-    rewrite shape). Everything shuffles on doc_id or (doc_id, pos);
-    text travels exactly once.
+    Plan (r13 rewrite — the first cut shuffled token text TWICE, via a
+    (doc_id, pos) anti-join then a doc_id regroup, and was the suite's
+    slowest entry at 1.47 s): the duplicated k-gram starts fold to ONE
+    span-sized array per doc (collect_set over the dup relation — the
+    only aggregation), which joins back to the doc spine on doc_id and
+    the token filtering happens MAP-SIDE with higher-order functions:
+    keep token i unless some start s covers it (s <= i < s + k). Token
+    text never enters a shuffle at all (the dup relation carries only
+    (doc_id, pos) ints; at bench scale the start-array side broadcasts,
+    making the rewrite map-only over the doc scan); order is preserved
+    by construction, so no order-restoring sort is needed. Work is
+    O(tokens x dup-starts-per-doc) in the worst (fully-duplicated) doc
+    — doc-bounded, the per-doc HOF budget every t_* signal already
+    spends.
     """
     k = SPAN_K
     ws, dup, _ = _dup_span_parts(spark, sf_dir)
-    covered = dup.select(
-        "doc_id", F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("pos")
-    ).distinct()
-    toks = ws.select(
-        "doc_id", F.posexplode("w").alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
-    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
-    n_tok = ws.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+    starts = dup.groupBy("doc_id").agg(F.collect_set("pos").alias("starts"))
+    kept = F.expr(
+        "filter(transform(w, (t, i) -> struct(t AS t, i + 1 AS p)),"
+        f" s -> starts IS NULL OR NOT exists(starts, st -> st <= s.p AND s.p < st + {k}))"
+    )
     return (
-        kept.groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"
-                ),
-            ).alias("text_clean"),
-            F.count("*").cast("long").alias("n_kept"),
-        )
-        .join(n_tok, "doc_id")
+        ws.join(starts, "doc_id", "left")
+        .select("doc_id", F.size("w").cast("long").alias("n_tokens"), kept.alias("kept"))
+        .filter(F.size("kept") > 0)
         .select(
             "doc_id",
-            "text_clean",
-            "n_kept",
-            (F.col("n_tokens") - F.col("n_kept")).cast("long").alias("n_removed"),
+            F.array_join(F.expr("transform(kept, s -> s.t)"), " ").alias("text_clean"),
+            F.size("kept").cast("long").alias("n_kept"),
+            (F.col("n_tokens") - F.size("kept")).cast("long").alias("n_removed"),
         )
     )
