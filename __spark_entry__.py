@@ -106,17 +106,22 @@ _CHECK_FIRST = (
     # lifetime note — source hash changed, plan unchanged).
     "d_substring_spans", "d_substring_dup_fraction",
     "d_substring_dedup_clean",
+    # NEW mid-r13: the integer-exact CCNet-style LM quality gate
+    # (never driver-checked) — takes the slot of
+    # q_pivot_priority_by_status, which defers to the r14 lead set
+    # with the other four single-table r10 rows
+    "t_lm_surprise_fraction",
     "p_fal_model_pandas_forecast", "p_flow_run_customer_stats",
     "q11_important_parts",
     # the two r9 rows deferred from the r12 window — the only
     # evidence older than r10 (VERDICT r12 item 4: lead with these)
     "q_corr_stats_by_flag", "q_histogram_totalprice",
-    # last green driver row is r10 — refresh 42 of the 46; the four
+    # last green driver row is r10 — refresh 41 of the 46; the five
     # deferred rows (q_date_filter_projection, q_order_date_parts,
-    # q_part_string_funcs, q_paginate_orders — single-table JVM
-    # projections, source untouched since r10, pytest-covered) lead
-    # the r14 window; after r13 they and the r11 rows are the only
-    # evidence older than r12.
+    # q_part_string_funcs, q_paginate_orders, q_pivot_priority_by_status
+    # — single-table JVM projections/pivots, source untouched since
+    # r10, pytest-covered) lead the r14 window; after r13 they and the
+    # r11 rows are the only evidence older than r12.
     "d_bloom_prefilter", "d_containment_pairs", "d_decontaminate",
     "d_dup_ngram_fraction", "d_embedding_neardup_lsh",
     "d_lsh_levenshtein_refine", "d_minhash_lsh_pairs",
@@ -130,7 +135,7 @@ _CHECK_FIRST = (
     "q_gini_customer_value", "q_grouping_sets_revenue",
     "q_lapsed_customers_except", "q_mad_outlier_orders",
     "q_orders_daily_pivot", "q_pii_masked_customers",
-    "q_pivot_priority_by_status", "q_priority_distinct_customers",
+    "q_priority_distinct_customers",
     "q_quantity_quartiles", "q_range_join_price_band",
     "q_region_rollup_revenue", "q_repeat_customers_intersect",
     "q_revenue_trend_by_priority", "q_salted_join_supplier_volume",

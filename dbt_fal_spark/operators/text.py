@@ -494,3 +494,143 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# LM-based quality gate (CCNet-style perplexity filtering, integer-exact)
+# ---------------------------------------------------------------------------
+
+# Surprise threshold 1/_LM_K: a bigram occurrence is "surprising" when its
+# add-one-smoothed conditional probability P(w2|w1) = (c2+1)/(c1+V) falls
+# below 1/_LM_K. 1/32 sits mid-distribution on the synthetic corpus and is
+# scale-invariant (both c2 and c1 grow linearly with corpus size, so the
+# probability — and therefore the gate — is stable across SFs).
+_LM_K = 32
+
+
+@query(
+    "t_lm_surprise_fraction",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents WHERE text IS NOT NULL),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                   i -> w[i])) AS w1,
+             unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                                   i -> w[i + 1])) AS w2
+      FROM ws
+    ),
+    m AS (SELECT doc_id, w1, w2, count(*) AS m FROM bg GROUP BY doc_id, w1, w2),
+    c2 AS (SELECT w1, w2, sum(m) AS c2 FROM m GROUP BY w1, w2),
+    toks AS (SELECT unnest(w) AS tok FROM ws),
+    c1 AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+    v AS (SELECT count(*) AS v FROM c1),
+    flagged AS (
+      SELECT c2.w1, c2.w2,
+             ({_LM_K} * (c2.c2 + 1) < c1.c1 + v.v) AS surprising
+      FROM c2 JOIN c1 ON c2.w1 = c1.tok CROSS JOIN v
+    ),
+    per_doc AS (
+      SELECT m.doc_id,
+             CAST(sum(m.m) AS BIGINT) AS n_bigrams,
+             CAST(sum(CASE WHEN f.surprising THEN m.m ELSE 0 END) AS BIGINT)
+               AS n_surprising
+      FROM m JOIN flagged f ON m.w1 = f.w1 AND m.w2 = f.w2
+      GROUP BY m.doc_id
+    )
+    SELECT ws.doc_id,
+           CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(p.n_surprising, 0) AS BIGINT) AS n_surprising,
+           CASE WHEN coalesce(p.n_bigrams, 0) = 0 THEN 0.0
+                ELSE CAST(p.n_surprising AS DOUBLE) / p.n_bigrams END
+             AS surprise_fraction
+    FROM ws LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=("text", "quality", "lm"),
+)
+def t_lm_surprise_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality gate — the integer-exact analogue of CCNet's
+    perplexity filter (Wenzek et al. 2019; also Gopher's LM gate): train
+    a bigram model with add-one smoothing ON the corpus itself, then
+    score each document by the fraction of its bigram occurrences whose
+    conditional probability falls below 1/{_LM_K}. High surprise
+    fraction = the doc's word transitions are unlike the corpus — the
+    same signal CCNet thresholds perplexity on, but expressed WITHOUT
+    ln/exp (Java's Math.log and DuckDB's libm log are not bit-identical,
+    the t_tfidf_top_terms precedent), so the gate is hash-exact: the
+    probability comparison P < 1/K becomes the integer cross-product
+    K*(c2+1) < c1+V, and surprise_fraction is an exact two-integer
+    division. The reference (dbt-fal) would run this as a whole-table
+    pandas script (reference: projects/adapter/README.md "run ML
+    workloads on your dbt models").
+
+    Plan shape (100 TB stance): linear dataflow, no pairwise stage —
+    (1) per-doc bigram-TYPE counts m (one shuffle keyed
+    (doc_id,w1,w2), map-side partials collapse the explode);
+    (2) corpus bigram counts c2 = regroup of m (bigram-type-sized);
+    (3) unigram counts c1 (vocab-sized, broadcast);
+    (4) the surprising FLAG is decided on the c2 relation (type-level,
+        sublinear in corpus) so the fact-side join ships one boolean —
+        m joins flagged on (w1,w2), then one doc_id regroup;
+    (5) left join back to the doc spine so 0-bigram docs gate cleanly.
+    V (vocab size) is a bounded driver scalar off the persisted c1
+    (the t_tfidf n_docs / q11 scalar precedent). Cache lifetime follows
+    the repo's persist() contract (caller clears between queries).
+    """
+    k = _LM_K
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = spread(docs.filter(F.col("text").isNotNull())).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    pairs = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) < 2 THEN array() ELSE"
+                " transform(sequence(0, size(w) - 2),"
+                " i -> struct(w[i] AS w1, w[i + 1] AS w2)) END"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    # persisted: feeds the c2 regroup AND the flag join-back
+    m = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m")).persist()
+    c2 = m.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
+    # persisted: the vocab-size scalar action below and the flag join
+    # both read it
+    c1 = (
+        ws.select(F.explode("w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .persist()
+    )
+    v = c1.count()  # bounded driver scalar: vocab size
+    flagged = c2.join(F.broadcast(c1), "w1").select(
+        "w1",
+        "w2",
+        ((F.lit(k) * (F.col("c2") + 1)) < (F.col("c1") + F.lit(v))).alias("surprising"),
+    )
+    per_doc = (
+        m.join(flagged, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("surprising"), F.col("m")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_surprising"),
+        )
+    )
+    return (
+        ws.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_surprising", F.lit(0)).cast("long").alias("n_surprising"),
+            F.when(F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_surprising").cast("double") / F.col("n_bigrams")
+            )
+            .alias("surprise_fraction"),
+        )
+    )

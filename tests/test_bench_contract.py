@@ -100,6 +100,20 @@ def test_rotation_cycles_through_entire_pool():
     assert seen == set(pool), f"rotation never reaches: {set(pool) - seen}"
 
 
+def test_oracle_bench_shares_bench_headline():
+    """tools/oracle_bench.py must time the SAME headline set as
+    bench.py — it drifted in r13 (a stale HEADLINE copy missing the
+    four r12 TPC-H entries); it now imports bench.HEADLINE, which this
+    test pins."""
+    bench = _load_bench()
+    spec = importlib.util.spec_from_file_location(
+        "oracle_bench_under_test", os.path.join(REPO, "tools", "oracle_bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.HEADLINE == bench.HEADLINE
+
+
 def test_skips_are_still_oracle_checked():
     """The bench skip set opts entries out of TIMING pairing only —
     they must still carry oracles so the correctness gate covers them."""

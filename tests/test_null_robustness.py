@@ -35,6 +35,7 @@ DROP_OPS = [
     "d_decontaminate",
     "d_dup_ngram_fraction",
     "t_tfidf_top_terms",
+    "t_lm_surprise_fraction",
     "t_rolling_fingerprint",
     "t_top_bigrams",
     "t_vocab_coverage",
