@@ -49,6 +49,12 @@ OPS = [
     # exactly the shape that breaks a quadratic formulation
     "d_substring_spans",
     "d_substring_dedup_clean",
+    # r13: the LM gate — linear stages + type-bounded model relations;
+    # the x10 copy corpus multiplies every bigram count 10× while vocab
+    # stays ~flat, so any formulation joining OCCURRENCES (instead of
+    # per-doc TYPES) or materializing the model per doc shows super-
+    # linear wall here
+    "t_lm_surprise_fraction",
     "s_knn_bruteforce",
     "s_knn_ivf",
     "s_knn_lsh_multitable",
