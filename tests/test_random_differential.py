@@ -63,6 +63,13 @@ OPS = [
     "t_stratified_sample",
     "t_repetition_stats",
     "t_gopher_quality",
+    # r13 families: the identical-doc cluster + hot-shingle shapes are
+    # heavy substring-duplication corpora, and the skewed word soup
+    # gives the LM gate a full common/rare transition spectrum
+    "d_substring_spans",
+    "d_substring_dup_fraction",
+    "d_substring_dedup_clean",
+    "t_lm_surprise_fraction",
     "t_domain_mix_sample",
     "m_binary_metadata",
     "m_decode_pipeline",
