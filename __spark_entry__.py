@@ -96,7 +96,43 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST stale rows of the r13 window; after r12 they are the only
 # entries with evidence older than r10.
 _CHECK_FIRST = (
-    # --- r13 WINDOW ---
+    # --- r14 WINDOW ---
+    # CORRECTNESS_r13 was green over the full r13 window (50/50).
+    # Changed/new this round — verify first: d_substring_dedup_keep_first
+    # (NEW, VERDICT r13 item 4: the RefinedWeb keep-one-canonical-copy
+    # variant, never driver-checked), the three existing substring
+    # entries (closure changed: gram emit factored into _gram_relation,
+    # clean tail into _clean_output — plans unchanged), and
+    # t_lm_surprise_fraction (VERDICT r13 item 2: forced vocab
+    # broadcast dropped; AQE still picks broadcast at every test SF, so
+    # the physical plan is unchanged).
+    "d_substring_dedup_keep_first", "d_substring_spans",
+    "d_substring_dup_fraction", "d_substring_dedup_clean",
+    "t_lm_surprise_fraction",
+    # the five r10 rows deferred from the r13 window (VERDICT r13
+    # item 3: the only evidence older than r11)
+    "q_date_filter_projection", "q_order_date_parts", "q_paginate_orders",
+    "q_part_string_funcs", "q_pivot_priority_by_status",
+    # the 38 entries whose last green driver row is r11
+    "d_exact_dedup", "d_keep_best_per_key", "d_ngram_jaccard_pairs",
+    "d_simhash", "d_winnow_neardup",
+    "e_asof_purchase_attribution", "e_changepoint_cusum",
+    "e_daily_active_users", "e_dau_hll_sketch", "e_hll_register_state",
+    "e_interpolate_daily_user", "e_rolling_median_7d", "e_sessionize",
+    "m_chunk_dedup",
+    "q01_pricing_summary", "q_ab_test_proportions", "q_conditional_aggs",
+    "q_latest_order_per_customer", "q_revenue_share_by_nation",
+    "q_unpivot_segment_metrics",
+    "t_cms_heavy_hitters", "t_domain_mix_sample", "t_fingerprint",
+    "t_gopher_quality", "t_lang_profile", "t_langid_naive",
+    "t_pack_emit", "t_pack_sequences", "t_quality_score",
+    "t_repetition_stats", "t_rolling_fingerprint", "t_stratified_sample",
+    "t_tfidf_top_terms", "t_token_bpe", "t_token_stats",
+    "t_top_bigrams", "t_unk_replace", "t_vocab_coverage",
+    # two alphabetically-first r12 rows fill the window to 50; after
+    # r14 no entry's driver evidence is older than r12.
+    "d_embedding_neardup_pairs", "e_anomaly_events",
+    # --- r13 WINDOW (history; superseded) ---
     # CORRECTNESS_r12 was green over the full r12 window (50/50).
     # Changed/new this round — verify first: the 3 NEW exact
     # substring-dedup entries (VERDICT r12 item 3, never

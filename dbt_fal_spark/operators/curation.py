@@ -553,8 +553,9 @@ def t_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # script (reference: projects/adapter/README.md "run ML workloads on
 # your dbt models").
 #
-# Semantics (shared by all three entries, mirrored exactly by the
-# oracles): a token position is DUPLICATED iff it is covered by at
+# Semantics (shared by the family, mirrored exactly by the oracles;
+# the keep-first variant differs only in which OCCURRENCES count as
+# removable): a token position is DUPLICATED iff it is covered by at
 # least one word {SPAN_K}-gram that occurs >= 2 times corpus-wide
 # (including a second occurrence inside the same document — ExactSubstr
 # dedups within-doc repeats too). Maximal spans are the merge of
@@ -578,26 +579,25 @@ def t_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _dup_span_parts(spark: SparkSession, sf_dir: str):
-    """Shared stages for the d_substring_* family: returns
-    (ws, dup, spans) where ws = (doc_id, w: array<string>) for non-null
-    docs, dup = (doc_id, pos) duplicated k-gram start positions, and
-    spans = (doc_id, span_start, span_end, span_tokens) maximal merged
-    spans (1-based token positions, inclusive).
+def _gram_relation(spark: SparkSession, sf_dir: str):
+    """Shared first stage for the d_substring_* family: returns
+    (ws, grams) where ws = (doc_id, w: array<string>) for non-null docs
+    and grams = (doc_id, pos, dig) — every word SPAN_K-gram start
+    position (1-based) with its xxhash64 digest. Map-only: 8-byte
+    digests shuffle downstream, never gram text.
 
-    The gram relation is persisted: the doc-frequency count and the
-    fold-back semi-join both read it — unpersisted, the map-only emit
-    stage would run twice (same rationale as d_dup_ngram_fraction).
-    Cache lifetime follows the repo's persist() contract: the caller
-    (bench/check harnesses, API sessions) clears it between queries.
+    The gram relation is persisted: every variant reads it at least
+    twice (the digest-frequency/first-occurrence aggregation AND the
+    fold-back join) — unpersisted, the map-only emit stage would run
+    twice (same rationale as d_dup_ngram_fraction). Cache lifetime
+    follows the repo's persist() contract: the caller (bench/check
+    harnesses, API sessions) clears it between queries.
 
     Spark's ``sequence(1, 0)`` DESCENDS ([1, 0]) instead of returning
     an empty array like DuckDB's generate_series — docs shorter than
     SPAN_K are filtered out before the sequence is built (they emit no
     grams on either engine).
     """
-    from pyspark.sql import Window as W
-
     k = SPAN_K
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ws = docs.filter(F.col("text").isNotNull()).select(
@@ -617,6 +617,21 @@ def _dup_span_parts(spark: SparkSession, sf_dir: str):
         .select("doc_id", (F.col("p0") + 1).alias("pos"), "dig")
         .persist()
     )
+    return ws, grams
+
+
+def _dup_span_parts(spark: SparkSession, sf_dir: str):
+    """Shared stages for the cut-every-occurrence d_substring_* entries:
+    returns (ws, dup, spans) where ws = (doc_id, w: array<string>) for
+    non-null docs, dup = (doc_id, pos) duplicated k-gram start
+    positions, and spans = (doc_id, span_start, span_end, span_tokens)
+    maximal merged spans (1-based token positions, inclusive). Gram emit
+    (and its persist contract) lives in _gram_relation.
+    """
+    from pyspark.sql import Window as W
+
+    k = SPAN_K
+    ws, grams = _gram_relation(spark, sf_dir)
     dup_digs = (
         grams.groupBy("dig").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
     )
@@ -653,12 +668,11 @@ def _dup_span_parts(spark: SparkSession, sf_dir: str):
     return ws, dup, spans
 
 
-# shared oracle CTE prefix: ws/grams/doc-frequency/duplicated-positions,
-# the SQL mirror of _dup_span_parts' first two stages. The oracle keys
-# on md5 gram strings where Spark keys on xxhash64 — only positions and
-# counts reach any output, so any collision-free digest is equivalent
-# (the d_dup_ngram_fraction convention).
-_SPAN_ORACLE_PREFIX = f"""
+# shared oracle CTEs: ws/grams — the SQL mirror of _gram_relation. The
+# oracle keys on md5 gram strings where Spark keys on xxhash64 — only
+# positions and counts reach any output, so any collision-free digest
+# is equivalent (the d_dup_ngram_fraction convention).
+_GRAM_ORACLE_CTES = f"""
     WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
                 FROM documents WHERE text IS NOT NULL),
     g AS (
@@ -669,8 +683,13 @@ _SPAN_ORACLE_PREFIX = f"""
                i -> md5(array_to_string(list_slice(w, i, i + {SPAN_K - 1}), ' '))
              )) AS dig
       FROM ws
-    ),
-    f AS (SELECT dig FROM g GROUP BY dig HAVING count(*) >= 2),
+    )
+"""
+
+# cut-every-occurrence duplicated positions (Lee et al.'s default): d =
+# EVERY start position whose digest occurs >= 2 times corpus-wide.
+_SPAN_ORACLE_PREFIX = _GRAM_ORACLE_CTES + """
+    , f AS (SELECT dig FROM g GROUP BY dig HAVING count(*) >= 2),
     d AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (dig))
 """
 
@@ -768,10 +787,10 @@ def d_substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "d_substring_dedup_clean",
-    oracle=_SPAN_ORACLE_PREFIX
-    + f"""
+# shared oracle tail for the two clean variants: expand the
+# variant-specific duplicated-start relation d into covered positions,
+# keep the uncovered tokens, rebuild text. (Mirror of _clean_output.)
+_CLEAN_ORACLE_TAIL = f"""
     , cov AS (
       SELECT DISTINCT doc_id, pos + j AS pos
       FROM d, generate_series(0, {SPAN_K - 1}) AS u(j)
@@ -792,7 +811,43 @@ def d_substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(any_value(ws.w)) - count(*) AS BIGINT) AS n_removed
     FROM kept k JOIN ws ON k.doc_id = ws.doc_id
     GROUP BY k.doc_id
-    """,
+"""
+
+
+def _clean_output(ws, dup) -> DataFrame:
+    """Shared final stage for the two clean variants: given the doc
+    spine ws = (doc_id, w) and a variant-specific dup = (doc_id, pos)
+    relation of duplicated k-gram starts, rebuild each document's text
+    from the tokens OUTSIDE every [pos, pos + k - 1] interval. The dup
+    starts fold to ONE span-sized array per doc (collect_set — the only
+    aggregation) which joins back to the doc spine on doc_id; token
+    filtering happens MAP-SIDE with higher-order functions, so token
+    text never enters a shuffle (at bench scale the start-array side
+    broadcasts, making this map-only over the doc scan). Docs with no
+    surviving tokens drop out; order is preserved by construction.
+    """
+    k = SPAN_K
+    starts = dup.groupBy("doc_id").agg(F.collect_set("pos").alias("starts"))
+    kept = F.expr(
+        "filter(transform(w, (t, i) -> struct(t AS t, i + 1 AS p)),"
+        f" s -> starts IS NULL OR NOT exists(starts, st -> st <= s.p AND s.p < st + {k}))"
+    )
+    return (
+        ws.join(starts, "doc_id", "left")
+        .select("doc_id", F.size("w").cast("long").alias("n_tokens"), kept.alias("kept"))
+        .filter(F.size("kept") > 0)
+        .select(
+            "doc_id",
+            F.array_join(F.expr("transform(kept, s -> s.t)"), " ").alias("text_clean"),
+            F.size("kept").cast("long").alias("n_kept"),
+            (F.col("n_tokens") - F.size("kept")).cast("long").alias("n_removed"),
+        )
+    )
+
+
+@query(
+    "d_substring_dedup_clean",
+    oracle=_SPAN_ORACLE_PREFIX + _CLEAN_ORACLE_TAIL,
     tags=("curation", "dedup", "substring"),
 )
 def d_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -817,23 +872,69 @@ def d_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction, so no order-restoring sort is needed. Work is
     O(tokens x dup-starts-per-doc) in the worst (fully-duplicated) doc
     — doc-bounded, the per-doc HOF budget every t_* signal already
-    spends.
+    spends. (The HOF stage now lives in _clean_output, shared with the
+    keep-first variant below.)
     """
-    k = SPAN_K
     ws, dup, _ = _dup_span_parts(spark, sf_dir)
-    starts = dup.groupBy("doc_id").agg(F.collect_set("pos").alias("starts"))
-    kept = F.expr(
-        "filter(transform(w, (t, i) -> struct(t AS t, i + 1 AS p)),"
-        f" s -> starts IS NULL OR NOT exists(starts, st -> st <= s.p AND s.p < st + {k}))"
-    )
-    return (
-        ws.join(starts, "doc_id", "left")
-        .select("doc_id", F.size("w").cast("long").alias("n_tokens"), kept.alias("kept"))
-        .filter(F.size("kept") > 0)
-        .select(
-            "doc_id",
-            F.array_join(F.expr("transform(kept, s -> s.t)"), " ").alias("text_clean"),
-            F.size("kept").cast("long").alias("n_kept"),
-            (F.col("n_tokens") - F.size("kept")).cast("long").alias("n_removed"),
+    return _clean_output(ws, dup)
+
+
+@query(
+    "d_substring_dedup_keep_first",
+    oracle=_GRAM_ORACLE_CTES
+    + """
+    , r AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY dig ORDER BY doc_id, pos) AS rn
+      FROM g
+    ),
+    d AS (SELECT doc_id, pos FROM r WHERE rn > 1)
+    """
+    + _CLEAN_ORACLE_TAIL,
+    tags=("curation", "dedup", "substring"),
+)
+def d_substring_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove duplicated spans but KEEP ONE CANONICAL COPY per
+    duplicated k-gram — the RefinedWeb / production-pipeline stance
+    (Penedo et al. 2023 keep one exemplar per duplicated span cluster),
+    vs d_substring_dedup_clean's Lee et al. default of cutting every
+    occurrence. A k-gram occurrence is removed iff it is NOT the
+    corpus-wide first occurrence of its digest, "first" meaning minimal
+    (doc_id, pos) — d_exact_dedup's deterministic keep-first rule
+    applied at substring granularity. Consequence: the earliest copy of
+    any duplicated passage survives verbatim (an exact-duplicate pair
+    keeps the lower-doc_id member intact and drops the other), and no
+    content is lost from the corpus — only repetitions.
+
+    Plan (100 TB stance): same linear dataflow as the family — the only
+    change vs d_substring_dedup_clean is the duplicate-detection
+    aggregation: instead of a digest count + semi-join, one digest-keyed
+    groupBy computing min(struct(doc_id, pos)) WITH map-side partial
+    min (deliberately not a row_number window, which would sort every
+    digest partition; the oracle's window spelling is equivalent because
+    digests are collision-free), filtered to digests with >= 2
+    occurrences, joined back to the gram relation on digest, and the
+    single canonical occurrence filtered out fact-side. Digest-only
+    shuffles; token text stays map-side (_clean_output).
+    """
+    ws, grams = _gram_relation(spark, sf_dir)
+    firsts = (
+        grams.groupBy("dig")
+        .agg(
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+            F.count("*").alias("c"),
         )
+        .filter(F.col("c") >= 2)
+        .select("dig", "first")
     )
+    dup = (
+        grams.join(firsts, "dig")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    return _clean_output(ws, dup)

@@ -569,7 +569,13 @@ def t_lm_surprise_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1) per-doc bigram-TYPE counts m (one shuffle keyed
     (doc_id,w1,w2), map-side partials collapse the explode);
     (2) corpus bigram counts c2 = regroup of m (bigram-type-sized);
-    (3) unigram counts c1 (vocab-sized, broadcast);
+    (3) unigram counts c1 — NOT force-broadcast: a raw space-split
+        vocabulary grows with the corpus (Heaps' law; 10^8-10^9 rows
+        at 100 TB of web text), so the c2⋈c1 join is left to AQE,
+        which picks broadcast when c1 is actually small (it is at
+        every test SF, so the physical plan here is unchanged) and a
+        shuffle join when it isn't — vocab joins are shuffle-safe by
+        construction, broadcast is AQE's choice, never a hint;
     (4) the surprising FLAG is decided on the c2 relation (type-level,
         sublinear in corpus) so the fact-side join ships one boolean —
         m joins flagged on (w1,w2), then one doc_id regroup;
@@ -605,7 +611,7 @@ def t_lm_surprise_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     v = c1.count()  # bounded driver scalar: vocab size
-    flagged = c2.join(F.broadcast(c1), "w1").select(
+    flagged = c2.join(c1, "w1").select(
         "w1",
         "w2",
         ((F.lit(k) * (F.col("c2") + 1)) < (F.col("c1") + F.lit(v))).alias("surprising"),

@@ -199,3 +199,119 @@ def test_adjacent_islands_merge(spark, tmp_path):
     assert (0, 1, 2 * k) in spans
     assert sum(1 for s in spans if s[0] == 0) == 1
     assert sum(1 for s in spans if s[0] == 1) == 2
+
+
+# ---------------------------------------------------------------------------
+# keep-first variant (r14): remove every k-gram occurrence EXCEPT the
+# corpus-wide first (minimal (doc_id, pos)) — RefinedWeb's
+# keep-one-canonical-copy stance vs Lee et al.'s cut-every-occurrence.
+# ---------------------------------------------------------------------------
+
+
+def py_keep_first_clean(docs, k=SPAN_K):
+    """Reference: like py_clean, but a position is removed only when
+    covered by a k-gram occurrence that is NOT its gram's first
+    occurrence (first = lexicographic min (doc_id, pos))."""
+    from collections import Counter
+
+    grams = {}
+    for i, t in docs:
+        w = t.split(" ")
+        grams[i] = [" ".join(w[j : j + k]) for j in range(max(len(w) - k + 1, 0))]
+    freq = Counter(g for gs in grams.values() for g in gs)
+    first = {}
+    for i, gs in sorted(grams.items()):
+        for p, g in enumerate(gs, start=1):
+            if g not in first:
+                first[g] = (i, p)
+    out = {}
+    for i, t in docs:
+        w = t.split(" ")
+        covered = set()
+        for p, g in enumerate(grams[i], start=1):
+            if freq[g] >= 2 and first[g] != (i, p):
+                covered.update(range(p, p + k))
+        kept = [tok for j, tok in enumerate(w, start=1) if j not in covered]
+        if kept:
+            out[i] = (" ".join(kept), len(kept), len(w) - len(kept))
+    return out
+
+
+def test_keep_first_matches_reference(spark, tmp_path):
+    from dbt_fal_spark.operators.curation import d_substring_dedup_keep_first
+
+    for seed in (7, 99, 1009):
+        docs = make_corpus(seed)
+        sf = write_corpus(spark, tmp_path / str(seed), docs)
+        got = {
+            r.doc_id: (r.text_clean, r.n_kept, r.n_removed)
+            for r in d_substring_dedup_keep_first(spark, sf).collect()
+        }
+        spark.catalog.clearCache()
+        assert got == py_keep_first_clean(docs), f"seed {seed}"
+
+
+def test_keep_first_canonical_copy_survives(spark, tmp_path):
+    """The engineered exact-duplicate pair (doc 0, doc n): keep-first
+    preserves doc 0 VERBATIM (every gram's first occurrence is doc 0's)
+    and drops doc n entirely; cut-every (dedup_clean) drops both. Also:
+    keep-first never removes more than cut-every does, doc for doc."""
+    from dbt_fal_spark.operators.curation import (
+        d_substring_dedup_clean,
+        d_substring_dedup_keep_first,
+    )
+
+    docs = make_corpus(42)
+    n = len(docs) - 3
+    sf = write_corpus(spark, tmp_path, docs)
+    kf = {
+        r.doc_id: (r.text_clean, r.n_removed)
+        for r in d_substring_dedup_keep_first(spark, sf).collect()
+    }
+    ce = {
+        r.doc_id: r.n_removed for r in d_substring_dedup_clean(spark, sf).collect()
+    }
+    spark.catalog.clearCache()
+    assert kf[0] == (docs[0][1], 0)  # canonical copy intact
+    assert n not in kf  # the later duplicate drops out
+    assert 0 not in ce  # cut-every drops BOTH members of the pair
+    for i, removed in kf.items():
+        assert removed[1] <= ce.get(i, len(docs[i][1].split(" ")))
+
+
+def test_keep_first_within_doc_repeat(spark, tmp_path):
+    """A doc repeating its own leading k tokens keeps the FIRST
+    occurrence and cuts the second (within-doc keep-first), when the
+    gram occurs nowhere earlier in the corpus."""
+    from dbt_fal_spark.operators.curation import d_substring_dedup_keep_first
+
+    k = SPAN_K
+    head = " ".join(f"h{i}" for i in range(k))
+    filler = " ".join(f"f{i}" for i in range(6))
+    docs = [(0, head + " " + filler + " " + head)]
+    sf = write_corpus(spark, tmp_path, docs)
+    rows = d_substring_dedup_keep_first(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.text_clean == head + " " + filler
+    assert (r.n_kept, r.n_removed) == (2 * k + 6 - k, k)
+
+
+def test_keep_first_degenerate_shapes(spark, tmp_path):
+    """No duplication → keep-first cleans to identity, same as
+    cut-every; sub-k docs pass through."""
+    from dbt_fal_spark.operators.curation import d_substring_dedup_keep_first
+
+    docs = [
+        (0, "a"),
+        (1, " ".join(f"u{i}" for i in range(12))),
+        (2, " ".join(f"v{i}" for i in range(SPAN_K - 1))),
+    ]
+    sf = write_corpus(spark, tmp_path, docs)
+    got = {
+        r.doc_id: r.text_clean
+        for r in d_substring_dedup_keep_first(spark, sf).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == {i: t for i, t in docs}
