@@ -8,12 +8,22 @@ action that forces full computation without driver-side collection of
 big results (we collect only to mirror the driver's correctness path for
 small outputs).
 
+The query-set contract (HEADLINE, skips, sweep prefixes, rotation pool,
+canary references) lives in dbt_fal_spark/bench_set.py, shared with
+tools/oracle_bench.py and tests/test_bench_contract.py.
+
 r13: the composite set = HEADLINE (incl. the four r12 TPC-H entries)
 + the d_/s_/t_/e_/m_ sweep; oracled entries outside it (the remaining
 q_*/q##/st_* family) rotate through a per-round ROTATE_N-entry timing
 slice reported on a separate `rotating_coverage` JSON line, excluded
 from the composite/ratios so round-over-round composites compare
 like-for-like.
+
+r14: the artifact self-diagnoses degraded host windows (VERDICT r13
+item 1) — after the floor phase, a fixed canary set is re-timed against
+committed cross-run minima; the tail JSON carries the canary evidence
+and a degraded_window flag, and a degraded first reading triggers ONE
+extra interleaved pass (minima absorb it) before the final verdict.
 """
 
 from __future__ import annotations
@@ -25,48 +35,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from dbt_fal_spark.bench_set import (
+    CANARIES,
+    ROTATE_N,
+    canary_verdict,
+    composite_names,
+    rotate_pool,
+)
 from dbt_fal_spark.registry import all_queries
 from dbt_fal_spark.session import get_spark
 
-# Headline set: the scale-critical relational queries + one per extension
-# family. Kept explicit so bench timings are stable as the registry grows.
-HEADLINE = [
-    "q01_pricing_summary",
-    "q03_topk_order_revenue",
-    "q05_region_nation_revenue",
-    "q06_filtered_revenue",
-    # the four r12 TPC-H adaptations (VERDICT r12 'What's wrong' 1:
-    # they were claimed benched but the sweep never matched q* — now
-    # explicit, a one-time composite-set change documented in
-    # BASELINE.md's r13 record)
-    "q11_important_parts",
-    "q12_latency_priority_pivot",
-    "q20_part_promotion_suppliers",
-    "q21_suppliers_kept_waiting",
-    "q_orders_daily_pivot",
-    "q_customer_order_stats",
-    "q_topk_orders_per_segment",
-    "q_customer_running_total",
-    "q_priority_distinct_customers",
-    "q_region_rollup_revenue",
-    # one entry for the batch-inference family (iterator pandas_udf);
-    # p_ prefix is not swept so it is listed explicitly
-    "p_sentiment_batch_inference",
-]
-
-
 FLOOR_DIR = "/root/testdata/sf0.001"
-
-# Rotating wall-time coverage (VERDICT r12 item 1): oracled registry
-# entries OUTSIDE the composite set (the remaining q_*/q##/st_* family)
-# get periodic timing evidence — ROTATE_N of them per round, the slice
-# advancing deterministically with the round number (derived from the
-# committed BENCH_r*.json artifacts, so a re-run inside one round times
-# the same slice). Rotating entries are timed with the same
-# min-of-runs protocol but EXCLUDED from the composite/ratios: the
-# round-over-round composite stays like-for-like while every entry
-# still earns a recorded wall time every few rounds.
-ROTATE_N = 12
 
 
 def _current_round() -> int:
@@ -139,12 +118,84 @@ def _oracle_timings(names, specs, sf_dir: str, runs: int = 3) -> dict[str, float
     return {n: round(v, 3) for n, v in best.items()}
 
 
-def _paired_ratios(spark, specs, engine_timings, oracle_timings, sf_dir: str) -> dict:
+def _time_engine(spark, jvm_gc, fn, sf_dir: str, runs: int) -> float:
+    """min-of-`runs` back-to-back wall for one query: full GC between
+    runs (the PREVIOUS query's collection pauses land outside the timed
+    region; the ContextCleaner reaps dereferenced broadcasts), cache
+    cleared after each run (operators persist() multi-consumer
+    intermediates for their own query's duration — compounding them
+    across runs would build memory pressure)."""
+    best = None
+    for _ in range(max(1, runs)):
+        jvm_gc()
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+        spark.catalog.clearCache()
+    return best
+
+
+def _engine_pass(
+    spark, jvm_gc, specs, names, sf_dir, runs_per_pass, broken, failures
+) -> dict[str, float]:
+    """One full engine pass over `names` (skipping queries already
+    marked broken — one broken query must not zero the whole record)."""
+    epass: dict[str, float] = {}
+    for name in names:
+        if name in broken:
+            continue
+        try:
+            epass[name] = _time_engine(
+                spark, jvm_gc, specs[name].fn, sf_dir, runs_per_pass
+            )
+        except Exception as exc:  # noqa: BLE001 — report it, keep timing
+            failures[name] = f"{type(exc).__name__}: {exc}"[:300]
+            broken.add(name)
+            spark.catalog.clearCache()
+    return epass
+
+
+def _aggregate(names, engine_passes, oracle_passes):
+    """Per-query minima across passes; totals over queries present in
+    ALL engine passes (a mid-bench failure must not skew pass totals)."""
+    ok_names = [n for n in names if all(n in p for p in engine_passes)]
+    timings = {n: round(min(p[n] for p in engine_passes), 3) for n in ok_names}
+    oracle_timings = {}
+    if oracle_passes:
+        oracle_timings = {
+            n: round(min(p[n] for p in oracle_passes), 3)
+            for n in ok_names
+            if all(n in p for p in oracle_passes)
+        }
+    engine_pass_totals = [
+        round(sum(p[n] for n in ok_names), 3) for p in engine_passes
+    ]
+    oracle_pass_totals = [
+        round(sum(p[n] for n in oracle_timings), 3) for p in oracle_passes
+    ]
+    return ok_names, timings, oracle_timings, engine_pass_totals, oracle_pass_totals
+
+
+def _engine_floor(spark, jvm_gc, specs, names, runs: int = 2) -> float:
+    """Sum of per-query sf0.001 walls — the per-query fixed cost
+    (scheduling floor locally, absent at cluster scale). min-of-2
+    suffices for a fixed-cost estimate; queries are already warm."""
+    total = 0.0
+    for name in names:
+        total += _time_engine(spark, jvm_gc, specs[name].fn, FLOOR_DIR, runs)
+    return total
+
+
+def _paired_ratios(
+    spark, jvm_gc, specs, engine_timings, oracle_timings, sf_dir: str, floors=None
+) -> tuple[dict, tuple | None]:
     """raw_ratio = paired engine/oracle minima-composite totals at
     sf_dir; floor_adjusted_ratio subtracts each side's sf0.001 totals
-    (the per-query fixed cost — scheduling floor locally, absent at
-    cluster scale) so the ratio reflects per-row data work. BENCH_FLOOR
-    protocol from r4/r5, emitted in the bench tail each run."""
+    so the ratio reflects per-row data work. BENCH_FLOOR protocol from
+    r4/r5, emitted in the bench tail each run. Returns (ratios, floors)
+    so a degraded-window re-aggregation can reuse the measured floors
+    instead of re-running the floor phase."""
     paired = [n for n in engine_timings if n in oracle_timings]
     eng_total = sum(engine_timings[n] for n in paired)
     ora_total = sum(oracle_timings[n] for n in paired)
@@ -155,62 +206,46 @@ def _paired_ratios(spark, specs, engine_timings, oracle_timings, sf_dir: str) ->
         "floor_adjusted_ratio": None,
     }
     if os.path.isdir(FLOOR_DIR) and os.path.abspath(sf_dir) != os.path.abspath(FLOOR_DIR):
-        eng_floor = 0.0
-        for name in paired:
-            # min-of-2 suffices for a fixed-cost estimate; queries are
-            # already warm from the warm-up pass
-            best = None
-            for _ in range(2):
-                t0 = time.time()
-                specs[name].fn(spark, FLOOR_DIR).count()
-                dt = time.time() - t0
-                best = dt if best is None or dt < best else best
-                spark.catalog.clearCache()
-            eng_floor += best
-        ora_floor = sum(_oracle_timings(paired, specs, FLOOR_DIR, runs=2).values())
+        if floors is None:
+            eng_floor = _engine_floor(spark, jvm_gc, specs, paired)
+            ora_floor = sum(_oracle_timings(paired, specs, FLOOR_DIR, runs=2).values())
+            floors = (eng_floor, ora_floor)
+        eng_floor, ora_floor = floors
         out["engine_floor_sec"] = round(eng_floor, 3)
         out["oracle_floor_sec"] = round(ora_floor, 3)
         adj_num, adj_den = eng_total - eng_floor, ora_total - ora_floor
         if adj_num > 0 and adj_den > 0:
             out["floor_adjusted_ratio"] = round(adj_num / adj_den, 3)
-    return out
+    return out, floors
+
+
+def _canary_phase(spark, jvm_gc, specs, sf_dir: str, runs: int = 3) -> dict[str, float]:
+    """Re-time the fixed canary set (min-of-`runs`, same protocol as the
+    composite) — cheap, historically-stable queries whose committed
+    cross-run minima (bench_set.CANARY_REF) act as this host's known
+    noise floor."""
+    return {
+        name: _time_engine(spark, jvm_gc, specs[name].fn, sf_dir, runs)
+        for name in CANARIES
+        if name in specs
+    }
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
     specs = all_queries()
-    names = [n for n in HEADLINE if n in specs]
-    # extension families: include whatever is implemented (sorted for
-    # stability). Oracle-less entries (approx sketches) are excluded so the
-    # engine total stays paired with tools/oracle_bench.py's identical set.
-    # the packing pair (t_pack_sequences/t_pack_emit) is excluded from BOTH sides: the oracle is a
-    # row-recursive CTE whose sf0.1 cost (~7 s) is a DuckDB implementation
-    # artifact, not comparable work — pairing it would flatter the engine.
-    # (It stays fully oracle-checked at the sf0.01 correctness gate.)
-    skip = {"t_pack_sequences", "t_pack_emit"}
-    for name in sorted(specs):
-        if name not in names and name not in skip and specs[name].oracle is not None and any(
-            name.startswith(p) for p in ("d_", "s_", "t_", "e_", "m_")
-        ):
-            names.append(name)
-    # rotating coverage pool: every oracled entry not already timed above
-    rotate_pool = sorted(
-        n
-        for n in specs
-        if n not in names and n not in skip and specs[n].oracle is not None
-    )
-    rotating = _rotating_slice(rotate_pool)
+    names = composite_names(specs)
+    rotating = _rotating_slice(rotate_pool(specs))
 
     # Warm-up: run every query once at the smallest SF so JVM class
     # loading + whole-stage-codegen compilation happen outside the timed
     # region — the timings below are steady-state throughput, which is
     # what matters for a long-lived engine.
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
+    if os.path.isdir(FLOOR_DIR):
         for name in names + rotating:
             try:
-                specs[name].fn(spark, warm_dir).count()
+                specs[name].fn(spark, FLOOR_DIR).count()
             except Exception:
                 pass
         spark.catalog.clearCache()
@@ -243,35 +278,14 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — ratios are additive info
             failures["__oracle__"] = f"{type(exc).__name__}: {exc}"[:200]
             ora_con = None
-    for _ in range(n_passes):
-        epass: dict[str, float] = {}
-        for name in names:
-            if name in broken:
-                continue
-            fn = specs[name].fn
-            try:
-                best = None
-                for _ in range(runs_per_pass):
-                    # full GC between runs: collection pauses from the
-                    # PREVIOUS query's garbage land here instead of inside
-                    # the timed region (also lets the ContextCleaner reap
-                    # dereferenced broadcasts)
-                    jvm_gc()
-                    t0 = time.time()
-                    fn(spark, sf_dir).count()
-                    dt = time.time() - t0
-                    best = dt if best is None or dt < best else best
-                    # operators persist() multi-consumer intermediates for
-                    # the duration of their own query; dropping them between
-                    # runs keeps caches from compounding into memory pressure
-                    spark.catalog.clearCache()
-                epass[name] = best
-            except Exception as exc:  # noqa: BLE001 — one broken query must
-                # not zero the whole bench record; report it, keep timing
-                failures[name] = f"{type(exc).__name__}: {exc}"[:300]
-                broken.add(name)
-                spark.catalog.clearCache()
-        engine_passes.append(epass)
+
+    def one_interleaved_pass():
+        engine_passes.append(
+            _engine_pass(
+                spark, jvm_gc, specs, names, sf_dir, runs_per_pass, broken, failures
+            )
+        )
+        nonlocal ora_con
         if ora_con is not None:
             # same per-pass sample count as the engine side; skip queries
             # the engine gave up on (their timings would be discarded);
@@ -288,30 +302,21 @@ def main() -> None:
                 )
             except Exception as exc:  # noqa: BLE001
                 failures["__oracle__"] = f"{type(exc).__name__}: {exc}"[:200]
-                oracle_passes = []
+                oracle_passes.clear()
                 try:
                     ora_con.close()
                 finally:
                     ora_con = None
-    # per-query minima across passes; totals over queries present in ALL
-    # engine passes (a mid-bench failure must not skew pass totals)
-    ok_names = [n for n in names if all(n in p for p in engine_passes)]
-    timings = {
-        n: round(min(p[n] for p in engine_passes), 3) for n in ok_names
-    }
-    oracle_timings = {}
-    if oracle_passes:
-        oracle_timings = {
-            n: round(min(p[n] for p in oracle_passes), 3)
-            for n in ok_names
-            if all(n in p for p in oracle_passes)
-        }
-    engine_pass_totals = [
-        round(sum(p[n] for n in ok_names), 3) for p in engine_passes
-    ]
-    oracle_pass_totals = [
-        round(sum(p[n] for n in oracle_timings), 3) for p in oracle_passes
-    ]
+
+    for _ in range(n_passes):
+        one_interleaved_pass()
+    (
+        ok_names,
+        timings,
+        oracle_timings,
+        engine_pass_totals,
+        oracle_pass_totals,
+    ) = _aggregate(names, engine_passes, oracle_passes)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -326,29 +331,32 @@ def main() -> None:
             }
         )
     )
+
     # The driver records only the LAST 2000 chars of output; the full
     # line above outgrew that window in r4 and its head (the total) was
     # cut off. Emit a compact self-sufficient summary so the tail always
     # parses to the totals — FIRST without ratios (failsafe: if the
     # paired phase below is killed by a harness timeout, this line is
     # still the last complete JSON), then again with the ratios.
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
-    compact = {
-        "metric": "headline_queries_total_wall",
-        "value": total,  # sum of per-query engine minima across passes
-        "unit": "sec",
-        "sf": sf,
-        "n_queries": len(timings),
-        # __oracle__ is a pseudo-entry (oracle-side degradation), not an
-        # engine query failure — readers of n_failures expect the latter
-        "n_failures": len([k for k in failures if k != "__oracle__"]),
-        "n_passes": n_passes,
-        # per-pass totals = the spread; the composite above is the signal
-        "engine_pass_totals": engine_pass_totals,
-        "oracle_pass_totals": oracle_pass_totals,
-        "slowest": slowest,
-    }
-    print(json.dumps(compact), flush=True)
+    def compact_line():
+        return {
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(timings.values()), 3),  # sum of per-query engine minima
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            # __oracle__ is a pseudo-entry (oracle-side degradation), not an
+            # engine query failure — readers of n_failures expect the latter
+            "n_failures": len([k for k in failures if k != "__oracle__"]),
+            "n_passes": len(engine_passes),
+            # per-pass totals = the spread; the composite above is the signal
+            "engine_pass_totals": engine_pass_totals,
+            "oracle_pass_totals": oracle_pass_totals,
+            "slowest": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5]),
+        }
+
+    print(json.dumps(compact_line()), flush=True)
+
     # Rotating-coverage phase (VERDICT r12 item 1): runs AFTER the
     # composite failsafe line is out — a harness timeout mid-rotation
     # costs only the rotation evidence, never the composite. Own JSON
@@ -359,14 +367,9 @@ def main() -> None:
         rot_failures: dict[str, str] = {}
         for name in rotating:
             try:
-                best = None
-                for _ in range(runs_per_pass):
-                    jvm_gc()
-                    t0 = time.time()
-                    specs[name].fn(spark, sf_dir).count()
-                    dt = time.time() - t0
-                    best = dt if best is None or dt < best else best
-                    spark.catalog.clearCache()
+                best = _time_engine(
+                    spark, jvm_gc, specs[name].fn, sf_dir, runs_per_pass
+                )
                 rec = {"engine_sec": round(best, 3)}
                 if ora_con is not None:
                     ob = None
@@ -392,19 +395,78 @@ def main() -> None:
             ),
             flush=True,
         )
-    if ora_con is not None:
-        ora_con.close()
+
     # Paired baseline ratios (VERDICT r5 item 9, interleaved protocol
     # r12): oracle minima-composite + floor adjustment, in-process so the
     # driver's BENCH record carries {raw_ratio, floor_adjusted_ratio}
     # without a separate artifact. SPARK_GRAFT_BENCH_PAIRED=0 skips the
     # oracle side entirely for a fast engine-only run.
+    ratios: dict = {}
+    floors = None
     if oracle_timings:
         try:
-            ratios = _paired_ratios(spark, specs, timings, oracle_timings, sf_dir)
+            ratios, floors = _paired_ratios(
+                spark, jvm_gc, specs, timings, oracle_timings, sf_dir
+            )
         except Exception as exc:  # noqa: BLE001 — ratios are additive info
             ratios = {"paired_error": f"{type(exc).__name__}: {exc}"[:200]}
-        print(json.dumps({**compact, **ratios}), flush=True)
+
+    # Degraded-window self-diagnosis (VERDICT r13 item 1): re-time the
+    # canary set against committed cross-run minima. If the window reads
+    # degraded, run ONE extra interleaved pass (the minima composites
+    # absorb it — on a transiently-noisy host the extra pass recovers
+    # the clean number; on a persistently-loaded host it leaves the
+    # degraded flag standing as the artifact's own adjudication), then
+    # re-time the canaries for the final verdict. Both canary readings
+    # ship in the tail JSON.
+    canary_info: dict = {}
+    try:
+        verdict = canary_verdict(_canary_phase(spark, jvm_gc, specs, sf_dir), sf)
+        if verdict is not None:
+            rerun_on = (
+                os.environ.get("SPARK_GRAFT_BENCH_RERUN_ON_DEGRADED", "1") != "0"
+            )
+            if verdict["degraded_window"] and rerun_on and not broken:
+                first_reading = verdict
+                one_interleaved_pass()
+                (
+                    ok_names,
+                    timings,
+                    oracle_timings,
+                    engine_pass_totals,
+                    oracle_pass_totals,
+                ) = _aggregate(names, engine_passes, oracle_passes)
+                if oracle_timings:
+                    try:
+                        ratios, _ = _paired_ratios(
+                            spark,
+                            jvm_gc,
+                            specs,
+                            timings,
+                            oracle_timings,
+                            sf_dir,
+                            floors=floors,
+                        )
+                    except Exception as exc:  # noqa: BLE001
+                        ratios = {
+                            "paired_error": f"{type(exc).__name__}: {exc}"[:200]
+                        }
+                verdict = canary_verdict(
+                    _canary_phase(spark, jvm_gc, specs, sf_dir), sf
+                )
+                verdict["degraded_rerun"] = True
+                verdict["canaries_first_reading"] = first_reading["canaries"]
+                verdict["canary_ratio_first_reading"] = first_reading[
+                    "canary_ratio"
+                ]
+            canary_info = verdict
+    except Exception as exc:  # noqa: BLE001 — diagnosis is additive info
+        canary_info = {"canary_error": f"{type(exc).__name__}: {exc}"[:200]}
+
+    if ora_con is not None:
+        ora_con.close()
+    if ratios or canary_info:
+        print(json.dumps({**compact_line(), **ratios, **canary_info}), flush=True)
 
 
 if __name__ == "__main__":

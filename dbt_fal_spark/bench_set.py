@@ -1,0 +1,155 @@
+"""The bench query-set contract, shared by bench.py, tools/oracle_bench.py,
+and tests/test_bench_contract.py.
+
+One definition of the composite set (HEADLINE + prefix sweep − skips),
+the rotation pool, and the canary reference minima — previously bench.py
+owned these and the oracle timer / contract tests re-derived them
+(oracle_bench drifted exactly that way in r13, and ADVICE r13 flagged
+both the re-derivation in the tests and the exec-import in the oracle
+timer). Importing this module pulls no pyspark/duckdb.
+"""
+
+from __future__ import annotations
+
+# Headline set: the scale-critical relational queries + one per extension
+# family. Kept explicit so bench timings are stable as the registry grows.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_topk_order_revenue",
+    "q05_region_nation_revenue",
+    "q06_filtered_revenue",
+    # the four r12 TPC-H adaptations (VERDICT r12 'What's wrong' 1:
+    # they were claimed benched but the sweep never matched q* — now
+    # explicit, a one-time composite-set change documented in
+    # BASELINE.md's r13 record)
+    "q11_important_parts",
+    "q12_latency_priority_pivot",
+    "q20_part_promotion_suppliers",
+    "q21_suppliers_kept_waiting",
+    "q_orders_daily_pivot",
+    "q_customer_order_stats",
+    "q_topk_orders_per_segment",
+    "q_customer_running_total",
+    "q_priority_distinct_customers",
+    "q_region_rollup_revenue",
+    # one entry for the batch-inference family (iterator pandas_udf);
+    # p_ prefix is not swept so it is listed explicitly
+    "p_sentiment_batch_inference",
+]
+
+# the packing pair is excluded from BOTH timing sides: the oracle is a
+# row-recursive CTE whose sf0.1 cost (~7 s) is a DuckDB implementation
+# artifact, not comparable work — pairing it would flatter the engine.
+# (Both stay fully oracle-checked at the sf0.01 correctness gate.)
+SKIP = frozenset({"t_pack_sequences", "t_pack_emit"})
+
+# extension families swept into the composite (sorted for stability)
+SWEEP_PREFIXES = ("d_", "s_", "t_", "e_", "m_")
+
+# rotating wall-time coverage (VERDICT r12 item 1): entries outside the
+# composite get ROTATE_N timing slots per round on a separate JSON line
+ROTATE_N = 12
+
+
+def composite_names(specs) -> list[str]:
+    """The per-round composite timing set: HEADLINE entries present in
+    the registry, then every oracled d_/s_/t_/e_/m_ entry not already
+    listed and not skipped (sorted). specs = registry.all_queries()."""
+    names = [n for n in HEADLINE if n in specs]
+    for name in sorted(specs):
+        if (
+            name not in names
+            and name not in SKIP
+            and specs[name].oracle is not None
+            and name.startswith(SWEEP_PREFIXES)
+        ):
+            names.append(name)
+    return names
+
+
+def rotate_pool(specs) -> list[str]:
+    """Every oracled registry entry with no composite slot — the pool
+    the per-round rotating slice cycles through."""
+    composite = set(composite_names(specs))
+    return sorted(
+        n
+        for n in specs
+        if n not in composite and n not in SKIP and specs[n].oracle is not None
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degraded-host-window self-diagnosis (VERDICT r13 item 1). BENCH_r13's
+# driver artifact read 1.776× purely from host contention while thirteen
+# committed interleaved runs showed the engine flat — two rounds of
+# adjudication traced to bench artifacts not carrying their own noise
+# evidence. The fix: after the timed phases, re-time a fixed set of
+# cheap, historically-stable CANARY queries and compare against their
+# committed cross-run minima (below). A canary composite far above the
+# committed floor means the HOST WINDOW is degraded (the canaries'
+# plans haven't changed — the window guard stages them whenever they
+# do), so the artifact self-flags instead of leaving the composite
+# number to be re-litigated against the paired-run history by hand.
+# ---------------------------------------------------------------------------
+
+# Mixed plan shapes so no single subsystem dominates the signal:
+# agg-heavy lineitem scan, map-only hash pipeline, pushed-filter scan,
+# digest-shuffle dedup.
+CANARIES = (
+    "q01_pricing_summary",
+    "d_simhash",
+    "q06_filtered_revenue",
+    "d_exact_dedup",
+)
+
+# Committed cross-run minima (sum-of-per-query minima over the
+# BENCH_PAIRED_r12_run* + BENCH_PAIRED_r13_run* artifacts, 24 runs) —
+# the noise floor this host has demonstrably reached. Keyed by the sf
+# suffix bench.py derives from the data dir; no reference for an sf
+# means no canary verdict there.
+CANARY_REF = {
+    "0.1": {
+        "q01_pricing_summary": 0.216,
+        "d_simhash": 0.284,
+        "q06_filtered_revenue": 0.115,
+        "d_exact_dedup": 0.131,
+    },
+}
+
+# A clean-window re-time (min-of-3, steady state) lands ~1.1–1.2× the
+# cross-24-run minima; the r13 degraded window inflated engine walls
+# ~1.5–1.8×. 1.4 splits the two regimes (VERDICT r13 item 1's number).
+CANARY_THRESHOLD = 1.4
+
+
+def canary_verdict(canary_timings: dict[str, float], sf: str) -> dict | None:
+    """Pure decision: compare a canary re-time against the committed
+    reference minima for this sf. Returns the evidence dict to embed in
+    the bench tail JSON, or None when no reference exists for the sf.
+
+    degraded_window is decided on the COMPOSITE ratio (sum of canary
+    walls / sum of reference minima): per-query ratios swing more than
+    the sum under ordinary noise, and the contamination signature this
+    detects (host-wide CPU pressure) inflates every canary together.
+    """
+    refs = CANARY_REF.get(sf)
+    if not refs:
+        return None
+    timed = {n: canary_timings[n] for n in refs if n in canary_timings}
+    if len(timed) < len(refs):
+        return None
+    total = sum(timed.values())
+    ref_total = sum(refs.values())
+    ratio = total / ref_total if ref_total else None
+    return {
+        "canaries": {
+            n: {
+                "sec": round(timed[n], 3),
+                "ref_min": refs[n],
+                "ratio": round(timed[n] / refs[n], 2),
+            }
+            for n in refs
+        },
+        "canary_ratio": round(ratio, 3),
+        "degraded_window": ratio > CANARY_THRESHOLD,
+    }

@@ -18,24 +18,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
+# The query set is IMPORTED from the shared contract module, never
+# copied: a duplicated HEADLINE here drifted in r13 (missing the four
+# r12 TPC-H additions — the same defect class VERDICT r12 flagged
+# inside bench.py itself), and the r13 fix (exec'ing bench.py) pulled
+# pyspark into this pure-DuckDB timer's import path (ADVICE r13).
+# tests/test_bench_contract.py pins the shared set.
+from dbt_fal_spark.bench_set import HEADLINE, composite_names  # noqa: E402
 from dbt_fal_spark.registry import all_queries  # noqa: E402
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
-
-# The query set is IMPORTED from bench.py, never copied: a duplicated
-# HEADLINE here drifted in r13 (missing the four r12 TPC-H additions —
-# the same defect class VERDICT r12 flagged inside bench.py itself).
-# tests/test_bench_contract.py pins the shared set.
-import importlib.util as _ilu  # noqa: E402
-
-_spec = _ilu.spec_from_file_location(
-    "bench_for_oracle", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
-)
-_bench = _ilu.module_from_spec(_spec)
-_spec.loader.exec_module(_bench)
-HEADLINE = _bench.HEADLINE
 
 
 def main() -> None:
@@ -48,16 +42,7 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     specs = all_queries()
-    names = [n for n in HEADLINE if n in specs]
-    # keep in sync with bench.py: t_pack_sequences' recursive-CTE oracle is
-    # a DuckDB implementation artifact at sf0.1 (~7 s), excluded from BOTH
-    # paired sets (still oracle-checked at the sf0.01 correctness gate)
-    skip = {"t_pack_sequences", "t_pack_emit"}
-    for name in sorted(specs):
-        if name not in names and name not in skip and any(
-            name.startswith(p) for p in ("d_", "s_", "t_", "e_", "m_")
-        ):
-            names.append(name)
+    names = composite_names(specs)
     timings = {}
     skipped = []
     for name in names:
