@@ -97,23 +97,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries with evidence older than r10.
 _CHECK_FIRST = (
     # --- r14 WINDOW ---
+    # (Window history r5-r13 lives in git; standing rule: lead each
+    # round with every entry whose plan/semantics/source changed since
+    # its last driver row, then the stalest remaining rows.)
     # CORRECTNESS_r13 was green over the full r13 window (50/50).
     # Changed/new this round — verify first: d_substring_dedup_keep_first
     # (NEW, VERDICT r13 item 4: the RefinedWeb keep-one-canonical-copy
     # variant, never driver-checked), the three existing substring
     # entries (closure changed: gram emit factored into _gram_relation,
-    # clean tail into _clean_output — plans unchanged), and
+    # clean tail into _clean_output — plans unchanged),
     # t_lm_surprise_fraction (VERDICT r13 item 2: forced vocab
     # broadcast dropped; AQE still picks broadcast at every test SF, so
-    # the physical plan is unchanged).
+    # the physical plan is unchanged), and the two p_* flow entries
+    # (FalSpark/materialize closure changed: optimistic compact +
+    # in-flight vacuum guards, r14 concurrency review — plans
+    # unchanged).
     "d_substring_dedup_keep_first", "d_substring_spans",
     "d_substring_dup_fraction", "d_substring_dedup_clean",
     "t_lm_surprise_fraction",
+    "p_fal_model_pandas_forecast", "p_flow_run_customer_stats",
     # the five r10 rows deferred from the r13 window (VERDICT r13
     # item 3: the only evidence older than r11)
     "q_date_filter_projection", "q_order_date_parts", "q_paginate_orders",
     "q_part_string_funcs", "q_pivot_priority_by_status",
-    # the 38 entries whose last green driver row is r11
+    # the 38 entries whose last green driver row is r11; after r14 no
+    # entry's driver evidence is older than r12.
     "d_exact_dedup", "d_keep_best_per_key", "d_ngram_jaccard_pairs",
     "d_simhash", "d_winnow_neardup",
     "e_asof_purchase_attribution", "e_changepoint_cusum",
@@ -129,56 +137,6 @@ _CHECK_FIRST = (
     "t_repetition_stats", "t_rolling_fingerprint", "t_stratified_sample",
     "t_tfidf_top_terms", "t_token_bpe", "t_token_stats",
     "t_top_bigrams", "t_unk_replace", "t_vocab_coverage",
-    # two alphabetically-first r12 rows fill the window to 50; after
-    # r14 no entry's driver evidence is older than r12.
-    "d_embedding_neardup_pairs", "e_anomaly_events",
-    # --- r13 WINDOW (history; superseded) ---
-    # CORRECTNESS_r12 was green over the full r12 window (50/50).
-    # Changed/new this round — verify first: the 3 NEW exact
-    # substring-dedup entries (VERDICT r12 item 3, never
-    # driver-checked), the two p_* flow entries (FalSpark class
-    # closure changed: singular-test `where` + freshness-artifact
-    # status filter, ADVICE r12), and q11 (docstring-only persist
-    # lifetime note — source hash changed, plan unchanged).
-    "d_substring_spans", "d_substring_dup_fraction",
-    "d_substring_dedup_clean",
-    # NEW mid-r13: the integer-exact CCNet-style LM quality gate
-    # (never driver-checked) — takes the slot of
-    # q_pivot_priority_by_status, which defers to the r14 lead set
-    # with the other four single-table r10 rows
-    "t_lm_surprise_fraction",
-    "p_fal_model_pandas_forecast", "p_flow_run_customer_stats",
-    "q11_important_parts",
-    # the two r9 rows deferred from the r12 window — the only
-    # evidence older than r10 (VERDICT r12 item 4: lead with these)
-    "q_corr_stats_by_flag", "q_histogram_totalprice",
-    # last green driver row is r10 — refresh 41 of the 46; the five
-    # deferred rows (q_date_filter_projection, q_order_date_parts,
-    # q_part_string_funcs, q_paginate_orders, q_pivot_priority_by_status
-    # — single-table JVM projections/pivots, source untouched since
-    # r10, pytest-covered) lead the r14 window; after r13 they and the
-    # r11 rows are the only evidence older than r12.
-    "d_bloom_prefilter", "d_containment_pairs", "d_decontaminate",
-    "d_dup_ngram_fraction", "d_embedding_neardup_lsh",
-    "d_lsh_levenshtein_refine", "d_minhash_lsh_pairs",
-    "d_neardup_components", "d_neardup_triangles",
-    "m_byte_histogram_features", "m_resize_pipeline",
-    "p_sentiment_batch_inference",
-    "q_cube_status_priority", "q_customer_order_stats",
-    "q_customer_running_total", "q_customer_value_deciles",
-    "q_customer_value_deciles_ranged", "q_customer_value_percentile",
-    "q_first_last_order_value", "q_generic_tests",
-    "q_gini_customer_value", "q_grouping_sets_revenue",
-    "q_lapsed_customers_except", "q_mad_outlier_orders",
-    "q_orders_daily_pivot", "q_pii_masked_customers",
-    "q_priority_distinct_customers",
-    "q_quantity_quartiles", "q_range_join_price_band",
-    "q_region_rollup_revenue", "q_repeat_customers_intersect",
-    "q_revenue_trend_by_priority", "q_salted_join_supplier_volume",
-    "q_status_set_per_priority", "q_topk_orders_per_segment",
-    "s_knn_bruteforce", "s_knn_int8", "s_knn_ivf",
-    "s_knn_lsh_bucketed", "s_knn_lsh_multitable",
-    "st_upsert_stream",
 )
 
 

@@ -451,6 +451,24 @@ def main() -> None:
                         ratios = {
                             "paired_error": f"{type(exc).__name__}: {exc}"[:200]
                         }
+                # re-emit the full per-query line: the rerun pass updated
+                # the minima, and cross-run merges (tools/bench_merge.py)
+                # take per-query values from the LAST line carrying a
+                # "queries" dict — leaving the pre-rerun line as the only
+                # one would merge stale values against the final composite
+                print(
+                    json.dumps(
+                        {
+                            "metric": "headline_queries_total_wall",
+                            "value": round(sum(timings.values()), 3),
+                            "unit": "sec",
+                            "queries": timings,
+                            "failures": failures,
+                            "sf": sf,
+                        }
+                    ),
+                    flush=True,
+                )
                 verdict = canary_verdict(
                     _canary_phase(spark, jvm_gc, specs, sf_dir), sf
                 )

@@ -1243,9 +1243,19 @@ class FalSpark:
         to ``target_partitions`` (default: executor parallelism), and
         swapped in atomically — safe against concurrent readers of the
         old files, same guarantee as any model rebuild. Returns the
-        partition count written."""
+        partition count written.
+
+        Concurrent REBUILDS are handled optimistically (r14): the live
+        location is captured before the read, and the swap commits only
+        if it is unchanged — otherwise ConcurrentRebuildError aborts the
+        compaction (the rebuild's fresh data wins; re-run compact). The
+        check-then-flip is atomic under the per-table commit lock shared
+        with every rebuild's swap."""
+        from .materialize import table_swap_token
+
         self._require_table_model(model_name, "compact")
         identifier = self._identifier(model_name)
+        expected = table_swap_token(self.spark, identifier)
         df = self.spark.table(identifier)
         model = next(
             (m for m in self.manifest.models.values() if m.name == model_name), None
@@ -1269,6 +1279,7 @@ class FalSpark:
             replace_relation_atomic(
                 self.spark, out, identifier,
                 bucket_by=bucket_by, partition_by=partition_by,
+                expected_location=expected,
             )
             return n
         if sort_by:
@@ -1278,7 +1289,8 @@ class FalSpark:
             n = target_partitions or self.spark.sparkContext.defaultParallelism
             out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
             replace_relation_atomic(
-                self.spark, out, identifier, partition_by=partition_by
+                self.spark, out, identifier, partition_by=partition_by,
+                expected_location=expected,
             )
             return n
         n = target_partitions or self.spark.sparkContext.defaultParallelism
@@ -1290,13 +1302,14 @@ class FalSpark:
             pcols = layout_cols(partition_by)
             out = df.repartition(n, *pcols)
             replace_relation_atomic(
-                self.spark, out, identifier, partition_by=partition_by
+                self.spark, out, identifier, partition_by=partition_by,
+                expected_location=expected,
             )
             return n
         cur = df.rdd.getNumPartitions()
         # coalesce when shrinking (no shuffle); repartition only to grow
         out = df.coalesce(n) if n <= cur else df.repartition(n)
-        replace_relation_atomic(self.spark, out, identifier)
+        replace_relation_atomic(self.spark, out, identifier, expected_location=expected)
         return min(n, cur) if n <= cur else n
 
     def vacuum(self, model_name: str) -> int:
@@ -1327,6 +1340,7 @@ class FalSpark:
             _read_live_pointer,
             _table_location,
             _vacuum_versions,
+            inflight_version_dirs,
         )
 
         self._require_table_model(model_name, "vacuum")
@@ -1354,6 +1368,10 @@ class FalSpark:
         relive = _table_location(self.spark, identifier)
         if relive:
             keep.add(relive)
+        # never delete a version dir an in-process writer is still
+        # producing (r14: mtime alone can't distinguish it from a dead
+        # young version, so writers register their dirs explicitly)
+        keep |= inflight_version_dirs()
         return _vacuum_versions(base, keep=keep, keep_newer_than=ref_mtime)
 
     def analyze(self, model_name: str, columns: bool = True) -> None:

@@ -111,6 +111,66 @@ def write_table(
 
 _VERSION_RE = r"__v[0-9a-f]{8}$"
 
+# Per-table-base commit locks for the pointer flip: a maintenance verb
+# (compact) and a model rebuild racing on the SAME table must serialize
+# their check-then-flip sections, or last-writer-wins silently replaces
+# the rebuild's fresh data with recompacted stale data (r14 review).
+# In-process only — one driver owns a parquet warehouse by design; a
+# multi-writer deployment needs a transactional table format (Delta/
+# Iceberg), not file locks. defaultdict single-key access is GIL-atomic
+# (the environments.py _ENSURE_LOCKS precedent).
+import collections as _collections
+import threading as _threading
+
+_FLIP_LOCKS: dict[str, _threading.Lock] = _collections.defaultdict(_threading.Lock)
+
+# Version directories some in-process writer is CURRENTLY producing
+# (registered before the expensive saveAsTable, cleared after commit or
+# cleanup). Every vacuum path keeps them: a concurrent writer's
+# half-written dir matches the version pattern and is in nobody's
+# keep set, so without this registry a racing flip's trailing vacuum
+# could rmtree it mid-write (r14 review). In-process only, same
+# single-driver scope as _FLIP_LOCKS.
+_INFLIGHT_DIRS: set[str] = set()
+_INFLIGHT_LOCK = _threading.Lock()
+
+
+def inflight_version_dirs() -> set[str]:
+    """Snapshot of version dirs currently being written in this process
+    — vacuum callers union this into their keep set."""
+    with _INFLIGHT_LOCK:
+        return set(_INFLIGHT_DIRS)
+
+
+class ConcurrentRebuildError(RuntimeError):
+    """The table's live version moved between a maintenance verb's read
+    and its commit — the verb aborts instead of overwriting the newer
+    rebuild (optimistic concurrency, Delta's commit-conflict analogue)."""
+
+
+def table_swap_token(spark: SparkSession, identifier: str):
+    """Opaque version token for optimistic read-then-replace: (location,
+    local-dir mtime). Location alone identifies pointer-flip versions
+    (every flip mints a fresh ``__v`` dir) but NOT drop-first swaps —
+    RENAME TO lands a rebuilt hive-partitioned table on the same
+    canonical path every time, so the directory mtime (a fresh inode
+    per rename) carries the version there. Non-local locations degrade
+    to location-only (mtime None)."""
+    import os
+    from urllib.parse import urlparse
+
+    loc = _table_location(spark, identifier)
+    if loc is None:
+        return None
+    mtime = None
+    parsed = urlparse(loc)
+    if parsed.scheme in ("", "file"):
+        try:
+            mtime = os.path.getmtime(parsed.path or loc)
+        except OSError:
+            mtime = None
+    return (loc, mtime)
+
 
 def _table_location(spark: SparkSession, identifier: str) -> str | None:
     """Filesystem path of a table's current location (None if absent)."""
@@ -246,6 +306,7 @@ def replace_relation_atomic(
     bucket_by: dict | None = None,
     sort_by: str | None = None,
     partition_by: str | None = None,
+    expected_location: str | None = None,
 ) -> None:
     """Atomic table replacement, safe when ``df`` reads from
     ``identifier`` itself (reference: lib.py:286-329 overwrite_target /
@@ -270,7 +331,20 @@ def replace_relation_atomic(
     ``bucket_by``/``sort_by``/``partition_by`` carry the declared layout
     through the swap — a rebuild that silently flattened a partitioned
     or bucketed table would void the partition-pruning /
-    zero-shuffle-join contract the model config declared."""
+    zero-shuffle-join contract the model config declared.
+
+    ``expected_location`` (r14, maintenance verbs): optimistic
+    concurrency for read-then-replace callers. compact() rewrites the
+    data it READ — if another writer commits between that read and this
+    swap, flipping anyway would silently replace the newer rebuild with
+    recompacted stale data (lost update). Passing the
+    ``table_swap_token`` the caller captured before reading makes the
+    commit conditional: the check and the flip run under a per-table
+    lock (_FLIP_LOCKS — model rebuilds take the same lock, so
+    in-process check-then-flip is atomic), and a moved token raises
+    ConcurrentRebuildError after cleaning up the never-made-live
+    version directory. Rebuilds themselves pass None: the model's own
+    output is the newest truth regardless of what it read."""
     import os
     import re as _re
     import shutil
@@ -278,6 +352,17 @@ def replace_relation_atomic(
     tmp = f"{identifier}__f__{uuid.uuid4().hex[:8]}"
     if sort_by and not bucket_by:
         df = _range_cluster(df, sort_by)
+
+    def _check_expected():
+        if expected_location is not None:
+            cur = table_swap_token(spark, identifier)
+            if cur != expected_location:
+                raise ConcurrentRebuildError(
+                    f"{identifier}: live version moved "
+                    f"({expected_location!r} -> {cur!r}) since the "
+                    "maintenance read — aborting the swap; re-run the verb "
+                    "against the current version"
+                )
 
     exists = spark.catalog.tableExists(identifier)
     # nullability differs freely between plans — including NESTED
@@ -309,17 +394,22 @@ def replace_relation_atomic(
     )
     bucket_mismatch = exists and _table_bucket_spec(spark, identifier) != want_buckets
 
+    commit_lock = _FLIP_LOCKS[identifier.lower()]
+
     if partition_by or schema_changed or bucket_mismatch or not exists:
-        # drop-first temp-swap (the pre-r7 flow)
+        # drop-first temp-swap (the pre-r7 flow); the expensive write
+        # happens before the lock — only the catalog swap serializes
         try:
             _layout(df.write.mode("overwrite").format("parquet")).saveAsTable(tmp)
-            spark.sql(f"DROP TABLE IF EXISTS {_q(identifier)}")
-            _clean_orphan_location(spark, identifier)
-            spark.sql(f"ALTER TABLE {_q(tmp)} RENAME TO {_q(identifier)}")
-            if partition_by:
-                # RENAME keeps per-partition catalog locations pointing at
-                # the temp path — SYNC re-registers the moved directories
-                spark.sql(f"MSCK REPAIR TABLE {_q(identifier)} SYNC PARTITIONS")
+            with commit_lock:
+                _check_expected()
+                spark.sql(f"DROP TABLE IF EXISTS {_q(identifier)}")
+                _clean_orphan_location(spark, identifier)
+                spark.sql(f"ALTER TABLE {_q(tmp)} RENAME TO {_q(identifier)}")
+                if partition_by:
+                    # RENAME keeps per-partition catalog locations pointing at
+                    # the temp path — SYNC re-registers the moved directories
+                    spark.sql(f"MSCK REPAIR TABLE {_q(identifier)} SYNC PARTITIONS")
         except Exception:
             spark.sql(f"DROP TABLE IF EXISTS {_q(tmp)}")
             raise
@@ -339,46 +429,57 @@ def replace_relation_atomic(
     )
     new_loc = f"{base}__v{uuid.uuid4().hex[:8]}"
     flipped = False
+    with _INFLIGHT_LOCK:
+        _INFLIGHT_DIRS.add(new_loc)
     try:
-        # option("path") makes tmp EXTERNAL: dropping it later removes
-        # only metadata, never the files the live table now points at
-        _layout(
-            df.write.mode("overwrite").format("parquet").option("path", new_loc)
-        ).saveAsTable(tmp)
-        spark.sql(f"ALTER TABLE {_q(identifier)} SET LOCATION '{new_loc}'")
-        flipped = True
-        spark.sql(f"REFRESH TABLE {_q(identifier)}")
-    except Exception:
         try:
-            spark.sql(f"DROP TABLE IF EXISTS {_q(tmp)}")
-        except Exception:
-            pass  # cleanup must not mask the original error
-        # Only delete new_loc while the catalog does NOT reference it:
-        # after a committed SET LOCATION, a failure (e.g. in REFRESH)
-        # must roll the pointer back to old_loc first — rmtree'ing the
-        # directory the catalog points at would brick every later read.
-        safe_to_delete = not flipped
-        if flipped and old_loc:
-            try:
-                spark.sql(f"ALTER TABLE {_q(identifier)} SET LOCATION '{old_loc}'")
+            # option("path") makes tmp EXTERNAL: dropping it later removes
+            # only metadata, never the files the live table now points at
+            _layout(
+                df.write.mode("overwrite").format("parquet").option("path", new_loc)
+            ).saveAsTable(tmp)
+            with commit_lock:
+                _check_expected()
+                spark.sql(f"ALTER TABLE {_q(identifier)} SET LOCATION '{new_loc}'")
+                flipped = True
                 spark.sql(f"REFRESH TABLE {_q(identifier)}")
-                safe_to_delete = True
+                _write_live_pointer(base, new_loc)
+        except Exception:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {_q(tmp)}")
             except Exception:
-                pass  # rollback failed: catalog still references new_loc — keep it
-        if safe_to_delete:
-            shutil.rmtree(new_loc, ignore_errors=True)
-        raise
+                pass  # cleanup must not mask the original error
+            # Only delete new_loc while the catalog does NOT reference it:
+            # after a committed SET LOCATION, a failure (e.g. in REFRESH)
+            # must roll the pointer back to old_loc first — rmtree'ing the
+            # directory the catalog points at would brick every later read.
+            safe_to_delete = not flipped
+            if flipped and old_loc:
+                try:
+                    spark.sql(f"ALTER TABLE {_q(identifier)} SET LOCATION '{old_loc}'")
+                    spark.sql(f"REFRESH TABLE {_q(identifier)}")
+                    safe_to_delete = True
+                except Exception:
+                    pass  # rollback failed: catalog still references new_loc — keep it
+            if safe_to_delete:
+                shutil.rmtree(new_loc, ignore_errors=True)
+            raise
+    finally:
+        with _INFLIGHT_LOCK:
+            _INFLIGHT_DIRS.discard(new_loc)
     spark.sql(f"DROP TABLE IF EXISTS {_q(tmp)}")
-    _write_live_pointer(base, new_loc)
-    # vacuum versions beyond the grace window: always keep the live dir
-    # and the immediately previous one; with RETAIN_CONF set, also keep
-    # anything modified within the retention window (slow-reader cover)
+    # vacuum versions beyond the grace window: always keep the live dir,
+    # the immediately previous one, and any version dir an in-process
+    # writer is currently producing (r14 review — without the in-flight
+    # keep, this vacuum could rmtree a concurrent compact/rebuild's
+    # half-written dir); with RETAIN_CONF set, also keep anything
+    # modified within the retention window (slow-reader cover)
     import time as _time
 
     retain = float(spark.conf.get(RETAIN_CONF, "0") or "0")
     _vacuum_versions(
         base,
-        keep={new_loc, old_loc or ""},
+        keep={new_loc, old_loc or ""} | inflight_version_dirs(),
         keep_newer_than=(_time.time() - retain) if retain > 0 else None,
     )
 

@@ -24,6 +24,7 @@ import sys
 
 def main(paths: list[str]) -> None:
     eng_best: dict[str, float] = {}
+    run_sets: list[set[str]] = []  # query set per run that carried timings
     runs = []
     for path in paths:
         # an artifact may hold several JSON lines (full per-query line,
@@ -52,7 +53,10 @@ def main(paths: list[str]) -> None:
                 "floor_adjusted_ratio": doc.get("floor_adjusted_ratio"),
             }
         )
-        for name, sec in (doc.get("queries") or {}).items():
+        queries = doc.get("queries") or {}
+        if queries:
+            run_sets.append(set(queries))
+        for name, sec in queries.items():
             if name not in eng_best or sec < eng_best[name]:
                 eng_best[name] = sec
     out = {
@@ -61,6 +65,21 @@ def main(paths: list[str]) -> None:
         "n_queries_in_composite": len(eng_best),
         "per_run": runs,
     }
+    # Like-for-like composite: when runs span a composite-set change
+    # (r13: 74→82, r14: 82→83 queries), the union composite above sums
+    # sets no single run timed — the round-over-round signal is the
+    # minima over queries present in EVERY run with timings (r12/r13
+    # verdicts recomputed exactly this by hand; now the artifact carries
+    # it). Identical sets → common == union and the extra keys are
+    # omitted.
+    if run_sets:
+        common = set.intersection(*run_sets)
+        if common != set(eng_best):
+            out["common_set_composite_sec"] = round(
+                sum(eng_best[n] for n in common), 3
+            )
+            out["n_queries_common_set"] = len(common)
+            out["queries_not_in_all_runs"] = sorted(set(eng_best) - common)
     vals = [r["value"] for r in runs if r["value"] is not None]
     ratios = [r["raw_ratio"] for r in runs if r["raw_ratio"] is not None]
     if vals:
