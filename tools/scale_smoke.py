@@ -49,6 +49,7 @@ OPS = [
     # exactly the shape that breaks a quadratic formulation
     "d_substring_spans",
     "d_substring_dedup_clean",
+    "d_substring_dedup_keep_first",
     # r13: the LM gate — linear stages + type-bounded model relations;
     # the x10 copy corpus multiplies every bigram count 10× while vocab
     # stays ~flat, so any formulation joining OCCURRENCES (instead of
