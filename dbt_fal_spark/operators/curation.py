@@ -323,6 +323,18 @@ def t_unk_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VOCAB_TOP_K = 100
 
+# Constant-valued but NON-FOLDABLE window partition key for ranking a
+# relation already pruned to a bounded row count (VERDICT r14 item 1).
+# A bare Window.orderBy() (empty partition spec) makes WindowExec move
+# the WHOLE input to one task — the right alarm for unbounded inputs,
+# which a raw token vocabulary is (Heaps' law: 10^8-10^9 distinct
+# tokens at 100 TB of web text). After an orderBy().limit(K) prune the
+# input is <= K rows and ONE sort task is the intended shape; a literal
+# key (lit(0)) would state that, but Catalyst folds literals out of the
+# partition spec and the empty-spec warning fires anyway, so the key is
+# a column-typed expression that evaluates to '' on every row.
+_ONE_GROUP = "substring(tok, 1, 0)"
+
 
 @query(
     "t_vocab_coverage",
@@ -353,10 +365,18 @@ def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     training a tokenizer.
 
     Plan: one token-keyed count (map-side combined; the only shuffle
-    that sees corpus-sized data), then ranking and the running sum run
-    on the FREQUENCY table — vocabulary-sized, orders of magnitude
-    smaller than the corpus — so the global-order window is bounded by
-    |vocab|, not |tokens|. The total-token scalar broadcasts.
+    that sees corpus-sized data), then the global top-K via
+    orderBy().limit() — Spark plans that as TakeOrderedAndProject,
+    a per-partition K-heap with a K x num_partitions driver-side merge,
+    so no task ever sorts the full vocabulary (which is Heaps-law
+    unbounded: 10^8-10^9 distinct raw tokens at 100 TB of web text;
+    VERDICT r14 item 1 — the previous single-partition ranking window
+    was the scale-killer this replaces). Rank and running sum are then
+    computed over the EXACTLY-K surviving rows (one bounded sort task,
+    _ONE_GROUP key): the cumsum at rank r sums precisely the top-r
+    rows, all of which survive the prune, so it equals the unpruned
+    cumsum at every emitted rank. The grand total comes from the
+    separately-aggregated scalar, not the window; it broadcasts.
     Determinism: counts are exact ints, the running sum is an int
     cumsum over a total order (freq desc, token asc), and coverage is
     one double division per row.
@@ -364,8 +384,8 @@ def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window as W
 
-    # persist the vocab-sized frequency table: the total, the ranking
-    # window and the final projection all read it — without the cache
+    # persist the vocab-sized frequency table: the total, the top-K
+    # prune and the final projection all read it — without the cache
     # the corpus-wide explode+count would plan twice
     freq = (
         docs.select(F.explode(F.split("text", " ")).alias("tok"))
@@ -374,12 +394,14 @@ def t_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     tot = freq.agg(F.sum("c").cast("bigint").alias("t"))
-    w = W.orderBy(F.desc("c"), F.asc("tok"))
+    order = (F.desc("c"), F.asc("tok"))
+    w = W.partitionBy(F.expr(_ONE_GROUP)).orderBy(*order)
     wc = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
-        freq.withColumn("rank", F.row_number().over(w))
+        freq.orderBy(*order)
+        .limit(VOCAB_TOP_K)
+        .withColumn("rank", F.row_number().over(w))
         .withColumn("cum", F.sum("c").over(wc))
-        .filter(F.col("rank") <= VOCAB_TOP_K)
         .crossJoin(F.broadcast(tot))
         .select(
             "tok",
@@ -493,12 +515,15 @@ def t_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the sketch build is one (row, cell)-keyed count with
     map-side combine — {CMS_DEPTH}·{CMS_WIDTH} cells total regardless
     of corpus size, the mergeable fixed-size state that lets a 100 TB
-    stream keep approximate counts in KBs. The probe side is
-    vocabulary-ranked (vocab-sized window) and broadcast against the
-    tiny cell table.
+    stream keep approximate counts in KBs. The probe side picks the
+    top-{CMS_TOP_K} vocabulary entries via orderBy().limit() —
+    TakeOrderedAndProject, a per-partition K-heap plus a driver-side
+    merge of K x num_partitions candidates, so no task ever sorts the
+    Heaps-law-unbounded vocabulary (VERDICT r14 item 1: the previous
+    single-partition ranking window was the scale-killer this
+    replaces) — then broadcasts the probes against the tiny cell table.
     """
     docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window as W
 
     # Counter increments are additive, so hash per DISTINCT token and
     # SUM the token counts into cells — bit-identical counters to the
@@ -530,10 +555,8 @@ def t_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("true_count").alias("cnt"))
     )
     probes = (
-        tokc.withColumn(
-            "rnk", F.row_number().over(W.orderBy(F.desc("true_count"), F.asc("tok")))
-        )
-        .filter(F.col("rnk") <= CMS_TOP_K)
+        tokc.orderBy(F.desc("true_count"), F.asc("tok"))
+        .limit(CMS_TOP_K)
         .select("tok", "true_count", rs)
         .select("tok", "true_count", "r", cell.alias("c"))
     )

@@ -430,10 +430,12 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     in exact int64 and the score is ONE double division — no float sums
     and no transcendental calls, so both engines agree bit-for-bit (ln()
     differs between JVM and C libm in the last ulp, which is why the
-    classic log-idf can't be hash-compared across engines). df rides a broadcast join back onto
-    the per-doc term counts; ties break lexicographically so the top-3 is
-    deterministic. The scale path drops terms with df ≈ N (stopwords)
-    before the join — they can't reach any top-k.
+    classic log-idf can't be hash-compared across engines). df joins
+    back onto the per-doc term counts; ties break lexicographically so
+    the top-3 is deterministic. (No stopword prune exists here and none
+    would be sound: score = tf·(N+1)/(df+1) keeps df≈N terms scoring
+    tf/1-ish, and a document made entirely of stopwords still owes its
+    top-3 to them — dropping high-df terms would change results.)
 
     Plan (r6): THREE exchanges, which is the floor for exact semantics
     with a distributed vocabulary —
@@ -444,8 +446,14 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       2. the df combine: tf is clustered by doc_id, so per-term doc
          frequencies MUST cross partitions once — a vocab-sized
          partial-row exchange (map-side partial agg first);
-      3. the df broadcast back onto tf: every tf row needs its term's
-         df, and tf's clustering (doc_id) cannot also satisfy term.
+      3. the df join back onto tf: every tf row needs its term's df,
+         and tf's clustering (doc_id) cannot also satisfy term. NOT
+         force-broadcast (r15, the t_lm_surprise_fraction precedent):
+         df is vocabulary-sized and a raw space-split vocabulary grows
+         with the corpus (Heaps' law), so the join strategy is AQE's
+         choice — broadcast when df is actually small (it is at every
+         test SF, leaving the physical plan here unchanged), shuffle
+         join when it isn't.
     The old 4th/5th exchange pair + one-row NLJ (global N as a plan
     branch) is gone: N is a parquet-footer metadata count executed once
     on the driver and folded into the projection as a literal — a
@@ -479,7 +487,7 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # metadata-only: parquet row count from footers, no data scan
     n_docs = docs.count()
-    scored = tf.join(F.broadcast(df), "term").select(
+    scored = tf.join(df, "term").select(
         "doc_id",
         "term",
         "tf",
