@@ -1279,7 +1279,7 @@ class FalSpark:
             replace_relation_atomic(
                 self.spark, out, identifier,
                 bucket_by=bucket_by, partition_by=partition_by,
-                expected_location=expected,
+                expected_token=expected,
             )
             return n
         if sort_by:
@@ -1290,7 +1290,7 @@ class FalSpark:
             out = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
             replace_relation_atomic(
                 self.spark, out, identifier, partition_by=partition_by,
-                expected_location=expected,
+                expected_token=expected,
             )
             return n
         n = target_partitions or self.spark.sparkContext.defaultParallelism
@@ -1303,13 +1303,13 @@ class FalSpark:
             out = df.repartition(n, *pcols)
             replace_relation_atomic(
                 self.spark, out, identifier, partition_by=partition_by,
-                expected_location=expected,
+                expected_token=expected,
             )
             return n
         cur = df.rdd.getNumPartitions()
         # coalesce when shrinking (no shuffle); repartition only to grow
         out = df.coalesce(n) if n <= cur else df.repartition(n)
-        replace_relation_atomic(self.spark, out, identifier, expected_location=expected)
+        replace_relation_atomic(self.spark, out, identifier, expected_token=expected)
         return min(n, cur) if n <= cur else n
 
     def vacuum(self, model_name: str) -> int:
@@ -1340,7 +1340,6 @@ class FalSpark:
             _read_live_pointer,
             _table_location,
             _vacuum_versions,
-            inflight_version_dirs,
         )
 
         self._require_table_model(model_name, "vacuum")
@@ -1368,10 +1367,11 @@ class FalSpark:
         relive = _table_location(self.spark, identifier)
         if relive:
             keep.add(relive)
-        # never delete a version dir an in-process writer is still
-        # producing (r14: mtime alone can't distinguish it from a dead
-        # young version, so writers register their dirs explicitly)
-        keep |= inflight_version_dirs()
+        # a version dir an in-process writer is still producing is never
+        # deleted: writers register their dirs (r14), and since r15 the
+        # registry is re-checked per directory immediately before each
+        # rmtree inside _vacuum_versions (ADVICE r14 — a snapshot taken
+        # here could miss a writer that registers after this line)
         return _vacuum_versions(base, keep=keep, keep_newer_than=ref_mtime)
 
     def analyze(self, model_name: str, columns: bool = True) -> None:

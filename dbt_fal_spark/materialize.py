@@ -149,19 +149,27 @@ class ConcurrentRebuildError(RuntimeError):
 
 
 def table_swap_token(spark: SparkSession, identifier: str):
-    """Opaque version token for optimistic read-then-replace: (location,
-    local-dir mtime). Location alone identifies pointer-flip versions
-    (every flip mints a fresh ``__v`` dir) but NOT drop-first swaps —
-    RENAME TO lands a rebuilt hive-partitioned table on the same
-    canonical path every time, so the directory mtime (a fresh inode
-    per rename) carries the version there. Non-local locations degrade
-    to location-only (mtime None)."""
+    """Opaque version token for optimistic read-then-replace:
+    (location, commit-nonce, local-dir mtime). Location alone
+    identifies pointer-flip versions (every flip mints a fresh ``__v``
+    dir) but NOT drop-first swaps — RENAME TO lands a rebuilt
+    hive-partitioned table on the same canonical path every time. For
+    those, the per-commit NONCE carries the version: every committed
+    swap rewrites the live pointer file with a fresh uuid (ADVICE r14 —
+    the previous mtime-only fallback compared equal when a rebuild
+    landed in the same coarse-filesystem tick as the token capture,
+    letting compact commit stale data undetected). The directory mtime
+    rides along as a third component for in-place writes that bypass
+    the swap path (incremental appends touch the dir but not the
+    pointer). Pre-pointer tables and non-local locations degrade
+    gracefully (nonce/mtime None)."""
     import os
     from urllib.parse import urlparse
 
     loc = _table_location(spark, identifier)
     if loc is None:
         return None
+    base = _re_sub_version(loc)
     mtime = None
     parsed = urlparse(loc)
     if parsed.scheme in ("", "file"):
@@ -169,7 +177,14 @@ def table_swap_token(spark: SparkSession, identifier: str):
             mtime = os.path.getmtime(parsed.path or loc)
         except OSError:
             mtime = None
-    return (loc, mtime)
+    return (loc, _read_live_nonce(base), mtime)
+
+
+def _re_sub_version(loc: str) -> str:
+    """Strip the ``__v<uuid8>`` suffix off a version-dir path."""
+    import re as _re
+
+    return _re.sub(_VERSION_RE, "", loc.rstrip("/"))
 
 
 def _table_location(spark: SparkSession, identifier: str) -> str | None:
@@ -218,7 +233,11 @@ def _live_pointer_path(base: str) -> str:
 
 
 def _write_live_pointer(base: str, loc: str) -> None:
-    """Atomically persist the live location (tmp file + rename)."""
+    """Atomically persist the live location (tmp file + rename). Line 1
+    is the location; line 2 is a fresh per-commit NONCE — the version
+    component table_swap_token uses for drop-first swaps, whose
+    committed location never changes (ADVICE r14: dir mtime alone has
+    coarse-filesystem ticks)."""
     import os
     import tempfile
 
@@ -226,7 +245,7 @@ def _write_live_pointer(base: str, loc: str) -> None:
     try:
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(base), prefix=".__live_tmp_")
         with os.fdopen(fd, "w") as f:
-            f.write(os.path.abspath(loc))
+            f.write(f"{os.path.abspath(loc)}\n{uuid.uuid4().hex}")
         os.replace(tmp, _live_pointer_path(base))
         tmp = None  # consumed by the rename
     except OSError:
@@ -240,12 +259,24 @@ def _write_live_pointer(base: str, loc: str) -> None:
 
 
 def _read_live_pointer(base: str) -> str | None:
-    import os
-
+    """Line 1 of the pointer file: the live location (single-line files
+    written before r15 parse identically — no nonce line, that's all)."""
     try:
         with open(_live_pointer_path(base)) as f:
-            loc = f.read().strip()
+            loc = f.readline().strip()
         return loc or None
+    except OSError:
+        return None
+
+
+def _read_live_nonce(base: str) -> str | None:
+    """Line 2 of the pointer file: the per-commit nonce (None for
+    pre-r15 pointer files and pointerless tables)."""
+    try:
+        with open(_live_pointer_path(base)) as f:
+            f.readline()
+            nonce = f.readline().strip()
+        return nonce or None
     except OSError:
         return None
 
@@ -258,7 +289,18 @@ def _vacuum_versions(base: str, keep: set[str], keep_newer_than: float | None = 
     ``now - retainSeconds`` (time-based reader protection), and
     FalSpark.vacuum passes the live pointer's mtime so a version dir a
     CONCURRENT rebuild is still writing — newer than the last committed
-    flip — is never deleted mid-flip. Returns dirs removed."""
+    flip — is never deleted mid-flip. Returns dirs removed.
+
+    The in-flight writer registry (_INFLIGHT_DIRS) is consulted PER
+    DIRECTORY, immediately before each rmtree (ADVICE r14): a caller-
+    supplied snapshot taken before the listdir leaves a window where a
+    writer registers + creates its dir between the snapshot and the
+    delete loop reaching it. The per-dir re-check closes that window
+    completely: writers register BEFORE creating the directory, so any
+    listed dir that is mid-write is registered by the time we re-check
+    — and a dir that re-checks as unregistered can never become a write
+    target later, because version paths are minted with fresh uuid4
+    suffixes and never reused."""
     import os
     import re as _re
     import shutil
@@ -280,6 +322,12 @@ def _vacuum_versions(base: str, keep: set[str], keep_newer_than: float | None = 
                         continue
                 except OSError:
                     continue  # vanished under us (another vacuum) — skip
+            with _INFLIGHT_LOCK:  # short: set lookup only, no IO held
+                inflight_now = os.path.abspath(p) in {
+                    os.path.abspath(k) for k in _INFLIGHT_DIRS
+                }
+            if inflight_now:
+                continue
             shutil.rmtree(p, ignore_errors=True)
             removed += 1
     return removed
@@ -306,7 +354,7 @@ def replace_relation_atomic(
     bucket_by: dict | None = None,
     sort_by: str | None = None,
     partition_by: str | None = None,
-    expected_location: str | None = None,
+    expected_token: tuple | None = None,
 ) -> None:
     """Atomic table replacement, safe when ``df`` reads from
     ``identifier`` itself (reference: lib.py:286-329 overwrite_target /
@@ -333,7 +381,7 @@ def replace_relation_atomic(
     or bucketed table would void the partition-pruning /
     zero-shuffle-join contract the model config declared.
 
-    ``expected_location`` (r14, maintenance verbs): optimistic
+    ``expected_token`` (r14, maintenance verbs): optimistic
     concurrency for read-then-replace callers. compact() rewrites the
     data it READ — if another writer commits between that read and this
     swap, flipping anyway would silently replace the newer rebuild with
@@ -354,12 +402,12 @@ def replace_relation_atomic(
         df = _range_cluster(df, sort_by)
 
     def _check_expected():
-        if expected_location is not None:
+        if expected_token is not None:
             cur = table_swap_token(spark, identifier)
-            if cur != expected_location:
+            if cur != expected_token:
                 raise ConcurrentRebuildError(
                     f"{identifier}: live version moved "
-                    f"({expected_location!r} -> {cur!r}) since the "
+                    f"({expected_token!r} -> {cur!r}) since the "
                     "maintenance read — aborting the swap; re-run the verb "
                     "against the current version"
                 )
@@ -470,16 +518,29 @@ def replace_relation_atomic(
     spark.sql(f"DROP TABLE IF EXISTS {_q(tmp)}")
     # vacuum versions beyond the grace window: always keep the live dir,
     # the immediately previous one, and any version dir an in-process
-    # writer is currently producing (r14 review — without the in-flight
-    # keep, this vacuum could rmtree a concurrent compact/rebuild's
-    # half-written dir); with RETAIN_CONF set, also keep anything
-    # modified within the retention window (slow-reader cover)
+    # writer is currently producing (r14 review; since r15 the in-flight
+    # registry is re-checked per directory INSIDE _vacuum_versions —
+    # ADVICE r14 — so a writer registering after this call starts is
+    # still safe); with RETAIN_CONF set, also keep anything modified
+    # within the retention window (slow-reader cover). The catalog
+    # location and live pointer are RE-READ here (not reused from the
+    # flip above): a concurrent rebuild of the same table may have
+    # committed — and deregistered its dir — between our flip and this
+    # vacuum, making ITS dir the live one; the stale {new_loc, old_loc}
+    # pair alone would let us delete it.
     import time as _time
 
     retain = float(spark.conf.get(RETAIN_CONF, "0") or "0")
+    keep = {new_loc, old_loc or ""}
+    cur_live = _table_location(spark, identifier)
+    if cur_live:
+        keep.add(cur_live)
+    cur_ptr = _read_live_pointer(base)
+    if cur_ptr:
+        keep.add(cur_ptr)
     _vacuum_versions(
         base,
-        keep={new_loc, old_loc or ""} | inflight_version_dirs(),
+        keep=keep,
         keep_newer_than=(_time.time() - retain) if retain > 0 else None,
     )
 
