@@ -154,6 +154,14 @@ def run_stream_to_completion(
         sinks = _MEMORY_SINKS.pop(key, [])
         sinks.append(name)
         stale, sinks = sinks[:-2], sinks[-2:]
+        # a caller draining under a FIXED name re-uses the temp view:
+        # the new sink REPLACED the old view, so a stale entry with a
+        # kept name points at the LIVE view — dropping it would kill the
+        # result just returned (r15 adversarial review: the third drain
+        # of the same name previously dropped its own sink; external
+        # spark.table(name) lookups broke even though `out` survived
+        # via its analyzed plan)
+        stale = [s for s in stale if s not in sinks]
         _MEMORY_SINKS[key] = sinks
     # drop outside the lock — catalog calls go over py4j and can block
     for old in stale:
