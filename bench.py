@@ -195,7 +195,12 @@ def _paired_ratios(
     so the ratio reflects per-row data work. BENCH_FLOOR protocol from
     r4/r5, emitted in the bench tail each run. Returns (ratios, floors)
     so a degraded-window re-aggregation can reuse the measured floors
-    instead of re-running the floor phase."""
+    instead of re-running the floor phase — floors are KEYED by the
+    paired-name tuple they were measured over (ADVICE r14): if a query
+    breaks during the degraded-window rerun the paired set shrinks, and
+    subtracting the stale floor totals would deduct fixed costs for
+    queries no longer in the composite, skewing floor_adjusted_ratio.
+    On a mismatch the floors are remeasured for the current set."""
     paired = [n for n in engine_timings if n in oracle_timings]
     eng_total = sum(engine_timings[n] for n in paired)
     ora_total = sum(oracle_timings[n] for n in paired)
@@ -206,11 +211,11 @@ def _paired_ratios(
         "floor_adjusted_ratio": None,
     }
     if os.path.isdir(FLOOR_DIR) and os.path.abspath(sf_dir) != os.path.abspath(FLOOR_DIR):
-        if floors is None:
+        if floors is None or floors[0] != tuple(paired):
             eng_floor = _engine_floor(spark, jvm_gc, specs, paired)
             ora_floor = sum(_oracle_timings(paired, specs, FLOOR_DIR, runs=2).values())
-            floors = (eng_floor, ora_floor)
-        eng_floor, ora_floor = floors
+            floors = (tuple(paired), eng_floor, ora_floor)
+        _, eng_floor, ora_floor = floors
         out["engine_floor_sec"] = round(eng_floor, 3)
         out["oracle_floor_sec"] = round(ora_floor, 3)
         adj_num, adj_den = eng_total - eng_floor, ora_total - ora_floor
@@ -219,16 +224,29 @@ def _paired_ratios(
     return out, floors
 
 
-def _canary_phase(spark, jvm_gc, specs, sf_dir: str, runs: int = 3) -> dict[str, float]:
+def _canary_phase(
+    spark, jvm_gc, specs, sf_dir: str, runs: int = 3
+) -> tuple[dict[str, float], dict[str, str]]:
     """Re-time the fixed canary set (min-of-`runs`, same protocol as the
     composite) — cheap, historically-stable queries whose committed
     cross-run minima (bench_set.CANARY_REF) act as this host's known
-    noise floor."""
-    return {
-        name: _time_engine(spark, jvm_gc, specs[name].fn, sf_dir, runs)
-        for name in CANARIES
-        if name in specs
-    }
+    noise floor. One canary erroring must not lose the others' evidence
+    (r15 adversarial review): failures are returned alongside so the
+    tail records WHICH canary broke instead of one opaque canary_error
+    for the whole phase (canary_verdict then returns no verdict for the
+    incomplete set — the diagnosis degrades explicitly, never guesses
+    from a partial sum)."""
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in CANARIES:
+        if name not in specs:
+            continue
+        try:
+            timings[name] = _time_engine(spark, jvm_gc, specs[name].fn, sf_dir, runs)
+        except Exception as exc:  # noqa: BLE001 — diagnosis is additive info
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            spark.catalog.clearCache()
+    return timings, errors
 
 
 def main() -> None:
@@ -421,7 +439,10 @@ def main() -> None:
     # ship in the tail JSON.
     canary_info: dict = {}
     try:
-        verdict = canary_verdict(_canary_phase(spark, jvm_gc, specs, sf_dir), sf)
+        canary_timings, canary_errors = _canary_phase(spark, jvm_gc, specs, sf_dir)
+        verdict = canary_verdict(canary_timings, sf)
+        if verdict is None and canary_errors:
+            canary_info = {"canary_failures": canary_errors}
         if verdict is not None:
             rerun_on = (
                 os.environ.get("SPARK_GRAFT_BENCH_RERUN_ON_DEGRADED", "1") != "0"
@@ -469,9 +490,14 @@ def main() -> None:
                     ),
                     flush=True,
                 )
-                verdict = canary_verdict(
-                    _canary_phase(spark, jvm_gc, specs, sf_dir), sf
-                )
+                retimed, rerun_errors = _canary_phase(spark, jvm_gc, specs, sf_dir)
+                verdict = canary_verdict(retimed, sf)
+                if verdict is None:
+                    # a canary broke during the rerun: keep the first
+                    # reading as the verdict rather than losing it
+                    verdict = dict(first_reading)
+                    if rerun_errors:
+                        verdict["canary_failures"] = rerun_errors
                 verdict["degraded_rerun"] = True
                 verdict["canaries_first_reading"] = first_reading["canaries"]
                 verdict["canary_ratio_first_reading"] = first_reading[

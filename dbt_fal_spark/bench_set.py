@@ -140,7 +140,12 @@ def canary_verdict(canary_timings: dict[str, float], sf: str) -> dict | None:
         return None
     total = sum(timed.values())
     ref_total = sum(refs.values())
-    ratio = total / ref_total if ref_total else None
+    if not ref_total:
+        # a zeroed/misconfigured CANARY_REF degrades like a missing one
+        # (no verdict) instead of raising through round() below and
+        # surfacing as an opaque canary_error (ADVICE r14)
+        return None
+    ratio = total / ref_total
     return {
         "canaries": {
             n: {

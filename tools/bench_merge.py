@@ -24,7 +24,9 @@ import sys
 
 def main(paths: list[str]) -> None:
     eng_best: dict[str, float] = {}
+    clean_best: dict[str, float] = {}  # minima over canary-clean runs only
     run_sets: list[set[str]] = []  # query set per run that carried timings
+    clean_sets: list[set[str]] = []
     runs = []
     for path in paths:
         # an artifact may hold several JSON lines (full per-query line,
@@ -51,11 +53,23 @@ def main(paths: list[str]) -> None:
                 "oracle_total_sec": doc.get("oracle_total_sec"),
                 "raw_ratio": doc.get("raw_ratio"),
                 "floor_adjusted_ratio": doc.get("floor_adjusted_ratio"),
+                "canary_ratio": doc.get("canary_ratio"),
+                "degraded_window": doc.get("degraded_window"),
             }
         )
         queries = doc.get("queries") or {}
         if queries:
             run_sets.append(set(queries))
+            # canary-clean subset (VERDICT r14 item 3): minima restricted
+            # to runs whose own canary verdict read clean, so one
+            # contended round can't move the headline composite — runs
+            # without a canary verdict (older artifacts, no sf reference)
+            # are conservatively excluded from the clean subset
+            if doc.get("degraded_window") is False:
+                clean_sets.append(set(queries))
+                for name, sec in queries.items():
+                    if name not in clean_best or sec < clean_best[name]:
+                        clean_best[name] = sec
         for name, sec in queries.items():
             if name not in eng_best or sec < eng_best[name]:
                 eng_best[name] = sec
@@ -80,6 +94,18 @@ def main(paths: list[str]) -> None:
             )
             out["n_queries_common_set"] = len(common)
             out["queries_not_in_all_runs"] = sorted(set(eng_best) - common)
+    # canary-clean subset composite, printed alongside the all-runs
+    # minima (VERDICT r14 item 3): the round-over-round headline should
+    # come from runs whose host window read clean
+    out["n_clean_runs"] = len(clean_sets)
+    if clean_best:
+        out["clean_runs_composite_sec"] = round(sum(clean_best.values()), 3)
+        out["n_queries_clean_composite"] = len(clean_best)
+        clean_common = set.intersection(*clean_sets)
+        if clean_common != set(clean_best):
+            out["clean_common_set_composite_sec"] = round(
+                sum(clean_best[n] for n in clean_common), 3
+            )
     vals = [r["value"] for r in runs if r["value"] is not None]
     ratios = [r["raw_ratio"] for r in runs if r["raw_ratio"] is not None]
     if vals:
