@@ -96,47 +96,55 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST stale rows of the r13 window; after r12 they are the only
 # entries with evidence older than r10.
 _CHECK_FIRST = (
-    # --- r14 WINDOW ---
-    # (Window history r5-r13 lives in git; standing rule: lead each
+    # --- r15 WINDOW ---
+    # (Window history r5-r14 lives in git; standing rule: lead each
     # round with every entry whose plan/semantics/source changed since
     # its last driver row, then the stalest remaining rows.)
-    # CORRECTNESS_r13 was green over the full r13 window (50/50).
-    # Changed/new this round — verify first: d_substring_dedup_keep_first
-    # (NEW, VERDICT r13 item 4: the RefinedWeb keep-one-canonical-copy
-    # variant, never driver-checked), the three existing substring
-    # entries (closure changed: gram emit factored into _gram_relation,
-    # clean tail into _clean_output — plans unchanged),
-    # t_lm_surprise_fraction (VERDICT r13 item 2: forced vocab
-    # broadcast dropped; AQE still picks broadcast at every test SF, so
-    # the physical plan is unchanged), and the two p_* flow entries
-    # (FalSpark/materialize closure changed: optimistic compact +
-    # in-flight vacuum guards, r14 concurrency review — plans
-    # unchanged).
-    "d_substring_dedup_keep_first", "d_substring_spans",
-    "d_substring_dup_fraction", "d_substring_dedup_clean",
-    "t_lm_surprise_fraction",
+    # CORRECTNESS_r14 was green over the full r14 window (50/50).
+    # Changed this round — verify first (14): t_vocab_coverage and
+    # t_cms_heavy_hitters (VERDICT r14 item 1: the single-partition
+    # vocab ranking windows replaced with orderBy().limit() top-K —
+    # TakeOrderedAndProject; values identical, plan reshaped),
+    # t_tfidf_top_terms (VERDICT r14 item 2: forced vocab broadcast
+    # dropped, AQE's choice now — physical plan unchanged at test SFs),
+    # the two p_* flow entries (FalSpark/materialize closure changed:
+    # per-dir in-flight vacuum re-check + nonce-carrying swap token,
+    # ADVICE r14 — plans unchanged), and the nine st_* entries (shared
+    # drain helper run_stream_to_completion changed: fixed-name
+    # stale-list dedupe, r15 adversarial review — plans unchanged).
+    "t_vocab_coverage", "t_cms_heavy_hitters", "t_tfidf_top_terms",
     "p_fal_model_pandas_forecast", "p_flow_run_customer_stats",
-    # the five r10 rows deferred from the r13 window (VERDICT r13
-    # item 3: the only evidence older than r11)
-    "q_date_filter_projection", "q_order_date_parts", "q_paginate_orders",
-    "q_part_string_funcs", "q_pivot_priority_by_status",
-    # the 38 entries whose last green driver row is r11; after r14 no
-    # entry's driver evidence is older than r12.
-    "d_exact_dedup", "d_keep_best_per_key", "d_ngram_jaccard_pairs",
-    "d_simhash", "d_winnow_neardup",
-    "e_asof_purchase_attribution", "e_changepoint_cusum",
-    "e_daily_active_users", "e_dau_hll_sketch", "e_hll_register_state",
-    "e_interpolate_daily_user", "e_rolling_median_7d", "e_sessionize",
-    "m_chunk_dedup",
-    "q01_pricing_summary", "q_ab_test_proportions", "q_conditional_aggs",
-    "q_latest_order_per_customer", "q_revenue_share_by_nation",
-    "q_unpivot_segment_metrics",
-    "t_cms_heavy_hitters", "t_domain_mix_sample", "t_fingerprint",
-    "t_gopher_quality", "t_lang_profile", "t_langid_naive",
-    "t_pack_emit", "t_pack_sequences", "t_quality_score",
-    "t_repetition_stats", "t_rolling_fingerprint", "t_stratified_sample",
-    "t_tfidf_top_terms", "t_token_bpe", "t_token_stats",
-    "t_top_bigrams", "t_unk_replace", "t_vocab_coverage",
+    "st_dedup_stream", "st_dedup_within_watermark_stream",
+    "st_enriched_stream", "st_full_outer_interval_stream",
+    "st_hourly_stream", "st_interval_join_stream",
+    "st_left_outer_interval_stream", "st_session_stream",
+    "st_user_totals_stateful",
+    # then 36 of the 38 non-changed entries whose last green driver row
+    # is r12 (the 9 st_* above are the other r12 rows — the streaming
+    # fix made their staging do double duty). Two r12 rows don't fit
+    # the 50-slot window and are the FIRST stale rows of the r16
+    # window: m_binary_metadata (map-only metadata projection, source
+    # untouched since r9) and e_hourly_rollup (single tumbling agg
+    # whose exact shape st_hourly_stream's oracle also pins, staged
+    # above). After r15 they are the only entries with evidence older
+    # than r13.
+    "d_embedding_neardup_pairs",
+    "e_anomaly_events", "e_forecast_daily_by_type", "e_funnel_conversion",
+    "e_json_props_stats", "e_purchase_gap_stats", "e_resample_daily_fill",
+    "e_retention_cohorts", "e_rolling_7d_revenue",
+    "e_sliding_window_traffic", "e_user_activity_pivot",
+    "m_decode_pipeline", "m_frame_sample",
+    "q02_min_cost_part_supplier", "q03_topk_order_revenue",
+    "q04_late_shipment_priority", "q05_region_nation_revenue",
+    "q06_filtered_revenue", "q07_volume_shipping", "q08_market_share",
+    "q09_product_profit", "q10_returned_items",
+    "q12_latency_priority_pivot", "q13_order_count_distribution",
+    "q14_promo_revenue", "q15_top_supplier",
+    "q16_parts_not_recently_shipped", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_disjunctive_predicates",
+    "q20_part_promotion_suppliers", "q21_suppliers_kept_waiting",
+    "q22_lapsed_rich_customers", "q_profile_orders",
+    "s_label_centroid_distance", "s_text_vector_join",
 )
 
 
