@@ -56,6 +56,15 @@ OPS = [
     # per-doc TYPES) or materializing the model per doc shows super-
     # linear wall here
     "t_lm_surprise_fraction",
+    # r15: the vocab-ranking pair (VERDICT r14 item 1) — the global
+    # top-K must run as TakeOrderedAndProject (per-partition K-heaps),
+    # so wall must track the token-count stage (~linear in corpus) and
+    # never the vocabulary sort; on the x10 prefix-copy corpus the
+    # vocabulary stays ~flat while token mass grows 10x, which is
+    # exactly the regime where a single-task vocab sort would hide and
+    # a linear count-then-prune shows linear wall
+    "t_vocab_coverage",
+    "t_cms_heavy_hitters",
     "s_knn_bruteforce",
     "s_knn_ivf",
     "s_knn_lsh_multitable",
@@ -101,7 +110,15 @@ def build_synth_10x(spark, src: str, dst: str) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/scale_smoke")
+    ap.add_argument(
+        "--ops", default=None,
+        help="comma-separated subset of OPS to measure (default: all)",
+    )
     args = ap.parse_args()
+    ops = [o for o in (args.ops.split(",") if args.ops else OPS) if o]
+    unknown = [o for o in ops if o not in OPS]
+    if unknown:
+        ap.error(f"not in the smoke's OPS list: {unknown}")
     spark = get_spark("scale-smoke")
     synth = os.path.join(args.out, "x10")
     build_synth_10x(spark, "/root/testdata/sf0.1", synth)
@@ -114,7 +131,7 @@ def main() -> None:
     ]
     specs = all_queries()
     results: dict[str, list[tuple[str, int, float]]] = {}
-    for op in OPS:
+    for op in ops:
         fn = specs[op].fn
         rows_at = []
         for label, d in sizes:
