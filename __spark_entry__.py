@@ -96,55 +96,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST stale rows of the r13 window; after r12 they are the only
 # entries with evidence older than r10.
 _CHECK_FIRST = (
-    # --- r15 WINDOW ---
-    # (Window history r5-r14 lives in git; standing rule: lead each
+    # --- r16 WINDOW ---
+    # (Window history r5-r15 lives in git; standing rule: lead each
     # round with every entry whose plan/semantics/source changed since
     # its last driver row, then the stalest remaining rows.)
-    # CORRECTNESS_r14 was green over the full r14 window (50/50).
-    # Changed this round — verify first (14): t_vocab_coverage and
-    # t_cms_heavy_hitters (VERDICT r14 item 1: the single-partition
-    # vocab ranking windows replaced with orderBy().limit() top-K —
-    # TakeOrderedAndProject; values identical, plan reshaped),
-    # t_tfidf_top_terms (VERDICT r14 item 2: forced vocab broadcast
-    # dropped, AQE's choice now — physical plan unchanged at test SFs),
-    # the two p_* flow entries (FalSpark/materialize closure changed:
-    # per-dir in-flight vacuum re-check + nonce-carrying swap token,
-    # ADVICE r14 — plans unchanged), and the nine st_* entries (shared
-    # drain helper run_stream_to_completion changed: fixed-name
-    # stale-list dedupe, r15 adversarial review — plans unchanged).
-    "t_vocab_coverage", "t_cms_heavy_hitters", "t_tfidf_top_terms",
+    # CORRECTNESS_r15 was green over the full r15 window (50/50).
+    # Changed this round — verify first (2): the two p_* flow entries
+    # (FalSpark/materialize closure changed: ADVICE r15 — drop-first
+    # pointer rewrite moved inside commit_lock, per-directory live-
+    # pointer re-read in _vacuum_versions, crashed-writer tmp litter
+    # reaping — plans unchanged; window_guard's mechanical list agrees
+    # this is the complete changed set).
     "p_fal_model_pandas_forecast", "p_flow_run_customer_stats",
-    "st_dedup_stream", "st_dedup_within_watermark_stream",
-    "st_enriched_stream", "st_full_outer_interval_stream",
-    "st_hourly_stream", "st_interval_join_stream",
-    "st_left_outer_interval_stream", "st_session_stream",
-    "st_user_totals_stateful",
-    # then 36 of the 38 non-changed entries whose last green driver row
-    # is r12 (the 9 st_* above are the other r12 rows — the streaming
-    # fix made their staging do double duty). Two r12 rows don't fit
-    # the 50-slot window and are the FIRST stale rows of the r16
-    # window: m_binary_metadata (map-only metadata projection, source
-    # untouched since r9) and e_hourly_rollup (single tumbling agg
-    # whose exact shape st_hourly_stream's oracle also pins, staged
-    # above). After r15 they are the only entries with evidence older
-    # than r13.
-    "d_embedding_neardup_pairs",
-    "e_anomaly_events", "e_forecast_daily_by_type", "e_funnel_conversion",
-    "e_json_props_stats", "e_purchase_gap_stats", "e_resample_daily_fill",
-    "e_retention_cohorts", "e_rolling_7d_revenue",
-    "e_sliding_window_traffic", "e_user_activity_pivot",
-    "m_decode_pipeline", "m_frame_sample",
-    "q02_min_cost_part_supplier", "q03_topk_order_revenue",
-    "q04_late_shipment_priority", "q05_region_nation_revenue",
-    "q06_filtered_revenue", "q07_volume_shipping", "q08_market_share",
-    "q09_product_profit", "q10_returned_items",
-    "q12_latency_priority_pivot", "q13_order_count_distribution",
-    "q14_promo_revenue", "q15_top_supplier",
-    "q16_parts_not_recently_shipped", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q19_disjunctive_predicates",
-    "q20_part_promotion_suppliers", "q21_suppliers_kept_waiting",
-    "q22_lapsed_rich_customers", "q_profile_orders",
-    "s_label_centroid_distance", "s_text_vector_join",
+    # then the two r12-stale rows deferred from the r15 window
+    # (VERDICT r15 item 1: the only entries with evidence older than
+    # r13, documented twice — they lead the stale refresh),
+    "m_binary_metadata", "e_hourly_rollup",
+    # then all 44 entries whose last green driver row is r13 (computed
+    # from CORRECTNESS_r01-r15: the dedup/LSH family, the q_* analytics
+    # family, the five s_knn_* entries, q11, the m_* feature rows,
+    # p_sentiment_batch_inference, st_upsert_stream),
+    "d_bloom_prefilter", "d_containment_pairs", "d_decontaminate",
+    "d_dup_ngram_fraction", "d_embedding_neardup_lsh",
+    "d_lsh_levenshtein_refine", "d_minhash_lsh_pairs",
+    "d_neardup_components", "d_neardup_triangles",
+    "m_byte_histogram_features", "m_resize_pipeline",
+    "p_sentiment_batch_inference", "q11_important_parts",
+    "q_corr_stats_by_flag", "q_cube_status_priority",
+    "q_customer_order_stats", "q_customer_running_total",
+    "q_customer_value_deciles", "q_customer_value_deciles_ranged",
+    "q_customer_value_percentile", "q_first_last_order_value",
+    "q_generic_tests", "q_gini_customer_value",
+    "q_grouping_sets_revenue", "q_histogram_totalprice",
+    "q_lapsed_customers_except", "q_mad_outlier_orders",
+    "q_orders_daily_pivot", "q_pii_masked_customers",
+    "q_priority_distinct_customers", "q_quantity_quartiles",
+    "q_range_join_price_band", "q_region_rollup_revenue",
+    "q_repeat_customers_intersect", "q_revenue_trend_by_priority",
+    "q_salted_join_supplier_volume", "q_status_set_per_priority",
+    "q_topk_orders_per_segment", "s_knn_bruteforce", "s_knn_int8",
+    "s_knn_ivf", "s_knn_lsh_bucketed", "s_knn_lsh_multitable",
+    "st_upsert_stream",
+    # filling the last 2 slots with the alphabetically-first r14 rows
+    # (all 45 r14 rows are equally stale; the remaining 43 lead the r17
+    # window). After r16 no entry's evidence is older than r14.
+    "d_exact_dedup", "d_keep_best_per_key",
 )
 
 

@@ -40,6 +40,7 @@ from dbt_fal_spark.bench_set import (
     ROTATE_N,
     canary_verdict,
     composite_names,
+    eo_ratio_verdict,
     rotate_pool,
 )
 from dbt_fal_spark.registry import all_queries
@@ -344,6 +345,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # per-query ORACLE minima (r16): artifacts before this
+                # carried only oracle totals, which made the host-invariant
+                # canary_eo_ratio band underivable from history — future
+                # bands recompute from this key
+                "oracle_queries": oracle_timings,
                 "failures": failures,
                 "sf": sf,
             }
@@ -484,6 +490,7 @@ def main() -> None:
                             "value": round(sum(timings.values()), 3),
                             "unit": "sec",
                             "queries": timings,
+                            "oracle_queries": oracle_timings,
                             "failures": failures,
                             "sf": sf,
                         }
@@ -509,8 +516,20 @@ def main() -> None:
 
     if ora_con is not None:
         ora_con.close()
-    if ratios or canary_info:
-        print(json.dumps({**compact_line(), **ratios, **canary_info}), flush=True)
+    # Host-invariant engine-regression signal (VERDICT r15 item 2):
+    # same-run engine/oracle ratio over the canary set, computed from the
+    # final interleaved-pass minima (post-rerun when degraded) — host
+    # pressure moves both sides together, so unlike the absolute
+    # canary_ratio above this survives host-baseline drift. Decision
+    # rule: canary_ratio flags WINDOW quality, canary_eo_ratio flags
+    # ENGINE regression (band in bench_set.CANARY_EO_BAND, documented in
+    # BASELINE.md).
+    eo_info = eo_ratio_verdict(timings, oracle_timings, sf) or {}
+    if ratios or canary_info or eo_info:
+        print(
+            json.dumps({**compact_line(), **ratios, **canary_info, **eo_info}),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

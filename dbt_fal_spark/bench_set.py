@@ -122,6 +122,71 @@ CANARY_REF = {
 CANARY_THRESHOLD = 1.4
 
 
+# ---------------------------------------------------------------------------
+# Host-invariant engine-regression signal (VERDICT r15 item 2). The
+# absolute canary_ratio above compares against CANARY_REF minima frozen
+# on a host baseline that has since shifted (+8% uniform, r15
+# adjudication) — one more downshift and every clean window self-flags,
+# while an engine regression hidden inside "uniform drift" is invisible
+# to an absolute-time canary. The signal that survives host shifts is
+# the SAME-RUN engine/oracle ratio over the canary set: host pressure
+# inflates both sides together (BASELINE.md's r15 drift evidence — the
+# DuckDB side inflated in the same direction), so the ratio moves only
+# when the ENGINE's own cost profile moves. Decision rule (BASELINE.md):
+# absolute canary_ratio = window quality; canary_eo_ratio = engine
+# regression.
+# ---------------------------------------------------------------------------
+
+# Committed band for the canary-set engine/oracle ratio, keyed by sf.
+# Derived from r16 paired runs (the r12–r15 artifacts carry no
+# per-query oracle timings, so the band cannot be recomputed further
+# back; bench.py now records "oracle_queries" in the full line so
+# future bands are auditable from artifacts). Band = observed clean
+# spread with ~15% margin each side; outside-band readings flag
+# engine_regression (above hi) or suspect-oracle-contamination /
+# measurement error (below lo) — both demand adjudication, neither
+# auto-blocks.
+CANARY_EO_BAND: dict[str, tuple[float, float]] = {
+    "0.1": (1.45, 2.75),
+}
+
+
+def canary_eo_ratio(
+    engine_timings: dict[str, float], oracle_timings: dict[str, float]
+) -> float | None:
+    """Same-run engine/oracle composite ratio over the canary set, from
+    the interleaved-pass minima (both sides sampled in the same host
+    window — the property that makes the ratio host-invariant). None if
+    any canary lacks a timing on either side."""
+    if not all(n in engine_timings and n in oracle_timings for n in CANARIES):
+        return None
+    ora = sum(oracle_timings[n] for n in CANARIES)
+    if not ora:
+        return None
+    return sum(engine_timings[n] for n in CANARIES) / ora
+
+
+def eo_ratio_verdict(
+    engine_timings: dict[str, float],
+    oracle_timings: dict[str, float],
+    sf: str,
+) -> dict | None:
+    """Evidence dict for the bench tail: the ratio always (when
+    computable), the band comparison only for sfs with a committed band."""
+    ratio = canary_eo_ratio(engine_timings, oracle_timings)
+    if ratio is None:
+        return None
+    out: dict = {"canary_eo_ratio": round(ratio, 3)}
+    band = CANARY_EO_BAND.get(sf)
+    if band:
+        lo, hi = band
+        out["canary_eo_band"] = [lo, hi]
+        out["engine_regression"] = ratio > hi
+        if ratio < lo:
+            out["eo_ratio_below_band"] = True
+    return out
+
+
 def canary_verdict(canary_timings: dict[str, float], sf: str) -> dict | None:
     """Pure decision: compare a canary re-time against the committed
     reference minima for this sf. Returns the evidence dict to embed in

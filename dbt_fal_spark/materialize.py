@@ -237,9 +237,32 @@ def _write_live_pointer(base: str, loc: str) -> None:
     is the location; line 2 is a fresh per-commit NONCE — the version
     component table_swap_token uses for drop-first swaps, whose
     committed location never changes (ADVICE r14: dir mtime alone has
-    coarse-filesystem ticks)."""
+    coarse-filesystem ticks).
+
+    A writer killed between mkstemp and the rename (the in-process
+    cleanup below can't run on SIGKILL) leaves a ``.__live_tmp_*`` file
+    behind; they are invisible to readers ('.'-prefixed, and
+    _vacuum_versions removes only dirs) but accumulate in the db dir
+    across crashes, so each successful write opportunistically reaps
+    stale ones (r16 adversarial review). The 1-hour age floor keeps a
+    CONCURRENT writer's milliseconds-old tmp file safe."""
     import os
     import tempfile
+    import time as _time
+
+    parent = os.path.dirname(base)
+    try:
+        cutoff = _time.time() - 3600
+        for f in os.listdir(parent):
+            if f.startswith(".__live_tmp_"):
+                p = os.path.join(parent, f)
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        os.unlink(p)
+                except OSError:
+                    pass  # raced with another reaper / the owner's rename
+    except OSError:
+        pass  # listdir failed (parent vanishing) — litter reaping is best-effort
 
     tmp = None
     try:
@@ -300,7 +323,17 @@ def _vacuum_versions(base: str, keep: set[str], keep_newer_than: float | None = 
     listed dir that is mid-write is registered by the time we re-check
     — and a dir that re-checks as unregistered can never become a write
     target later, because version paths are minted with fresh uuid4
-    suffixes and never reused."""
+    suffixes and never reused.
+
+    The LIVE POINTER is also re-read per directory, AFTER the in-flight
+    check (ADVICE r15): a concurrent rebuild that commits its flip and
+    deregisters between the caller's ``keep`` snapshot and this loop
+    reaching its dir would otherwise have its now-live version dir
+    deleted. Order matters — writers deregister only after the pointer
+    rewrite (both happen inside the flip's registration window), so a
+    dir that re-checks as unregistered either was never a rebuild
+    target or already has the pointer naming it live. Checking the
+    pointer first would leave a TOCTOU gap the other way around."""
     import os
     import re as _re
     import shutil
@@ -328,6 +361,9 @@ def _vacuum_versions(base: str, keep: set[str], keep_newer_than: float | None = 
                 }
             if inflight_now:
                 continue
+            live_now = _read_live_pointer(base)
+            if live_now and os.path.abspath(live_now) == os.path.abspath(p):
+                continue  # became live since the caller's keep snapshot
             shutil.rmtree(p, ignore_errors=True)
             removed += 1
     return removed
@@ -458,14 +494,21 @@ def replace_relation_atomic(
                     # RENAME keeps per-partition catalog locations pointing at
                     # the temp path — SYNC re-registers the moved directories
                     spark.sql(f"MSCK REPAIR TABLE {_q(identifier)} SYNC PARTITIONS")
+                # The nonce rewrite must be atomic with the catalog swap
+                # (ADVICE r15): with the pointer written outside the lock, a
+                # maintenance verb running _check_expected under the lock
+                # between the RENAME and the pointer rewrite reads the STALE
+                # nonce — and if the dir mtime lands in the same coarse
+                # filesystem tick, its expected_token compares equal and it
+                # commits recompacted stale data over the fresh rebuild.
+                committed = _table_location(spark, identifier)
+                if committed:
+                    _write_live_pointer(
+                        _re.sub(_VERSION_RE, "", committed.rstrip("/")), committed
+                    )
         except Exception:
             spark.sql(f"DROP TABLE IF EXISTS {_q(tmp)}")
             raise
-        committed = _table_location(spark, identifier)
-        if committed:
-            _write_live_pointer(
-                _re.sub(_VERSION_RE, "", committed.rstrip("/")), committed
-            )
         return
 
     # copy-on-write pointer flip
@@ -527,7 +570,10 @@ def replace_relation_atomic(
     # flip above): a concurrent rebuild of the same table may have
     # committed — and deregistered its dir — between our flip and this
     # vacuum, making ITS dir the live one; the stale {new_loc, old_loc}
-    # pair alone would let us delete it.
+    # pair alone would let us delete it. That snapshot is itself racy
+    # (ADVICE r15: a rebuild committing between this read and the delete
+    # loop reaching its dir), which is why _vacuum_versions ALSO re-reads
+    # the live pointer per directory before each rmtree.
     import time as _time
 
     retain = float(spark.conf.get(RETAIN_CONF, "0") or "0")

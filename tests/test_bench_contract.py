@@ -159,3 +159,57 @@ def test_canary_verdict_unknown_sf_or_missing_timing():
     assert bench_set.canary_verdict({n: v for n, v in refs.items()}, "0.001") is None
     partial = dict(list(refs.items())[:-1])
     assert bench_set.canary_verdict(partial, "0.1") is None
+
+
+# ---------------------------------------------------------------------------
+# r16 host-invariant engine-regression signal (VERDICT r15 item 2)
+# ---------------------------------------------------------------------------
+
+
+def _eo_timings(mult_engine=1.0, mult_oracle=1.0):
+    eng = {n: 0.2 * (i + 1) * mult_engine for i, n in enumerate(bench_set.CANARIES)}
+    ora = {n: 0.1 * (i + 1) * mult_oracle for i, n in enumerate(bench_set.CANARIES)}
+    return eng, ora
+
+
+def test_eo_ratio_is_host_invariant():
+    """Uniform host inflation moves both sides together — the ratio must
+    not move (the property the absolute canary_ratio lacks)."""
+    eng, ora = _eo_timings()
+    base = bench_set.canary_eo_ratio(eng, ora)
+    eng_hot = {n: v * 1.7 for n, v in eng.items()}
+    ora_hot = {n: v * 1.7 for n, v in ora.items()}
+    assert abs(bench_set.canary_eo_ratio(eng_hot, ora_hot) - base) < 1e-12
+
+
+def test_eo_ratio_verdict_band_decision():
+    lo, hi = bench_set.CANARY_EO_BAND["0.1"]
+    assert 0 < lo < hi
+    eng, ora = _eo_timings()
+    mid = (lo + hi) / 2
+    # scale engine so the ratio lands mid-band: clean
+    scale = mid / bench_set.canary_eo_ratio(eng, ora)
+    v = bench_set.eo_ratio_verdict({n: t * scale for n, t in eng.items()}, ora, "0.1")
+    assert v["engine_regression"] is False
+    assert "eo_ratio_below_band" not in v
+    # above band: engine regression flagged
+    scale = (hi * 1.2) / bench_set.canary_eo_ratio(eng, ora)
+    v = bench_set.eo_ratio_verdict({n: t * scale for n, t in eng.items()}, ora, "0.1")
+    assert v["engine_regression"] is True
+    # below band: suspect reading flagged, not a regression
+    scale = (lo * 0.8) / bench_set.canary_eo_ratio(eng, ora)
+    v = bench_set.eo_ratio_verdict({n: t * scale for n, t in eng.items()}, ora, "0.1")
+    assert v["engine_regression"] is False and v["eo_ratio_below_band"] is True
+
+
+def test_eo_ratio_missing_side_or_unknown_sf_degrades():
+    eng, ora = _eo_timings()
+    partial = dict(list(eng.items())[:-1])
+    assert bench_set.canary_eo_ratio(partial, ora) is None
+    assert bench_set.eo_ratio_verdict(partial, ora, "0.1") is None
+    # unknown sf: ratio reported, no band verdict
+    v = bench_set.eo_ratio_verdict(eng, ora, "0.001")
+    assert v is not None and "engine_regression" not in v
+    assert v["canary_eo_ratio"] > 0
+    # zeroed oracle side degrades to None, never divides
+    assert bench_set.canary_eo_ratio(eng, {n: 0.0 for n in ora}) is None

@@ -55,6 +55,10 @@ def main(paths: list[str]) -> None:
                 "floor_adjusted_ratio": doc.get("floor_adjusted_ratio"),
                 "canary_ratio": doc.get("canary_ratio"),
                 "degraded_window": doc.get("degraded_window"),
+                # host-invariant engine-regression signal (r16): the
+                # same-run engine/oracle ratio over the canary set
+                "canary_eo_ratio": doc.get("canary_eo_ratio"),
+                "engine_regression": doc.get("engine_regression"),
             }
         )
         queries = doc.get("queries") or {}
@@ -106,6 +110,12 @@ def main(paths: list[str]) -> None:
             out["clean_common_set_composite_sec"] = round(
                 sum(clean_best[n] for n in clean_common), 3
             )
+    elif run_sets:
+        # ZERO canary-clean runs (r16 adversarial review): previously the
+        # clean composite silently vanished and the all-runs minima read
+        # as the headline with no warning that every contributing window
+        # was degraded — make that state explicit for BASELINE.md readers
+        out["all_runs_degraded"] = True
     vals = [r["value"] for r in runs if r["value"] is not None]
     ratios = [r["raw_ratio"] for r in runs if r["raw_ratio"] is not None]
     if vals:
@@ -113,6 +123,15 @@ def main(paths: list[str]) -> None:
     if ratios:
         out["ratio_spread"] = [min(ratios), max(ratios)]
         out["best_ratio"] = min(ratios)
+    # host-invariant signal spread (r16): engine/oracle over the canary
+    # set per run — the cross-round regression detector that survives
+    # host-baseline drift
+    eo = [r["canary_eo_ratio"] for r in runs if r.get("canary_eo_ratio") is not None]
+    if eo:
+        out["canary_eo_ratio_spread"] = [min(eo), max(eo)]
+        out["n_engine_regression_flags"] = sum(
+            1 for r in runs if r.get("engine_regression")
+        )
     print(json.dumps(out))
 
 

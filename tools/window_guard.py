@@ -306,6 +306,38 @@ def unstaged_changes() -> list[str]:
     return [n for n in changed_entries() if n not in win]
 
 
+def dead_window_names() -> list[str]:
+    """_CHECK_FIRST names absent from the registry (r16 adversarial
+    review): a renamed/deleted entry leaves its old name in the staged
+    window, where _ordered() silently ignores it — the stager believes
+    a slot is spent on it while a DIFFERENT entry (shifted up from the
+    unstaged tail) actually occupies the 50th position. Likely a rename
+    mistake; always an error since window history lives in git."""
+    import importlib.util
+
+    from dbt_fal_spark.registry import all_queries
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry_for_guard2__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    registered = set(all_queries())
+    return [n for n in mod._CHECK_FIRST if n not in registered]
+
+
+def stale_snapshot_names() -> list[str]:
+    """Snapshot keys no longer in the registry — deleted/renamed entries
+    whose hashes linger in plan_hashes.json until the next --update
+    (which rewrites from the current registry). Informational: the
+    guard's changed-entry scan iterates current hashes, so a stale key
+    can never fail the gate, but it inflates the snapshot and hides a
+    rename (delete+add flags only the add)."""
+    from dbt_fal_spark.registry import all_queries
+
+    return sorted(set(load_snapshot()) - set(all_queries()))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -321,10 +353,22 @@ def main() -> int:
         return 0
     changed = changed_entries()
     missing = unstaged_changes()
+    dead = dead_window_names()
+    stale = stale_snapshot_names()
     print(f"changed since snapshot: {len(changed)}")
     for n in changed:
         mark = "UNSTAGED" if n in missing else "windowed"
         print(f"  {mark}  {n}")
+    if stale:
+        print(f"stale snapshot keys (deleted/renamed entries): {stale}")
+    if dead:
+        print(
+            f"\nFAIL: _CHECK_FIRST names absent from the registry: {dead} — "
+            "a rename/delete left the staged window pointing at nothing; "
+            "remove or fix the names (the 50th effective slot is silently "
+            "filled by an unstaged entry otherwise)"
+        )
+        return 1
     if missing:
         print(
             "\nFAIL: the above UNSTAGED entries changed without a slot in the "
