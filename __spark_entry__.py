@@ -96,51 +96,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST stale rows of the r13 window; after r12 they are the only
 # entries with evidence older than r10.
 _CHECK_FIRST = (
-    # --- r16 WINDOW ---
+    # --- r16 WINDOW (restaged in the r16 OPTIMIZATION round) ---
     # (Window history r5-r15 lives in git; standing rule: lead each
     # round with every entry whose plan/semantics/source changed since
     # its last driver row, then the stalest remaining rows.)
     # CORRECTNESS_r15 was green over the full r15 window (50/50).
-    # Changed this round — verify first (2): the two p_* flow entries
-    # (FalSpark/materialize closure changed: ADVICE r15 — drop-first
-    # pointer rewrite moved inside commit_lock, per-directory live-
-    # pointer re-read in _vacuum_versions, crashed-writer tmp litter
-    # reaping — plans unchanged; window_guard's mechanical list agrees
-    # this is the complete changed set).
+    # Changed this round — verify first (31):
+    # the 29 entries window_guard flags for the r16 optimization work
+    # (readers.spread width probe now reads the optimizer size estimate
+    # instead of df.rdd — every spread caller's closure flips; the
+    # t_tfidf width probe likewise; e_dau_hll_sketch folded its event
+    # counts into the register pass; e_retention_cohorts distinct-first
+    # single-scan shape; q_generic_tests carries the measured REJECTION
+    # note for the batched variant — values byte-identical, all
+    # re-verified vs the DuckDB oracle at sf0.01 + sf0.001 before
+    # staging, see OPTIMIZATION_r16.md),
+    "e_dau_hll_sketch", "e_retention_cohorts", "t_tfidf_top_terms",
+    "q_generic_tests", "d_ngram_jaccard_pairs",
+    "d_substring_dedup_clean", "d_substring_dedup_keep_first",
+    "d_substring_dup_fraction", "d_substring_spans", "d_winnow_neardup",
+    "t_cms_heavy_hitters", "t_lm_surprise_fraction",
+    "t_rolling_fingerprint", "t_top_bigrams", "d_bloom_prefilter",
+    "d_containment_pairs", "d_decontaminate", "d_dup_ngram_fraction",
+    "d_embedding_neardup_lsh", "d_lsh_levenshtein_refine",
+    "d_minhash_lsh_pairs", "d_neardup_components", "d_neardup_triangles",
+    "p_sentiment_batch_inference", "s_knn_bruteforce", "s_knn_int8",
+    "s_knn_ivf", "s_knn_lsh_bucketed", "s_knn_lsh_multitable",
+    # plus the two p_* flow entries (FalSpark/materialize closure
+    # changed in the pre-optimization r16 session: ADVICE r15 fixes),
     "p_fal_model_pandas_forecast", "p_flow_run_customer_stats",
     # then the two r12-stale rows deferred from the r15 window
     # (VERDICT r15 item 1: the only entries with evidence older than
-    # r13, documented twice — they lead the stale refresh),
+    # r13 — they lead the stale refresh),
     "m_binary_metadata", "e_hourly_rollup",
-    # then all 44 entries whose last green driver row is r13 (computed
-    # from CORRECTNESS_r01-r15: the dedup/LSH family, the q_* analytics
-    # family, the five s_knn_* entries, q11, the m_* feature rows,
-    # p_sentiment_batch_inference, st_upsert_stream),
-    "d_bloom_prefilter", "d_containment_pairs", "d_decontaminate",
-    "d_dup_ngram_fraction", "d_embedding_neardup_lsh",
-    "d_lsh_levenshtein_refine", "d_minhash_lsh_pairs",
-    "d_neardup_components", "d_neardup_triangles",
+    # then the stalest remaining r13 rows that fit the 50-slot window
+    # (the rest of the r13 cohort + the r14 rows lead the r17 window),
     "m_byte_histogram_features", "m_resize_pipeline",
-    "p_sentiment_batch_inference", "q11_important_parts",
-    "q_corr_stats_by_flag", "q_cube_status_priority",
-    "q_customer_order_stats", "q_customer_running_total",
-    "q_customer_value_deciles", "q_customer_value_deciles_ranged",
-    "q_customer_value_percentile", "q_first_last_order_value",
-    "q_generic_tests", "q_gini_customer_value",
+    "q11_important_parts", "q_corr_stats_by_flag",
+    "q_cube_status_priority", "q_customer_order_stats",
+    "q_customer_running_total", "q_customer_value_deciles",
+    "q_customer_value_deciles_ranged", "q_customer_value_percentile",
+    "q_first_last_order_value", "q_gini_customer_value",
     "q_grouping_sets_revenue", "q_histogram_totalprice",
     "q_lapsed_customers_except", "q_mad_outlier_orders",
-    "q_orders_daily_pivot", "q_pii_masked_customers",
-    "q_priority_distinct_customers", "q_quantity_quartiles",
-    "q_range_join_price_band", "q_region_rollup_revenue",
-    "q_repeat_customers_intersect", "q_revenue_trend_by_priority",
-    "q_salted_join_supplier_volume", "q_status_set_per_priority",
-    "q_topk_orders_per_segment", "s_knn_bruteforce", "s_knn_int8",
-    "s_knn_ivf", "s_knn_lsh_bucketed", "s_knn_lsh_multitable",
-    "st_upsert_stream",
-    # filling the last 2 slots with the alphabetically-first r14 rows
-    # (all 45 r14 rows are equally stale; the remaining 43 lead the r17
-    # window). After r16 no entry's evidence is older than r14.
-    "d_exact_dedup", "d_keep_best_per_key",
 )
 
 

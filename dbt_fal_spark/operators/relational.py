@@ -366,6 +366,11 @@ def q_generic_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col(col).isNull(), 1)).alias("violations"),
         )
 
+    # r16 optimization round: a batched-orders variant (both orders
+    # tests in ONE aggregate + explode) was measured and REJECTED — the
+    # countDistinct's distinct-rewrite Expand triples the rows through
+    # the aggregate, costing more than the extra narrow scan it saves at
+    # every scale (A/B at sf0.1: 0.24 s -> 0.38 s min). Kept as-is.
     return (
         unique_test(orders, "o_orderkey", "orders_o_orderkey_unique")
         .unionAll(not_null_test(orders, "o_custkey", "orders_o_custkey_not_null"))

@@ -473,8 +473,16 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread()-style width guard, but keyed on doc_id (round-robin would
     # break the clustering the window reuses): at small-file sizes 8 wide
     # partitions beat 32 slivers; at real scan sizes the conf-sized
-    # repartition applies.
-    if base.rdd.getNumPartitions() < 8:
+    # repartition applies. Width decided from the optimizer's size
+    # estimate (pure driver-side plan visit), not df.rdd — the RDD probe
+    # cost ~100 ms of driver latency per build (see readers.spread, r16).
+    try:
+        small_scan = int(
+            base._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        ) < 8 * int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    except Exception:  # foreign session without the internal API
+        small_scan = base.rdd.getNumPartitions() < 8
+    if small_scan:
         base = base.repartition(8, F.col("doc_id"))
     else:
         base = base.repartition(F.col("doc_id"))

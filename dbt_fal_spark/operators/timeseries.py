@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from dbt_fal_spark.functions.numeric import dsum, o_dsum
 from dbt_fal_spark.registry import query
-from dbt_fal_spark.sources.readers import load_table
+from dbt_fal_spark.sources.readers import load_table, persist_at_scale
 
 SESSION_GAP_SEC = 1800  # 30 min
 
@@ -371,7 +371,24 @@ def e_dau_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: registers partial-aggregate map-side (max is
     associative); per-day state is ≤4096 rows regardless of corpus
     size; the 7-day union is a 7-way map-only expansion of bounded
-    state, never a re-scan of the week's raw events."""
+    state, never a re-scan of the week's raw events.
+
+    r16 (optimization round): the pre-r16 plan ran THREE full events
+    passes (the unpersisted register subtree was recomputed for the DAU
+    and WAU branches, and n_events was a third direct scan). Now the
+    register aggregation additionally counts its group's events
+    (count(*) per (day, bucket) — free in the same map-side partial),
+    the DAU state and the per-day event totals fold into ONE downstream
+    aggregate (per-day totals are the SUM of the per-bucket counts:
+    every event row lands in exactly one (day, bucket) group, NULL
+    groups included, so the sum equals the old direct
+    groupBy(day).count), and one join disappears. Under the scale
+    profile the bounded register relation is additionally persisted
+    (persist_at_scale) so the WAU branch reads the cache — ONE events
+    pass at 100 TB; at sub-GB bench scale the cache's memory-store
+    materialization measured slower than the second scan it saves, so
+    the latency profile keeps two scans (A/B interleaved at sf0.1,
+    OPTIMIZATION_r16.md)."""
     ev = load_table(spark, sf_dir, "events")
     h = ev.select(
         F.col("ts").cast("date").alias("day"),
@@ -382,8 +399,12 @@ def e_dau_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho = F.when(F.expr("hv div 4096") == 0, F.lit(49)).otherwise(
         F.lit(49) - F.length(F.expr("bin(hv div 4096)"))
     )
-    regs = h.groupBy("day", (F.col("hv") % 4096).alias("bucket")).agg(
-        F.max(rho).cast("bigint").alias("r")
+    # bounded state: <= 4096 rows per day (+ one NULL-bucket row); cached
+    # only at scale (see persist_at_scale), cleared by the runner's
+    # post-query cache clear per the repo persist contract
+    regs = persist_at_scale(
+        h.groupBy("day", (F.col("hv") % 4096).alias("bucket"))
+        .agg(F.max(rho).cast("bigint").alias("r"), F.count(F.lit(1)).alias("n_ev"))
     )
 
     def day_state(df, s_name, v_name):
@@ -395,7 +416,15 @@ def e_dau_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(4096) - F.count(F.lit(1))).cast("bigint").alias(v_name),
         )
 
-    dau = day_state(regs, "s_d", "v_d")
+    # DAU registers + per-day event totals in one aggregate over regs
+    dayrow = regs.groupBy("day").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - r)"))
+            + (F.lit(4096) - F.count(F.lit(1))) * F.lit(_HLL_SCALE)
+        ).alias("s_d"),
+        (F.lit(4096) - F.count(F.lit(1))).cast("bigint").alias("v_d"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+    )
     # 7-day register union: expand each day's registers to the 7 windows
     # they participate in, then element-wise max per (day, bucket)
     w7 = (
@@ -406,10 +435,7 @@ def e_dau_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("r").alias("r"))
     )
     wau = day_state(w7, "s_w", "v_w")
-    nev = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.count(F.lit(1)).alias("n_events")
-    )
-    return nev.join(dau, "day").join(wau, "day").select(
+    return dayrow.join(wau, "day").select(
         "day",
         "n_events",
         F.expr(_hll_estimate_sql("s_d", "v_d")).alias("dau_approx"),
@@ -515,29 +541,45 @@ def e_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention — the canonical product-analytics rollup:
     users grouped by first-activity week, retention = share of the
-    cohort active k weeks later. Two aggregations over user_id (firsts,
-    then distinct (user, offset)) share one shuffle key; cohort sizes are
-    dimension-sized and broadcast back. At 100 TB the distinct is the
-    heavy stage — it shuffles (user, week) pairs, bounded by users ×
-    active-weeks, never raw events (map-side partial distinct collapses
-    each user's events per week before the exchange)."""
+    cohort active k weeks later.
+
+    r16 (optimization round): the first stage is now the distinct
+    (user_id, week) relation — the only event-sized shuffle, collapsed
+    map-side, bounded by users x active-weeks; cohort weeks are its
+    per-user min (min over a user's DISTINCT weeks == min over all
+    their event weeks), and the activity relation is the distinct pairs
+    joined back to cohort weeks — already distinct per
+    (user, cohort_week, offset) because offset is a function of the
+    distinct week, so the pre-r16 second distinct (which re-shuffled
+    the events-sized JOIN output) is gone. Under the scale profile the
+    pair relation is persisted (persist_at_scale): ONE events pass at
+    100 TB where the old shape took two scans plus an events-row
+    shuffle; at sub-GB bench scale the cache measured slower than the
+    rescan, so the latency profile recomputes the distinct twice
+    (still strictly less shuffled volume than the old post-join
+    distinct). Cohort sizes stay dimension-sized and broadcast back.
+    NULL semantics are unchanged: NULL user_ids drop at the equi-join
+    exactly as before, NULL weeks (NULL ts) survive distinct/min
+    identically in both shapes."""
     ev = load_table(spark, sf_dir, "events")
     day = F.col("ts").cast("date")
     week = F.date_trunc("week", day).cast("date")
-    # persist: firsts feeds the activity join AND the cohort-size agg —
-    # without it the per-user min-week aggregation runs twice
-    firsts = (
-        ev.groupBy("user_id").agg(F.min(F.date_trunc("week", F.col("ts").cast("date")).cast("date")).alias("cohort_week"))
-    ).persist()
+    # the distinct pair relation feeds the cohort-week min AND the
+    # activity join; cached only at scale (persist_at_scale — at sub-GB
+    # bench scale the cache costs more than the rescan it saves, A/B in
+    # OPTIMIZATION_r16.md), cleared by the runner per persist contract
+    uw = persist_at_scale(ev.select("user_id", week.alias("week")).distinct())
+    # firsts is users-sized and consumed twice (activity join + cohort
+    # sizes): always persisted, as pre-r16 — without it the latency
+    # profile would recompute the uw subtree a third time
+    firsts = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week")).persist()
     activity = (
-        ev.select("user_id", week.alias("week"))
-        .join(firsts, "user_id")
+        uw.join(firsts, "user_id")
         .select(
             "user_id",
             "cohort_week",
             (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("bigint").alias("week_offset"),
         )
-        .distinct()
     )
     sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
     return (

@@ -107,16 +107,52 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> None:
 def spread(df: DataFrame) -> DataFrame:
     """Small-file guard for compute-heavy map stages: a single-row-group
     parquet file scans as ONE task, which would run a downstream Python /
-    expression-heavy stage single-threaded. If the plan has fewer
-    partitions than the target width, round-robin repartition (one tiny
+    expression-heavy stage single-threaded. If the scan is too small to
+    have reached the target width, round-robin repartition (one tiny
     shuffle of the narrow projection). Width is capped at 8: each Python
     task costs ~10 ms of worker dispatch + Arrow framing, so at
     small-file sizes 8 wide batches beat 32 slivers (measured 0.31 s vs
     0.44 s for the minhash stage at sf0.1). At real data sizes the scan
-    already has >= target partitions and this is a no-op."""
-    target = min(8, df.sparkSession.sparkContext.defaultParallelism)
-    if df.rdd.getNumPartitions() < target:
+    is far over the size cutoff and this is a no-op.
+
+    r16 (optimization round): the width decision reads the optimizer's
+    size estimate (``optimizedPlan().stats().sizeInBytes`` — a pure
+    driver-side plan visit) instead of ``df.rdd.getNumPartitions()``,
+    which materialized the physical plan AND an RDD graph per call:
+    measured ~100 ms of driver latency per probe, ~25 ms for the stats
+    visit, times ~20 call sites per bench pass. Decision rule: a scan
+    estimated under target x maxPartitionBytes cannot have produced
+    ``target`` full splits, so it gets the widening repartition; anything
+    larger already scans >= target-wide. (A many-tiny-files scan under
+    the cutoff that technically had >= target slivers is repartitioned
+    where the old probe no-opped — that consolidation is the better plan
+    for the Python stages this guards, and results are partitioning-
+    independent either way.)"""
+    spark = df.sparkSession
+    target = min(8, spark.sparkContext.defaultParallelism)
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    except Exception:  # foreign session without the internal API: stay safe
+        return df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    if size < target * max_pb:
         return df.repartition(target)
+    return df
+
+
+def persist_at_scale(df: DataFrame) -> DataFrame:
+    """persist() iff the session runs the SCALE profile (AQE on — the
+    marker session.pick_profile sets for >= 1 GiB inputs). Rationale
+    (r16 optimization round, measured): caching a small multi-consumer
+    relation costs more in memory-store materialization than the
+    recompute it saves at sub-GB bench scale, but at cluster scale the
+    recompute is a full pass over raw inputs — exactly the trade the
+    session's profile machinery already encodes. Callers use this for
+    BOUNDED relations (sketch registers, distinct user-week pairs) whose
+    cache footprint is dimension-sized, never corpus-sized. Results are
+    identical either way; only the plan's scan count changes."""
+    if df.sparkSession.conf.get("spark.sql.adaptive.enabled", "true") == "true":
+        return df.persist()
     return df
 
 
