@@ -515,8 +515,33 @@ def d_lsh_levenshtein_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    da = docs.select(F.col("doc_id").alias("da_id"), F.col("text").alias("text_a"))
-    db = docs.select(F.col("doc_id").alias("db_id"), F.col("text").alias("text_b"))
+    # r16 (optimization round): under the SCALE profile, prune the doc
+    # relation ONCE by the union of candidate ids (left_semi) and cache
+    # the matched docs (candidates-sized, bounded by the gated pair
+    # count) before the two text probes — one corpus text scan instead
+    # of two at 100 TB. At sub-GB bench scale the extra candidate
+    # materialization + semi-join measured ~0.2 s SLOWER than the two
+    # cheap rescans (A/B at sf0.1: 1.12 s -> 1.31 s min,
+    # OPTIMIZATION_r16.md), so the latency profile keeps the direct
+    # two-probe shape. Results identical either way (locked by
+    # tests/test_round16_opt.py).
+    if spark.conf.get("spark.sql.adaptive.enabled", "true") == "true":
+        cand = cand.persist()
+        ids = (
+            cand.select(F.col("doc_a").alias("did"))
+            .union(cand.select(F.col("doc_b")))
+            .distinct()
+        )
+        matched = (
+            docs.select("doc_id", "text")
+            .join(ids, F.col("doc_id") == F.col("did"), "left_semi")
+            .persist()
+        )
+        da = matched.select(F.col("doc_id").alias("da_id"), F.col("text").alias("text_a"))
+        db = matched.select(F.col("doc_id").alias("db_id"), F.col("text").alias("text_b"))
+    else:
+        da = docs.select(F.col("doc_id").alias("da_id"), F.col("text").alias("text_a"))
+        db = docs.select(F.col("doc_id").alias("db_id"), F.col("text").alias("text_b"))
     lev = F.levenshtein("text_a", "text_b")
     ratio = lev.cast("double") / F.greatest(F.length("text_a"), F.length("text_b"))
     return (

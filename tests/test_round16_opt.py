@@ -242,3 +242,23 @@ def test_generic_tests_values_match_per_test_aggregates(spark):
     assert got == want
 
 
+
+
+# ---------------------------------------------------------------------------
+# d_lsh_levenshtein_refine: scale-profile candidate prefilter
+# ---------------------------------------------------------------------------
+
+
+def test_lev_refine_profiles_agree(spark):
+    from dbt_fal_spark.operators.dedup import d_lsh_levenshtein_refine
+
+    lat = {tuple(r) for r in d_lsh_levenshtein_refine(spark, SF_DIR).collect()}
+    spark.catalog.clearCache()
+    prior = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        scl = {tuple(r) for r in d_lsh_levenshtein_refine(spark, SF_DIR).collect()}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prior)
+        spark.catalog.clearCache()
+    assert lat == scl and len(lat) > 0
