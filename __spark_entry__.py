@@ -139,6 +139,7 @@ _CHECK_FIRST = (
     "q_first_last_order_value", "q_gini_customer_value",
     "q_grouping_sets_revenue", "q_histogram_totalprice",
     "q_lapsed_customers_except", "q_mad_outlier_orders",
+    "q_orders_daily_pivot",
 )
 
 

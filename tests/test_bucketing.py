@@ -85,13 +85,28 @@ def test_bucketed_join_matches_plain_join(spark, bucketed):
 
 
 def test_spread_noops_on_well_partitioned_input(spark):
-    """spread() exists for single-row-group small files; on input already
-    at/above the target width it must return the SAME plan (no shuffle
-    inserted on a real cluster's naturally partitioned scans)."""
+    """spread() exists for single-row-group small files; on input too
+    big to have scanned narrow it must return the SAME plan (no shuffle
+    inserted on a real cluster's naturally partitioned scans). r16: the
+    decision is SIZE-based (optimizer estimate vs target x
+    maxPartitionBytes — see readers.spread), so the at-scale no-op is
+    exercised by shrinking the cutoff under the input's size; a TINY
+    but already-wide input is now deliberately consolidated (fewer
+    Python-stage slivers), the behavior the old partition-count probe
+    could not afford to implement at ~100 ms/probe."""
     from dbt_fal_spark.sources.readers import spread
 
     wide = spark.range(1000, numPartitions=16)
-    assert spread(wide) is wide
+    prior = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+        assert spread(wide) is wide  # estimated size >= 8 x 1 byte: no-op
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prior)
+    # tiny-but-wide input: consolidated to the target width (r16 contract)
+    assert spread(wide).rdd.getNumPartitions() == min(
+        8, spark.sparkContext.defaultParallelism
+    )
     narrow = spark.range(1000, numPartitions=1)
     out = spread(narrow)
     assert out is not narrow
