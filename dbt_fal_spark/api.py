@@ -1306,7 +1306,19 @@ class FalSpark:
                 expected_token=expected,
             )
             return n
-        cur = df.rdd.getNumPartitions()
+        # Exact partition count needed (coalesce-vs-grow decision AND the
+        # return value), so the stats-based probe readers.scan_bytes uses
+        # on query paths cannot apply — bytes don't give a split count
+        # for an arbitrary post-transform plan. The JVM-side RDD probe
+        # returns the same number as df.rdd.getNumPartitions() without
+        # constructing the Python-conversion RDD (the bulk of that
+        # probe's ~100 ms driver cost, r16 measurement); either way this
+        # runs once per compact() call, directly before a full table
+        # rewrite that dwarfs it.
+        try:
+            cur = df._jdf.queryExecution().toRdd().getNumPartitions()
+        except Exception:  # foreign session without the internal API
+            cur = df.rdd.getNumPartitions()
         # coalesce when shrinking (no shuffle); repartition only to grow
         out = df.coalesce(n) if n <= cur else df.repartition(n)
         replace_relation_atomic(self.spark, out, identifier, expected_token=expected)

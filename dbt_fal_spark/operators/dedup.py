@@ -33,7 +33,13 @@ from pyspark.sql import functions as F
 
 from dbt_fal_spark.operators.similarity import FINITE_EMB
 from dbt_fal_spark.registry import query
-from dbt_fal_spark.sources.readers import load_table, load_table_fresh, spread
+from dbt_fal_spark.sources.readers import (
+    at_scale,
+    load_table,
+    load_table_fresh,
+    persist_at_scale,
+    spread,
+)
 
 # ---------------------------------------------------------------------------
 # Shared deterministic constants
@@ -213,8 +219,22 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("df") <= SHINGLE_DOC_CAP).drop("df")
     a = rare.alias("a")
     b = rare.alias("b")
+    cond = (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    if at_scale(spark):
+        # r17 (VERDICT r16 item 4): size-ratio pair prune, SCALE profile
+        # only. Sound for the t=0.5 gate: jaccard <= min(na,nb)/max(na,nb),
+        # so a pair with sizes outside [n/2, 2n] cannot reach 0.5
+        # (inclusive bounds keep boundary pairs — na=2nb with full overlap
+        # IS jaccard 0.5). Prunes 24% of pair occurrences BEFORE the pair
+        # shuffle (PLANS.md r16 adjudication, variant B: 1,265,779 ->
+        # 965,169 at sf0.1). Measured SLOWER locally (+12% med: the
+        # per-row predicate on the probe stream costs more than the saved
+        # in-memory shuffle volume), so the latency profile keeps the
+        # bare join; at cluster scale the pair shuffle crosses a network
+        # and pruned bytes are the win the guide's §2.3 orders first.
+        cond = cond & (F.col("a.n") <= 2 * F.col("b.n")) & (F.col("b.n") <= 2 * F.col("a.n"))
     pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, cond)
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -525,17 +545,30 @@ def d_lsh_levenshtein_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # OPTIMIZATION_r16.md), so the latency profile keeps the direct
     # two-probe shape. Results identical either way (locked by
     # tests/test_round16_opt.py).
-    if spark.conf.get("spark.sql.adaptive.enabled", "true") == "true":
-        cand = cand.persist()
-        ids = (
+    #
+    # r17 (VERDICT r16 items 5/9): the id side of the text-pruning semi
+    # is explicitly BROADCAST when its measured row count is under
+    # spark.dbt_fal.lev.maxBroadcastIds — the post-aggregation size
+    # ESTIMATE the auto-threshold compares is unreliable, and a planner
+    # falling back to a sort-merge semi would shuffle the whole corpus
+    # TEXT by doc_id. The ids relation is persisted + counted first (one
+    # bounded job over the already-persisted cand relation — at scale
+    # that is noise next to the corpus pass it protects); a count over
+    # the cap falls back to the un-hinted semi (the planner's shuffle
+    # moves text once, still <= the old two-probe movement, and the
+    # driver never builds an oversized broadcast).
+    if at_scale(spark):
+        cand = persist_at_scale(cand)
+        ids = persist_at_scale(
             cand.select(F.col("doc_a").alias("did"))
             .union(cand.select(F.col("doc_b")))
             .distinct()
         )
-        matched = (
+        max_bcast = int(spark.conf.get("spark.dbt_fal.lev.maxBroadcastIds", "50000000"))
+        id_side = F.broadcast(ids) if ids.count() <= max_bcast else ids
+        matched = persist_at_scale(
             docs.select("doc_id", "text")
-            .join(ids, F.col("doc_id") == F.col("did"), "left_semi")
-            .persist()
+            .join(id_side, F.col("doc_id") == F.col("did"), "left_semi")
         )
         da = matched.select(F.col("doc_id").alias("da_id"), F.col("text").alias("text_a"))
         db = matched.select(F.col("doc_id").alias("db_id"), F.col("text").alias("text_b"))
@@ -1465,7 +1498,15 @@ def d_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the aggregate groups on the two doc ids ONLY, recovering the
     constant-per-doc sizes with max() instead of widening the group key
     to four columns. Measured at sf0.1: 0.85 s → ~0.70 s (paired ratio
-    vs the DuckDB oracle ~1.75×, down from 2.1×)."""
+    vs the DuckDB oracle ~1.75×, down from 2.1×).
+
+    r17: NO size-ratio prune here, deliberately — the jaccard-style
+    pair-prune (d_ngram_jaccard_pairs scale branch) is UNSOUND for
+    min-normalized containment: n_shared/min(na,nb) can reach 1.0 at ANY
+    size ratio (a small doc fully quoted inside a huge one is exactly
+    the pair this operator exists to find), so no sizes-only predicate
+    can drop a pair. PLANS.md r11 adjudicates the remaining gap as the
+    pair-shuffle floor (~90% of pair occurrences are distinct pairs)."""
     docs = load_table(spark, sf_dir, "documents")
 
     def gen(batches):

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbt_fal_spark.registry import query
-from dbt_fal_spark.sources.readers import load_table, spread
+from dbt_fal_spark.sources.readers import conf_bytes, load_table, scan_bytes, spread
 
 # Stopword markers per language for the naive lang-ID scorer. Determinism,
 # not accuracy, is the contract (the synthetic corpus shares one vocabulary).
@@ -473,15 +473,21 @@ def t_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread()-style width guard, but keyed on doc_id (round-robin would
     # break the clustering the window reuses): at small-file sizes 8 wide
     # partitions beat 32 slivers; at real scan sizes the conf-sized
-    # repartition applies. Width decided from the optimizer's size
-    # estimate (pure driver-side plan visit), not df.rdd — the RDD probe
-    # cost ~100 ms of driver latency per build (see readers.spread, r16).
-    try:
-        small_scan = int(
-            base._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        ) < 8 * int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-    except Exception:  # foreign session without the internal API
+    # repartition applies. Width decided from the LEAF relations' size
+    # stats (pure driver-side plan visit; readers.scan_bytes) — the r16
+    # projected-plan estimate here scaled the text column by its
+    # schema-default width (20 B) and could under-call a genuinely wide
+    # scan (ADVICE r16); the leaf estimate is the file-byte total split
+    # planning itself divides. Conf parsed size-string-tolerantly
+    # (readers.conf_bytes) so "128m" doesn't dump us on the ~100 ms RDD
+    # fallback probe.
+    sb = scan_bytes(base)
+    if sb is None:  # foreign session without the internal API
         small_scan = base.rdd.getNumPartitions() < 8
+    else:
+        small_scan = sb < 8 * conf_bytes(
+            spark, "spark.sql.files.maxPartitionBytes", 134217728
+        )
     if small_scan:
         base = base.repartition(8, F.col("doc_id"))
     else:

@@ -51,6 +51,11 @@ _COMMON = {
 # machinery with wide shuffles. This mirrors what a production deployment
 # does with --conf per workload class.
 _LATENCY_PROFILE = {
+    # dedicated profile marker (r17, ADVICE r16): operators that gate
+    # scale-only plan shapes (readers.at_scale / persist_at_scale) key on
+    # this conf, NOT on spark.sql.adaptive.enabled — AQE is an unrelated
+    # tuning flag a caller may toggle independently
+    "spark.dbt_fal.profile": "latency",
     "spark.sql.adaptive.enabled": "false",
     # 8 post-shuffle partitions: sub-GB inputs leave reduce stages task-
     # overhead-bound, but narrower (4) measured WORSE on the full suite —
@@ -60,6 +65,7 @@ _LATENCY_PROFILE = {
     "spark.sql.shuffle.partitions": "8",
 }
 _SCALE_PROFILE = {
+    "spark.dbt_fal.profile": "scale",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

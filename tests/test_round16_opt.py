@@ -114,16 +114,16 @@ def test_dau_hll_single_events_scan(spark):
     # pre-r16 shape had three
     df = e_dau_hll_sketch(spark, SF_DIR)
     assert _parquet_scans(df, "events") == 2
-    # scale profile (AQE marker on): register pass cached, zero uncached
-    prior = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    # scale profile (dedicated marker conf): register pass cached, zero uncached
+    prior = spark.conf.get("spark.dbt_fal.profile", "latency")
     try:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.dbt_fal.profile", "scale")
         df2 = e_dau_hll_sketch(spark, SF_DIR)
         assert _parquet_scans(df2, "events") == 0
         assert "InMemoryTableScan" in _physical_plan(df2)
         assert sorted(map(tuple, df2.collect())) == sorted(map(tuple, df.collect()))
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prior)
+        spark.conf.set("spark.dbt_fal.profile", prior)
         spark.catalog.clearCache()
 
 
@@ -162,15 +162,15 @@ def test_retention_single_events_scan(spark):
     # the old post-join events-row distinct is gone in both profiles
     df = e_retention_cohorts(spark, SF_DIR)
     assert _parquet_scans(df, "events") == 1
-    prior = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    prior = spark.conf.get("spark.dbt_fal.profile", "latency")
     try:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.dbt_fal.profile", "scale")
         df2 = e_retention_cohorts(spark, SF_DIR)
         assert _parquet_scans(df2, "events") == 0
         assert "InMemoryTableScan" in _physical_plan(df2)
         assert sorted(map(tuple, df2.collect())) == sorted(map(tuple, df.collect()))
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prior)
+        spark.conf.set("spark.dbt_fal.profile", prior)
         spark.catalog.clearCache()
 
 
@@ -254,11 +254,11 @@ def test_lev_refine_profiles_agree(spark):
 
     lat = {tuple(r) for r in d_lsh_levenshtein_refine(spark, SF_DIR).collect()}
     spark.catalog.clearCache()
-    prior = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    prior = spark.conf.get("spark.dbt_fal.profile", "latency")
     try:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.dbt_fal.profile", "scale")
         scl = {tuple(r) for r in d_lsh_levenshtein_refine(spark, SF_DIR).collect()}
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prior)
+        spark.conf.set("spark.dbt_fal.profile", prior)
         spark.catalog.clearCache()
     assert lat == scl and len(lat) > 0
