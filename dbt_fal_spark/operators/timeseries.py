@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from dbt_fal_spark.functions.numeric import dsum, o_dsum
 from dbt_fal_spark.registry import query
-from dbt_fal_spark.sources.readers import load_table, persist_at_scale
+from dbt_fal_spark.sources.readers import at_scale, load_table, persist_at_scale
 
 SESSION_GAP_SEC = 1800  # 30 min
 
@@ -543,44 +543,71 @@ def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     users grouped by first-activity week, retention = share of the
     cohort active k weeks later.
 
-    r16 (optimization round): the first stage is now the distinct
-    (user_id, week) relation — the only event-sized shuffle, collapsed
-    map-side, bounded by users x active-weeks; cohort weeks are its
-    per-user min (min over a user's DISTINCT weeks == min over all
-    their event weeks), and the activity relation is the distinct pairs
-    joined back to cohort weeks — already distinct per
+    r16 (optimization round) SCALE shape: the first stage is the
+    distinct (user_id, week) relation — the only event-sized shuffle,
+    collapsed map-side, bounded by users x active-weeks; cohort weeks
+    are its per-user min (min over a user's DISTINCT weeks == min over
+    all their event weeks), and the activity relation is the distinct
+    pairs joined back to cohort weeks — already distinct per
     (user, cohort_week, offset) because offset is a function of the
     distinct week, so the pre-r16 second distinct (which re-shuffled
-    the events-sized JOIN output) is gone. Under the scale profile the
-    pair relation is persisted (persist_at_scale): ONE events pass at
-    100 TB where the old shape took two scans plus an events-row
-    shuffle; at sub-GB bench scale the cache measured slower than the
-    rescan, so the latency profile recomputes the distinct twice
-    (still strictly less shuffled volume than the old post-join
-    distinct). Cohort sizes stay dimension-sized and broadcast back.
-    NULL semantics are unchanged: NULL user_ids drop at the equi-join
+    the events-sized JOIN output) is gone. With the pair relation
+    persisted (persist_at_scale): ONE events pass at 100 TB where the
+    old shape took two scans plus an events-row shuffle.
+
+    r17 (VERDICT r16 item 3): the LATENCY profile reverts to the
+    pre-r16 shape (firsts aggregated directly from events; distinct
+    applied once, after the join). The r16 in-session A/B that read
+    distinct-first as faster locally did not replicate: two
+    independent interleaved A/Bs (min-of-8, sf0.1) put the uncached
+    distinct-first shape +18% / +41% on minima — without the cache the
+    event-sized distinct shuffle runs TWICE (once per consumer),
+    strictly more shuffled volume than the single post-join distinct
+    it replaced. The scale branch keeps the r16 shape: with the pair
+    relation cached the double-consumption costs one pass, and the
+    pre-r16 post-join distinct would re-shuffle an events-sized join
+    output — the exact stage the rewrite exists to avoid. Values are
+    identical in both shapes (locked by
+    tests/test_round16_opt.py::test_retention_matches_two_scan_reference
+    and the profile-equality assert in ::test_retention_single_events_scan).
+
+    Cohort sizes stay dimension-sized and broadcast back. NULL
+    semantics are unchanged: NULL user_ids drop at the equi-join
     exactly as before, NULL weeks (NULL ts) survive distinct/min
     identically in both shapes."""
     ev = load_table(spark, sf_dir, "events")
     day = F.col("ts").cast("date")
     week = F.date_trunc("week", day).cast("date")
-    # the distinct pair relation feeds the cohort-week min AND the
-    # activity join; cached only at scale (persist_at_scale — at sub-GB
-    # bench scale the cache costs more than the rescan it saves, A/B in
-    # OPTIMIZATION_r16.md), cleared by the runner per persist contract
-    uw = persist_at_scale(ev.select("user_id", week.alias("week")).distinct())
-    # firsts is users-sized and consumed twice (activity join + cohort
-    # sizes): always persisted, as pre-r16 — without it the latency
-    # profile would recompute the uw subtree a third time
-    firsts = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week")).persist()
-    activity = (
-        uw.join(firsts, "user_id")
-        .select(
-            "user_id",
-            "cohort_week",
-            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("bigint").alias("week_offset"),
+    if at_scale(spark):
+        # one events pass: the cached distinct pair relation feeds the
+        # cohort-week min AND the activity join; cleared by the runner
+        # per the repo persist contract
+        uw = persist_at_scale(ev.select("user_id", week.alias("week")).distinct())
+        firsts = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week")).persist()
+        activity = (
+            uw.join(firsts, "user_id")
+            .select(
+                "user_id",
+                "cohort_week",
+                (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("bigint").alias("week_offset"),
+            )
         )
-    )
+    else:
+        # firsts is users-sized and consumed twice (activity join +
+        # cohort sizes): persisted as pre-r16
+        firsts = (
+            ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+        ).persist()
+        activity = (
+            ev.select("user_id", week.alias("week"))
+            .join(firsts, "user_id")
+            .select(
+                "user_id",
+                "cohort_week",
+                (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("bigint").alias("week_offset"),
+            )
+            .distinct()
+        )
     sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
     return (
         activity.groupBy("cohort_week", "week_offset")

@@ -70,6 +70,17 @@ _SCALE_PROFILE = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.shuffle.partitions": "200",
+    # Streaming state store (r17, guide §5): the default HDFS-backed
+    # provider holds EVERY state row as deserialized objects on the
+    # executor JVM heap, competing with execution memory — at 100 TB/day
+    # the dedup / outer-interval-join state is the largest on-heap risk
+    # in the st_* family. RocksDB keeps state off-heap and on local disk
+    # with incremental snapshot checkpointing. Latency profile keeps the
+    # default provider: for the KB-sized local state the JVM map is
+    # faster than JNI round-trips (measured in STREAM_BENCH_r17.json;
+    # correctness under RocksDB is locked by tests/test_round17_opt.py).
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
 }
 
 _SMALL_INPUT_BYTES = 1 << 30  # 1 GiB

@@ -157,9 +157,11 @@ def test_dau_hll_n_events_matches_direct_count(spark):
 def test_retention_single_events_scan(spark):
     from dbt_fal_spark.operators.timeseries import e_retention_cohorts
 
-    # latency profile: one uncached scan in the plan (the activity-side
-    # distinct) + the firsts cache fill at runtime = two reads total, and
-    # the old post-join events-row distinct is gone in both profiles
+    # latency profile (r17: reverted to the pre-r16 shape — the
+    # interleaved A/Bs showed the uncached distinct-first shape slower,
+    # OPTIMIZATION_r17.md): one uncached scan in the plan (the
+    # activity-side events read) + the firsts cache fill at runtime =
+    # two reads total, post-join distinct present
     df = e_retention_cohorts(spark, SF_DIR)
     assert _parquet_scans(df, "events") == 1
     prior = spark.conf.get("spark.dbt_fal.profile", "latency")

@@ -225,6 +225,39 @@ def test_lev_refine_id_cap_fallback_matches(spark):
 
 
 # ---------------------------------------------------------------------------
+# scale-profile streaming state store: RocksDB provider
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_state_rocksdb_provider_matches_default(spark):
+    """The scale profile sets the RocksDB state-store provider (state
+    off-heap/on-disk instead of deserialized JVM-heap objects — guide
+    §5). Lock: representative stateful entries (arbitrary-state agg,
+    watermark-bounded dedup) produce identical results under RocksDB."""
+    from dbt_fal_spark.registry import all_queries
+
+    specs = all_queries()
+    names = ["st_user_totals_stateful", "st_dedup_within_watermark_stream"]
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    for name in names:
+        base = {tuple(r) for r in specs[name].fn(spark, SF_DIR).collect()}
+        prior = spark.conf.get(key, None)
+        try:
+            spark.conf.set(key, rocks)
+            got = {tuple(r) for r in specs[name].fn(spark, SF_DIR).collect()}
+        finally:
+            if prior:
+                spark.conf.set(key, prior)
+            else:
+                spark.conf.unset(key)
+        assert got == base and len(base) > 0, name
+
+
+# ---------------------------------------------------------------------------
 # bench.py tail contract: per_query line precedes the final compact line
 # ---------------------------------------------------------------------------
 
