@@ -96,50 +96,50 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST stale rows of the r13 window; after r12 they are the only
 # entries with evidence older than r10.
 _CHECK_FIRST = (
-    # --- r16 WINDOW (restaged in the r16 OPTIMIZATION round) ---
-    # (Window history r5-r15 lives in git; standing rule: lead each
+    # --- r17 WINDOW (restaged in the r17 OPTIMIZATION round) ---
+    # (Window history r5-r16 lives in git; standing rule: lead each
     # round with every entry whose plan/semantics/source changed since
     # its last driver row, then the stalest remaining rows.)
-    # CORRECTNESS_r15 was green over the full r15 window (50/50).
-    # Changed this round — verify first (31):
-    # the 29 entries window_guard flags for the r16 optimization work
-    # (readers.spread width probe now reads the optimizer size estimate
-    # instead of df.rdd — every spread caller's closure flips; the
-    # t_tfidf width probe likewise; e_dau_hll_sketch folded its event
-    # counts into the register pass; e_retention_cohorts distinct-first
-    # single-scan shape; q_generic_tests carries the measured REJECTION
-    # note for the batched variant — values byte-identical, all
-    # re-verified vs the DuckDB oracle at sf0.01 + sf0.001 before
-    # staging, see OPTIMIZATION_r16.md),
-    "e_dau_hll_sketch", "e_retention_cohorts", "t_tfidf_top_terms",
-    "q_generic_tests", "d_ngram_jaccard_pairs",
+    # CORRECTNESS_r16 was green over the full r16 window (50/50).
+    # Changed this round — verify first (30): the entries window_guard
+    # flags for the r17 optimization work (readers width probes now sum
+    # LEAF relation stats and parse size-string confs — every spread
+    # caller's closure flips, t_tfidf likewise; scale-profile gating
+    # keys on spark.dbt_fal.profile instead of the AQE conf;
+    # e_retention_cohorts latency branch reverted to the pre-r16 shape
+    # after an adverse interleaved A/B, scale branch keeps the cached
+    # one-pass rewrite; d_ngram_jaccard_pairs gained a scale-only
+    # size-ratio pair prune; d_lsh_levenshtein_refine's scale semi is
+    # broadcast-guarded under a counted id cap — values byte-identical
+    # in every case, re-verified vs the DuckDB oracle at sf0.01 +
+    # sf0.001 before staging, see OPTIMIZATION_r17.md),
+    "e_retention_cohorts", "e_dau_hll_sketch", "d_ngram_jaccard_pairs",
+    "d_lsh_levenshtein_refine", "t_tfidf_top_terms",
     "d_substring_dedup_clean", "d_substring_dedup_keep_first",
     "d_substring_dup_fraction", "d_substring_spans", "d_winnow_neardup",
     "t_cms_heavy_hitters", "t_lm_surprise_fraction",
     "t_rolling_fingerprint", "t_top_bigrams", "d_bloom_prefilter",
     "d_containment_pairs", "d_decontaminate", "d_dup_ngram_fraction",
-    "d_embedding_neardup_lsh", "d_lsh_levenshtein_refine",
-    "d_minhash_lsh_pairs", "d_neardup_components", "d_neardup_triangles",
-    "p_sentiment_batch_inference", "s_knn_bruteforce", "s_knn_int8",
+    "d_embedding_neardup_lsh", "d_minhash_lsh_pairs",
+    "d_neardup_components", "d_neardup_triangles",
+    "p_sentiment_batch_inference", "p_fal_model_pandas_forecast",
+    "p_flow_run_customer_stats", "s_knn_bruteforce", "s_knn_int8",
     "s_knn_ivf", "s_knn_lsh_bucketed", "s_knn_lsh_multitable",
-    # plus the two p_* flow entries (FalSpark/materialize closure
-    # changed in the pre-optimization r16 session: ADVICE r15 fixes),
-    "p_fal_model_pandas_forecast", "p_flow_run_customer_stats",
-    # then the two r12-stale rows deferred from the r15 window
-    # (VERDICT r15 item 1: the only entries with evidence older than
-    # r13 — they lead the stale refresh),
-    "m_binary_metadata", "e_hourly_rollup",
-    # then the stalest remaining r13 rows that fit the 50-slot window
-    # (the rest of the r13 cohort + the r14 rows lead the r17 window),
-    "m_byte_histogram_features", "m_resize_pipeline",
-    "q11_important_parts", "q_corr_stats_by_flag",
-    "q_cube_status_priority", "q_customer_order_stats",
-    "q_customer_running_total", "q_customer_value_deciles",
-    "q_customer_value_deciles_ranged", "q_customer_value_percentile",
-    "q_first_last_order_value", "q_gini_customer_value",
-    "q_grouping_sets_revenue", "q_histogram_totalprice",
-    "q_lapsed_customers_except", "q_mad_outlier_orders",
-    "q_orders_daily_pivot",
+    # then the stale refresh: the entire r13-evidence cohort (the 11
+    # stalest rows — after r17 no entry's driver evidence is older
+    # than r14),
+    "q_pii_masked_customers", "q_priority_distinct_customers",
+    "q_quantity_quartiles", "q_range_join_price_band",
+    "q_region_rollup_revenue", "q_repeat_customers_intersect",
+    "q_revenue_trend_by_priority", "q_salted_join_supplier_volume",
+    "q_status_set_per_priority", "q_topk_orders_per_segment",
+    "st_upsert_stream",
+    # then the 9 alphabetically-first r14 rows to fill the window to 50
+    # (the remaining 26 r14 rows lead the r18 stale refresh),
+    "d_exact_dedup", "d_keep_best_per_key", "d_simhash",
+    "e_asof_purchase_attribution", "e_changepoint_cusum",
+    "e_daily_active_users", "e_hll_register_state",
+    "e_interpolate_daily_user", "e_rolling_median_7d",
 )
 
 

@@ -549,7 +549,19 @@ def tail_emission(timings, oracle_timings, sf, final_payload) -> list[str]:
     `oracle_queries` keys of the full line (post-degraded-rerun when
     that fired); additions-only, no existing key changes shape. The
     final compact line is ALWAYS emitted last, even when the
-    ratio/canary phases produced nothing."""
+    ratio/canary phases produced nothing.
+
+    The FINAL line additionally carries a size-budgeted `queries` map
+    (the driver-contract key its per-query joiner reads): the driver
+    parses only the LAST JSON line inside its 2000-char tail window,
+    and the full 83-entry map serializes to ~2.3 KB even at two
+    decimals — it cannot fit. So the final line carries the top-K
+    slowest entries that keep the WHOLE serialized line under 1950
+    bytes (exact sizing, deterministic time-then-name order: a strict
+    top-K prefix, so round-over-round joins land on the same heavy
+    entries). `queries_truncated_to_tail_budget` says the map is
+    partial; the complete map rides the `per_query_timings` line above
+    for readers that keep more than the 2000-char tail."""
     per_query = {
         n: (
             {"engine_sec": timings[n], "oracle_sec": oracle_timings[n]}
@@ -558,11 +570,21 @@ def tail_emission(timings, oracle_timings, sf, final_payload) -> list[str]:
         )
         for n in timings
     }
+    final = dict(final_payload)
+    top_q: dict[str, float] = {}
+    final["queries"] = top_q
+    final["queries_truncated_to_tail_budget"] = True
+    for n, v in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        top_q[n] = round(v, 3)
+        if len(json.dumps(final)) > 1950:
+            del top_q[n]
+            break
+    final["queries_truncated_to_tail_budget"] = len(top_q) < len(timings)
     return [
         json.dumps(
             {"metric": "per_query_timings", "sf": sf, "per_query": per_query}
         ),
-        json.dumps(final_payload),
+        json.dumps(final),
     ]
 
 

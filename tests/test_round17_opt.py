@@ -27,7 +27,13 @@ Changes locked here (see OPTIMIZATION_r17.md for measurements):
 - bench.py: full per-query engine+oracle minima map emitted as its own
   ``per_query_timings`` JSON line BEFORE the final compact line (the
   83-entry map outgrows the driver's 2000-char tail window; the final
-  line must stay complete) (VERDICT r16 item 1).
+  line must stay complete), and the final line carries a size-budgeted
+  top-K ``queries`` map — the driver joins per-query comparisons on the
+  LAST parsed line's ``queries`` key, so the heaviest entries that fit
+  under 1950 bytes ride there (VERDICT r16 item 1).
+- tools/paired_bench.py: record picker prefers the full line (the only
+  one with ``oracle_queries``) so paired artifacts stay full-width now
+  that the last line also has a (partial) ``queries`` key.
 """
 
 from __future__ import annotations
@@ -302,3 +308,45 @@ def test_bench_tail_emits_per_query_line_before_final_compact_line():
     # record with room to spare; the per-query map (which does not) must
     # therefore never be merged into it
     assert len(lines[-1]) < 2000 < len(lines[-2])
+    # the final line's size-budgeted `queries` map (the driver-contract
+    # join key): a strict top-K-by-time prefix of the composite, exact
+    # values, truncation flagged, and the whole line under budget
+    top = final["queries"]
+    assert 0 < len(top) < len(timings)
+    assert final["queries_truncated_to_tail_budget"] is True
+    ranked = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert top == {n: round(v, 3) for n, v in ranked[: len(top)]}
+    assert len(lines[-1]) <= 1950
+    # a small composite fits whole and is not flagged
+    few = {n: t for n, t in list(timings.items())[:5]}
+    small_final = json.loads(
+        tail_emission(few, oracle, "0.1", final_payload)[-1]
+    )
+    assert set(small_final["queries"]) == set(few)
+    assert small_final["queries_truncated_to_tail_budget"] is False
+
+
+def test_paired_bench_picks_full_line_over_partial_tail_map():
+    """tools/paired_bench.py must keep building FULL-width artifacts:
+    the last stdout line now carries a partial `queries` map, so the
+    picker prefers the full line (the only one with `oracle_queries`),
+    falls back to a bare `queries` line (oracle_bench.py), then any
+    JSON line."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from paired_bench import pick_record
+
+    full = {"queries": {"a": 1.0, "b": 2.0}, "oracle_queries": {"a": 0.5}}
+    partial_tail = {"metric": "headline_queries_total_wall", "queries": {"b": 2.0}}
+    lines = [
+        "not json",
+        json.dumps(full),
+        json.dumps({"metric": "per_query_timings", "per_query": {}}),
+        json.dumps(partial_tail),
+    ]
+    assert pick_record(lines) == full
+    # oracle_bench output: one line with bare queries
+    ora = {"metric": "oracle", "queries": {"a": 0.4}}
+    assert pick_record([json.dumps(ora)]) == ora
+    # fallback: any JSON line
+    assert pick_record([json.dumps({"metric": "x"})]) == {"metric": "x"}
+    assert pick_record(["garbage"]) is None

@@ -18,6 +18,35 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def pick_record(lines: list[str]) -> dict | None:
+    """Choose the record carrying the FULL per-query dict.
+
+    bench.py prints (in order) the full line (`queries` +
+    `oracle_queries`, all entries), a rotating line, a per_query_timings
+    line, and LAST a compact tail line that — since r17 — also carries a
+    size-budgeted PARTIAL `queries` map for the driver's 2000-char
+    window. Scanning from the end: prefer the last line with
+    `oracle_queries` (the full engine line; the partial tail map never
+    has it), then the last with a `queries` dict (oracle_bench.py's one
+    line), then any JSON line."""
+    with_queries = None
+    fallback = None
+    for line in reversed(lines):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if "oracle_queries" in rec:
+            return rec
+        if with_queries is None and "queries" in rec:
+            with_queries = rec
+        fallback = fallback or rec
+    return with_queries or fallback
+
+
 def _run(cmd: list[str], sf_dir: str) -> dict:
     # bench.py pairs the oracle in-process by default now (r6 tail
     # protocol); this harness runs the oracle half itself, so disable
@@ -26,19 +55,9 @@ def _run(cmd: list[str], sf_dir: str) -> dict:
     out = subprocess.run(
         cmd, cwd=REPO, env=env, capture_output=True, text=True, check=True
     ).stdout
-    # last JSON line CARRYING the per-query dict (bench.py additionally
-    # prints a compact totals-only line last for the driver's tail
-    # window; Spark logs can pollute earlier lines)
-    fallback = None
-    for line in reversed(out.strip().splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            rec = json.loads(line)
-            if "queries" in rec:
-                return rec
-            fallback = fallback or rec
-    if fallback is not None:
-        return fallback
+    rec = pick_record(out.strip().splitlines())
+    if rec is not None:
+        return rec
     raise RuntimeError(f"no JSON line in output of {cmd}")
 
 

@@ -131,7 +131,11 @@ def main() -> None:
     jvm_gc = spark.sparkContext._jvm.System.gc
     specs = all_queries()
     names = sorted(n for n in specs if n.startswith("st_"))
-    artifact: dict = {"runs": args.runs, "entries": {}}
+    artifact: dict = {
+        "runs": args.runs,
+        "state_provider": args.state_provider,
+        "entries": {},
+    }
 
     for sf_dir in args.sf:
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
